@@ -1,0 +1,17 @@
+"""gat_tpu — TPU-native guitar audio transcription framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+gkotti4/guitar-audio-transcriber-ai: raw waveform → noise gating → onset
+slicing → MFCC + mel-spectrogram front-ends → MLP + CNN ensemble →
+Scientific Pitch Notation labels, with a batched YIN DSP baseline — all as
+traced, batched device graphs (see SURVEY.md for the behavioral spec).
+"""
+
+__version__ = "1.0.0"
+
+from .config import (  # noqa: F401
+    CONFIG_VERSION, TARGET_SR, CLIP_DURATION,
+    MFCC_CONFIG, MELSPEC_CONFIG, MLP_CONFIG, CNN_CONFIG, SLICER_CONFIG,
+    PARALLEL_CONFIG,
+    MFCCConfig, MelSpecConfig, MLPConfig, CNNConfig, AudioSlicerConfig,
+)

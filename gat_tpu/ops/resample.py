@@ -1,0 +1,110 @@
+"""Polyphase sample-rate conversion as jit-able XLA ops.
+
+The reference delegates resampling to librosa.load / librosa.resample (soxr)
+(ref: version_1/source/audio/loading.py:85, transcribe.py:170-174). Here the
+anti-aliasing FIR is designed once on host (scipy, trace-time constant) and
+applied on device as a true polyphase filter:
+
+  * the filter is decomposed into `up` phases, applied as one grouped
+    NCW convolution (no zero-stuffing — only needed products are computed),
+  * each output sample gathers its (phase, position) pair with indices
+    precomputed at trace time (static shapes throughout).
+
+Kaiser-windowed sinc (~90 dB stopband) — label-level parity with soxr is the
+bar (SURVEY §7 hard-parts #1).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.signal import firwin
+
+__all__ = ["resample", "resample_filter", "fix_length"]
+
+
+@functools.lru_cache(maxsize=64)
+def resample_filter(up: int, down: int, zeros: int = 24,
+                    beta: float = 9.58) -> np.ndarray:
+    """Anti-aliasing lowpass for an up/down ratio: cutoff at the tighter of
+    the two Nyquists relative to the up-sampled design rate, gain `up` to
+    preserve pass-band amplitude."""
+    max_rate = max(up, down)
+    half_len = zeros * max_rate
+    h = firwin(2 * half_len + 1, 1.0 / max_rate, window=("kaiser", beta))
+    return (h * up).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _polyphase_plan(n: int, up: int, down: int, zeros: int, beta: float):
+    """Trace-time constants: phase-decomposed taps + per-output gather
+    indices.
+
+    For output j, the centered filter reads up-sampled position
+    u = j*down - half; the only nonzero products are at input indices
+    i = i0 + k with i0 = ceil(u / up) and taps h[delta + k*up] where
+    delta = i0*up - u. So with z[p, t] = sum_k x[t + k] * h[p + k*up]
+    (a `up`-output-channel correlation), y[j] = z[delta_j, i0_j].
+    """
+    h = resample_filter(up, down, zeros, beta)
+    half = (h.shape[0] - 1) // 2
+    k_taps = -(-h.shape[0] // up)  # ceil
+    hp = np.zeros((up, k_taps), dtype=np.float32)
+    for p in range(up):
+        taps = h[p::up]
+        hp[p, :len(taps)] = taps
+
+    m = int(math.ceil(n * up / down))
+    j = np.arange(m, dtype=np.int64)
+    u = j * down - half
+    i0 = -(-u // up)          # ceil division (works for negative u)
+    delta = (i0 * up - u).astype(np.int64)
+    # left-pad so i0 ≥ 0; right-pad so every tap window fits
+    lpad = int(max(0, -i0.min()))
+    rpad = int(max(0, (i0.max() + k_taps) - n))
+    pos = (i0 + lpad).astype(np.int32)
+    return hp, delta.astype(np.int32), pos, lpad, rpad, m
+
+
+@functools.partial(jax.jit, static_argnames=("orig_sr", "target_sr", "zeros",
+                                             "beta"))
+def resample(y: jax.Array, orig_sr: int, target_sr: int,
+             zeros: int = 24, beta: float = 9.58) -> jax.Array:
+    """Resample along the last axis. Accepts (..., n); returns (..., m) with
+    m = ceil(n * target_sr / orig_sr) (librosa.resample fix=True length).
+    No-op when rates match."""
+    if orig_sr == target_sr:
+        return y
+    g = math.gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+
+    batch_shape = y.shape[:-1]
+    n = y.shape[-1]
+    hp, delta, pos, lpad, rpad, m = _polyphase_plan(n, up, down, zeros, beta)
+
+    x = y.reshape((-1, 1, n)).astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (0, 0), (lpad, rpad)))
+    # z: (N, up, L) — all phase correlations in one conv (VALID padding)
+    z = jax.lax.conv_general_dilated(
+        x, jnp.asarray(hp)[:, None, :],
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+    )
+    out = z[:, jnp.asarray(delta), jnp.asarray(pos)] if up > 1 \
+        else z[:, 0, jnp.asarray(pos)]
+    return out.reshape(batch_shape + (m,))
+
+
+def fix_length(y: jax.Array, size: int) -> jax.Array:
+    """Pad with trailing zeros or trim the last axis to exactly `size`
+    (ref loading.py:54-70 fix_len semantics)."""
+    n = y.shape[-1]
+    if n > size:
+        return y[..., :size]
+    if n < size:
+        pad = [(0, 0)] * (y.ndim - 1) + [(0, size - n)]
+        return jnp.pad(y, pad)
+    return y

@@ -1,0 +1,188 @@
+"""Batched spectral front-end: framing, STFT, mel-spectrograms, MFCC.
+
+This replaces the reference's librosa/torchaudio native DSP
+(ref: version_1/source/audio/features.py:187-193 MFCC,
+features.py:296-316 mel-spec) with jit-compiled XLA ops. Everything is
+batched over leading axes and time-major internally: spectrograms are
+(..., n_frames, n_bins). Two deliberately distinct conventions are kept:
+
+  * `melspectrogram_librosa` / `mfcc` — librosa semantics: center=True with
+    constant padding, Slaney mel with 'slaney' norm, power_to_db with
+    ref=1.0 and a per-clip top_db=80 clamp.
+  * `melspectrogram_torchaudio` — torchaudio semantics: center=True with
+    reflect padding, HTK mel, no norm, AmplitudeToDB without top_db.
+
+On TPU the mel projection and DCT become MXU GEMMs and XLA fuses the
+windowing/|·|²/log elementwise stages around them; a further hand-fused
+Pallas front-end lives in gat_tpu/ops/pallas/.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mel import mel_filterbank_librosa, mel_filterbank_torchaudio
+
+__all__ = [
+    "hann_window", "frame", "stft", "power_spectrogram",
+    "power_to_db_librosa", "amplitude_to_db_torchaudio",
+    "dct_ii_matrix", "melspectrogram_librosa", "melspectrogram_torchaudio",
+    "mfcc", "n_frames",
+]
+
+
+@functools.lru_cache(maxsize=16)
+def _hann_np(n: int) -> np.ndarray:
+    # Periodic (fftbins=True) Hann — what librosa and torch.hann_window use.
+    k = np.arange(n, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(np.float32)
+
+
+def hann_window(n: int) -> jax.Array:
+    return jnp.asarray(_hann_np(n))
+
+
+def n_frames(n_samples: int, frame_length: int, hop_length: int,
+             center: bool = True) -> int:
+    """Static frame count for a given signal length."""
+    if center:
+        n_samples += 2 * (frame_length // 2)
+    return 1 + (n_samples - frame_length) // hop_length
+
+
+def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
+    """(..., n) → (..., n_frames, frame_length), no padding."""
+    n = y.shape[-1]
+    nf = 1 + (n - frame_length) // hop_length
+    idx = (np.arange(nf)[:, None] * hop_length
+           + np.arange(frame_length)[None, :])
+    return y[..., idx]
+
+
+def _pad_center(y: jax.Array, pad: int, pad_mode: str) -> jax.Array:
+    widths = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+    if pad_mode == "constant":
+        return jnp.pad(y, widths)
+    return jnp.pad(y, widths, mode=pad_mode)
+
+
+def stft(y: jax.Array, n_fft: int = 2048, hop_length: int | None = None,
+         win_length: int | None = None, center: bool = True,
+         pad_mode: str = "constant") -> jax.Array:
+    """Complex STFT, time-major: (..., n_frames, 1 + n_fft // 2).
+
+    pad_mode='constant' matches librosa.stft defaults (librosa ≥ 0.10);
+    pad_mode='reflect' matches torch.stft/torchaudio.
+    """
+    if win_length is None:
+        win_length = n_fft
+    if hop_length is None:
+        hop_length = win_length // 4
+    if center:
+        y = _pad_center(y, n_fft // 2, pad_mode)
+    frames = frame(y, n_fft, hop_length)
+    win = hann_window(win_length)
+    if win_length < n_fft:  # center-pad window to n_fft (librosa semantics)
+        lpad = (n_fft - win_length) // 2
+        win = jnp.pad(win, (lpad, n_fft - win_length - lpad))
+    return jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
+
+
+def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
+                      center: bool = True, pad_mode: str = "constant",
+                      power: float = 2.0) -> jax.Array:
+    z = stft(y, n_fft=n_fft, hop_length=hop_length, center=center,
+             pad_mode=pad_mode)
+    mag = jnp.abs(z)
+    return mag if power == 1.0 else mag ** power
+
+
+def power_to_db_librosa(S: jax.Array, ref: float = 1.0, amin: float = 1e-10,
+                        top_db: float | None = 80.0,
+                        spec_axes: int = 2) -> jax.Array:
+    """librosa.power_to_db: 10·log10 with a per-call top_db clamp relative to
+    the spectrogram's max. The reference calls it once per clip, so in this
+    batched form the max is taken over the trailing `spec_axes` axes
+    (ref librosa semantics used by features.py:187 via feature.mfcc)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
+    log_spec = log_spec - 10.0 * np.log10(max(amin, ref))
+    if top_db is not None:
+        axes = tuple(range(-spec_axes, 0))
+        peak = jnp.max(log_spec, axis=axes, keepdims=True)
+        log_spec = jnp.maximum(log_spec, peak - top_db)
+    return log_spec
+
+
+def amplitude_to_db_torchaudio(S: jax.Array, stype: str = "power",
+                               amin: float = 1e-10) -> jax.Array:
+    """torchaudio.transforms.AmplitudeToDB(stype='power') with its default
+    top_db=None — i.e. no clamp (ref features.py:303)."""
+    mult = 10.0 if stype == "power" else 20.0
+    return mult * jnp.log10(jnp.maximum(S, amin))  # ref_value=1 → db_mult 0
+
+
+@functools.lru_cache(maxsize=16)
+def _dct_ii_np(n_in: int, n_out: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_in, n_out): X @ D == scipy.fftpack.dct
+    (type 2, norm='ortho') truncated to n_out coefficients."""
+    n = np.arange(n_in, dtype=np.float64)
+    k = np.arange(n_out, dtype=np.float64)
+    D = 2.0 * np.cos(np.pi * k[None, :] * (2.0 * n[:, None] + 1.0) / (2.0 * n_in))
+    scale = np.full(n_out, np.sqrt(1.0 / (2.0 * n_in)))
+    scale[0] = np.sqrt(1.0 / (4.0 * n_in))
+    return (D * scale[None, :]).astype(np.float32)
+
+
+def dct_ii_matrix(n_in: int, n_out: int) -> jax.Array:
+    return jnp.asarray(_dct_ii_np(n_in, n_out))
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
+                                             "n_mels", "power"))
+def melspectrogram_librosa(y: jax.Array, sr: int, n_fft: int = 2048,
+                           hop_length: int = 512, n_mels: int = 128,
+                           power: float = 2.0) -> jax.Array:
+    """(..., n) → (..., n_frames, n_mels), librosa.feature.melspectrogram
+    defaults (constant center pad, Slaney mel + slaney norm)."""
+    S = power_spectrogram(y, n_fft, hop_length, pad_mode="constant",
+                          power=power)
+    fb = jnp.asarray(mel_filterbank_librosa(sr, n_fft, n_mels))  # (M, F)
+    return jnp.einsum("...tf,mf->...tm", S, fb,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length",
+                                             "n_mels", "power", "to_db"))
+def melspectrogram_torchaudio(y: jax.Array, sr: int, n_fft: int = 2048,
+                              hop_length: int = 256, n_mels: int = 64,
+                              power: float = 2.0, to_db: bool = True
+                              ) -> jax.Array:
+    """(..., n) → (..., n_frames, n_mels), torchaudio MelSpectrogram
+    semantics (reflect center pad, HTK mel, no norm) + AmplitudeToDB
+    (ref features.py:296-316)."""
+    S = power_spectrogram(y, n_fft, hop_length, pad_mode="reflect",
+                          power=power)
+    fb = jnp.asarray(mel_filterbank_torchaudio(sr, n_fft, n_mels))  # (M, F)
+    out = jnp.einsum("...tf,mf->...tm", S, fb,
+                     preferred_element_type=jnp.float32)
+    if to_db:
+        out = amplitude_to_db_torchaudio(out, stype="power")
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_mfcc", "n_fft",
+                                             "hop_length", "n_mels"))
+def mfcc(y: jax.Array, sr: int, n_mfcc: int = 20, n_fft: int = 2048,
+         hop_length: int = 512, n_mels: int = 128) -> jax.Array:
+    """(..., n) → (..., n_frames, n_mfcc), librosa.feature.mfcc defaults:
+    mel power spectrogram → power_to_db(top_db=80, per clip) → ortho DCT-II
+    over the mel axis (ref features.py:187-193)."""
+    S = melspectrogram_librosa(y, sr, n_fft=n_fft, hop_length=hop_length,
+                               n_mels=n_mels)
+    S_db = power_to_db_librosa(S, spec_axes=2)
+    D = dct_ii_matrix(n_mels, n_mfcc)  # (n_mels, n_mfcc)
+    return jnp.einsum("...tm,mk->...tk", S_db, D,
+                      preferred_element_type=jnp.float32)

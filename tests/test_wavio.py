@@ -1,0 +1,54 @@
+import numpy as np
+import pytest
+
+from gat_tpu.utils.wavio import read_wav, write_wav
+
+
+@pytest.mark.parametrize("subtype,tol", [
+    ("PCM_16", 1.0 / 32768),
+    ("PCM_24", 1.0 / (1 << 23)),
+    ("PCM_32", 1e-7),
+    ("FLOAT", 1e-7),
+])
+def test_roundtrip(tmp_path, rng, subtype, tol):
+    x = (rng.uniform(-0.9, 0.9, 4096)).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, x, 22050, subtype=subtype)
+    y, sr = read_wav(p)
+    assert sr == 22050
+    assert y.dtype == np.float32
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_stereo_to_mono(tmp_path, rng):
+    left = rng.uniform(-0.5, 0.5, 1000).astype(np.float32)
+    right = rng.uniform(-0.5, 0.5, 1000).astype(np.float32)
+    p = tmp_path / "st.wav"
+    write_wav(p, np.stack([left, right], axis=1), 8000, subtype="FLOAT")
+    y, sr = read_wav(p, mono=True)
+    np.testing.assert_allclose(y, (left + right) / 2, atol=1e-6)
+    y2, _ = read_wav(p, mono=False)
+    assert y2.shape == (1000, 2)
+
+
+def test_stdlib_wave_compat(tmp_path, rng):
+    """Our PCM_16 files must be readable by the stdlib wave module and
+    vice versa."""
+    import wave
+    x = rng.uniform(-0.9, 0.9, 2048).astype(np.float32)
+    p = tmp_path / "w.wav"
+    write_wav(p, x, 16000, subtype="PCM_16")
+    with wave.open(str(p)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        raw = w.readframes(w.getnframes())
+    ref = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    y, _ = read_wav(p)
+    np.testing.assert_allclose(y, ref)
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        read_wav("/nonexistent/x.wav")
