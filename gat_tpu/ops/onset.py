@@ -1,0 +1,165 @@
+"""Spectral-flux onset detection as a static-shape XLA graph.
+
+Replaces librosa.onset.onset_strength / onset_detect / peak_pick /
+onset_backtrack (ref consumer: version_1/source/audio/slicing.py:106-122).
+The reference runs these as per-file NumPy loops; here the whole chain —
+mel flux, normalization, moving-max/avg peak picking, greedy `wait`
+spacing, energy-minimum backtracking, and the slicer's own min-separation
+filter — is one jit graph over fixed-length (optionally masked) audio.
+
+Data-dependent greedy steps (the `wait` filter and min-separation) are
+`lax.scan`s over the frame axis with a carried last-accepted position —
+compiler-friendly control flow instead of Python loops.
+
+Onsets are returned as a fixed-budget (max_onsets,) index vector plus a
+validity mask (SURVEY §7 hard-parts #4: static shapes for data-dependent
+slicing).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spectral import melspectrogram_librosa, power_to_db_librosa, n_frames
+from .filters import maximum_filter1d, uniform_filter1d
+
+__all__ = ["onset_strength", "peak_pick_mask", "backtrack_indices",
+           "detect_onsets"]
+
+_TINY32 = 1.1754944e-38
+
+
+def onset_strength(y: jax.Array, sr: int, hop_length: int = 512,
+                   n_fft: int = 2048, n_mels: int = 128,
+                   lag: int = 1) -> jax.Array:
+    """Mel-spectral flux envelope, (..., n) → (..., n_frames).
+
+    librosa.onset.onset_strength recipe: mel power spectrogram →
+    power_to_db → positive lag-difference → mean over mel bands →
+    left-pad by lag + n_fft//(2*hop) and truncate to the frame count
+    (compensates the detection latency of centered frames)."""
+    S = melspectrogram_librosa(y, sr, n_fft=n_fft, hop_length=hop_length,
+                               n_mels=n_mels)  # (..., T, M)
+    S = power_to_db_librosa(S, spec_axes=2)
+    diff = jnp.maximum(0.0, S[..., lag:, :] - S[..., :-lag, :])
+    env = jnp.mean(diff, axis=-1)  # (..., T - lag)
+    pad = lag + n_fft // (2 * hop_length)
+    widths = [(0, 0)] * (env.ndim - 1) + [(pad, 0)]
+    env = jnp.pad(env, widths)
+    return env[..., :S.shape[-2]]
+
+
+def peak_pick_mask(env: jax.Array, pre_max: int, post_max: int,
+                   pre_avg: int, post_avg: int, delta: float,
+                   wait: int, valid: jax.Array | None = None) -> jax.Array:
+    """librosa.util.peak_pick as a boolean frame mask (1-D env only under
+    vmap for batching). A frame is a peak iff it equals the moving max, is
+    ≥ moving-avg + delta, and is > `wait` frames after the previous peak
+    (greedy, via lax.scan)."""
+    max_origin = int(math.ceil(0.5 * (pre_max - post_max)))
+    avg_origin = int(math.ceil(0.5 * (pre_avg - post_avg)))
+    mov_max = maximum_filter1d(env, int(pre_max + post_max),
+                               origin=max_origin, mode="constant")
+    mov_avg = uniform_filter1d(env, int(pre_avg + post_avg),
+                               origin=avg_origin, mode="nearest")
+    det = jnp.where(env == mov_max, env, 0.0)
+    cand = det >= (mov_avg + delta)
+    if valid is not None:
+        cand = cand & valid
+
+    def step(last, xs):
+        i, is_cand = xs
+        keep = is_cand & (i > last + wait)
+        new_last = jnp.where(keep, i, last)
+        return new_last, keep
+
+    idx = jnp.arange(env.shape[-1])
+    _, keep = jax.lax.scan(step, jnp.asarray(-(10 ** 9)), (idx, cand))
+    return keep
+
+
+def backtrack_indices(energy: jax.Array) -> jax.Array:
+    """For every frame i, the nearest energy local-minimum index ≤ i
+    (librosa.onset.onset_backtrack semantics: minima where
+    e[i] ≤ e[i−1] and e[i] < e[i+1], with frame 0 always a minimum).
+    Returns (..., T) int32 so `bt[onset]` backtracks any onset."""
+    prev_ = energy[..., :-2]
+    mid = energy[..., 1:-1]
+    next_ = energy[..., 2:]
+    inner = (mid <= prev_) & (mid < next_)
+    t = energy.shape[-1]
+    mask = jnp.concatenate([
+        jnp.ones_like(energy[..., :1], bool), inner,
+        jnp.zeros_like(energy[..., :1], bool)], axis=-1)
+    idx = jnp.arange(t)
+    cand = jnp.where(mask, idx, -1)
+    return jax.lax.cummax(cand, axis=cand.ndim - 1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "hop_length", "min_sep",
+                                             "max_onsets", "backtrack"))
+def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
+                  min_sep: float = 0.3, max_onsets: int = 64,
+                  backtrack: bool = True,
+                  n_valid_samples: jax.Array | None = None):
+    """Full onset chain for ONE signal (vmap for batches):
+    (n,) → (onset_samples (max_onsets,) int32, valid (max_onsets,) bool).
+
+    Mirrors the reference slicer: onset_strength → onset_detect(backtrack)
+    → frames_to_samples → greedy min-separation in samples
+    (ref slicing.py:106-122). `n_valid_samples` masks a zero-padded tail so
+    fixed-budget batching doesn't change detections."""
+    env = onset_strength(y, sr, hop_length=hop_length)
+    t = env.shape[-1]
+
+    if n_valid_samples is None:
+        valid_frames = jnp.ones((t,), bool)
+        env_valid = env
+    else:
+        nvf = 1 + n_valid_samples // hop_length  # frames covering real audio
+        valid_frames = jnp.arange(t) < nvf
+        env_valid = jnp.where(valid_frames, env, jnp.inf)
+
+    # onset_detect normalization: min-max over (valid) envelope
+    emin = jnp.min(env_valid)
+    emax = jnp.max(jnp.where(valid_frames, env, -jnp.inf))
+    env_n = (env - emin) / (emax - emin + _TINY32)
+
+    # librosa onset_detect default peak-pick parameters
+    pre_max = int(0.03 * sr // hop_length)
+    post_max = int(0.00 * sr // hop_length + 1)
+    pre_avg = int(0.10 * sr // hop_length)
+    post_avg = int(0.10 * sr // hop_length + 1)
+    wait = int(0.03 * sr // hop_length)
+    peaks = peak_pick_mask(env_n, pre_max, post_max, pre_avg, post_avg,
+                           delta=0.07, wait=wait, valid=valid_frames)
+
+    frames = jnp.arange(t, dtype=jnp.int32)
+    if backtrack:
+        bt = backtrack_indices(env_n)
+        onset_frames = jnp.where(peaks, bt, frames)
+    else:
+        onset_frames = frames
+    samples = onset_frames * hop_length
+
+    # greedy min-separation over frames (in sample units)
+    min_samples = int(min_sep * sr)
+
+    def step(last, xs):
+        s, is_peak = xs
+        keep = is_peak & (s - last >= min_samples)
+        return jnp.where(keep, s, last), keep
+
+    _, keep = jax.lax.scan(step, jnp.asarray(-999999, jnp.int32),
+                           (samples, peaks))
+
+    # compact kept sample indices into the fixed budget
+    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    tagged = jnp.where(keep, samples, big)
+    order = jnp.sort(tagged)[:max_onsets]
+    valid = order < big
+    return jnp.where(valid, order, 0), valid

@@ -1,0 +1,89 @@
+"""Noise gating: per-sample amplitude gate + dynamic frame-RMS gate.
+
+Behavioral spec from the reference slicer (version_1/source/audio/
+slicing.py:29-91), rebuilt as vectorized XLA ops:
+
+  * sample_db_gate    — zero samples whose 20·log10|y| is below min_db
+  * dynamic RMS gate  — frame RMS → dB → median_filter(5) → percentile-
+    derived thresholds (noise pct 20 + 6 dB offset, clamped against the
+    75th-percentile signal floor) → per-sample mask by frame repetition
+
+Percentiles honor an optional valid-length mask so padded fixed-budget
+batches gate identically to exact-length audio.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.filters import rms_frames, median_filter1d, masked_percentile
+
+__all__ = ["sample_db_gate", "rms_db_envelope", "dynamic_thresholds",
+           "rms_gate", "slice_rms_db", "gate_waveform"]
+
+_EPS = 1e-10
+
+
+def sample_db_gate(y: jax.Array, min_db: float = -45.0) -> jax.Array:
+    """Zero out samples below an absolute dB-FS amplitude threshold
+    (ref slicing.py:30-39)."""
+    amp_db = 20.0 * jnp.log10(jnp.abs(y) + _EPS)
+    return y * (amp_db > min_db).astype(y.dtype)
+
+
+def rms_db_envelope(y: jax.Array, frame_length: int = 2048,
+                    hop_length: int = 512, smooth: bool = True) -> jax.Array:
+    """Median-smoothed frame RMS in dB (ref slicing.py:44-56)."""
+    rms = rms_frames(y, frame_length, hop_length, pad_mode="reflect")
+    rms_db = 20.0 * jnp.log10(rms + _EPS)
+    if smooth:
+        rms_db = median_filter1d(rms_db, 5)
+    return rms_db
+
+
+def dynamic_thresholds(rms_db: jax.Array, valid: jax.Array,
+                       noise_pct: float = 20.0, signal_pct: float = 75.0,
+                       gate_offset_db: float = 6.0,
+                       slice_offset_db: float = 10.0):
+    """Percentile-derived gate/slice thresholds with the reference's clamp
+    (ref slicing.py:59-76). Returns (gate_db, slice_min_db,
+    (noise_floor, signal_floor))."""
+    noise_floor = masked_percentile(rms_db, noise_pct, valid)
+    signal_floor = masked_percentile(rms_db, signal_pct, valid)
+    gate_db = noise_floor + gate_offset_db
+    slice_min_db = noise_floor + slice_offset_db
+    slice_min_db = jnp.maximum(slice_min_db, noise_floor + 5.0)
+    slice_min_db = jnp.minimum(slice_min_db, signal_floor - 3.0)
+    return gate_db, slice_min_db, (noise_floor, signal_floor)
+
+
+def rms_gate(y: jax.Array, hop_length: int = 512,
+             n_valid_samples: jax.Array | None = None) -> jax.Array:
+    """Dynamic frame-RMS gate: mask frames below gate_db, expand to
+    samples by frame repetition (ref slicing.py:78-91)."""
+    rms_db = rms_db_envelope(y, hop_length=hop_length)
+    t = rms_db.shape[-1]
+    if n_valid_samples is None:
+        valid = jnp.ones((t,), bool)
+    else:
+        nvf = 1 + n_valid_samples // hop_length
+        valid = jnp.arange(t) < nvf
+    gate_db, _, _ = dynamic_thresholds(rms_db, valid)
+    frame_mask = rms_db > gate_db
+    mask = jnp.repeat(frame_mask, hop_length)[:y.shape[-1]]
+    return y * mask.astype(y.dtype)
+
+
+def slice_rms_db(clips: jax.Array) -> jax.Array:
+    """Whole-clip RMS in dB, batched: (..., L) → (...,)
+    (ref slicing.py:96-100 is_slice_loud_enough)."""
+    rms = jnp.sqrt(jnp.mean(clips * clips, axis=-1))
+    return 20.0 * jnp.log10(rms + _EPS)
+
+
+def gate_waveform(y: jax.Array, min_db: float, hop_length: int = 512,
+                  n_valid_samples: jax.Array | None = None) -> jax.Array:
+    """Both gates in sequence, as the slicer applies them
+    (ref slicing.py:149-150)."""
+    y = sample_db_gate(y, min_db)
+    return rms_gate(y, hop_length=hop_length, n_valid_samples=n_valid_samples)

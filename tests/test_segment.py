@@ -1,0 +1,131 @@
+import numpy as np
+import jax.numpy as jnp
+
+from gat_tpu.ops.onset import detect_onsets, peak_pick_mask
+from gat_tpu.segment import gating
+from gat_tpu.segment.slicing import segment_waveform, AudioSlicer
+from gat_tpu.utils.wavio import write_wav
+from tests.conftest import make_pluck
+
+
+SR = 22050
+
+
+def _song(onsets_s, freqs, dur=3.0, note_len=0.45):
+    """Synthetic 'song': plucked notes at known onset times over silence.
+    Notes are faded out so the cutoff itself doesn't register as an onset
+    (a real plucked string decays; an abrupt cut is a broadband click)."""
+    y = np.zeros(int(dur * SR), np.float32)
+    for t0, f in zip(onsets_s, freqs):
+        note = make_pluck(f, SR, note_len, seed=int(f))
+        fade = int(0.3 * len(note))
+        note[-fade:] *= np.linspace(1.0, 0.0, fade, dtype=np.float32)
+        s = int(t0 * SR)
+        y[s:s + len(note)] += note
+    return y
+
+
+def _peak_pick_direct(x, pre_max, post_max, pre_avg, post_avg, delta, wait):
+    """Direct numpy replication of the librosa.util.peak_pick recipe."""
+    import scipy.ndimage as ndi
+    max_origin = int(np.ceil(0.5 * (pre_max - post_max)))
+    avg_origin = int(np.ceil(0.5 * (pre_avg - post_avg)))
+    mov_max = ndi.maximum_filter1d(x, int(pre_max + post_max),
+                                   mode="constant", origin=max_origin)
+    mov_avg = ndi.uniform_filter1d(x, int(pre_avg + post_avg),
+                                   mode="nearest", origin=avg_origin)
+    det = x * (x == mov_max)
+    det = det * (det >= mov_avg + delta)
+    peaks, last = [], -np.inf
+    for i in np.flatnonzero(det):
+        if i > last + wait:
+            peaks.append(i)
+            last = i
+    return np.array(peaks)
+
+
+def test_peak_pick_matches_direct(rng):
+    for trial in range(5):
+        env = np.maximum(0, rng.normal(size=300)).astype(np.float32)
+        env[rng.integers(0, 300, 12)] += rng.uniform(1, 3, 12)
+        params = dict(pre_max=1, post_max=1, pre_avg=4, post_avg=5,
+                      delta=0.07, wait=1)
+        keep = np.asarray(peak_pick_mask(jnp.asarray(env), **params))
+        ref = _peak_pick_direct(env, **params)
+        np.testing.assert_array_equal(np.flatnonzero(keep), ref)
+
+
+def test_detect_onsets_finds_notes():
+    onset_times = [0.5, 1.2, 1.9]
+    y = _song(onset_times, [110.0, 220.0, 330.0])
+    onsets, valid = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
+    got = np.asarray(onsets)[np.asarray(valid)] / SR
+    assert len(got) == 3, f"got onsets at {got}"
+    for t_exp, t_got in zip(onset_times, got):
+        # backtracking can land slightly before the attack
+        assert abs(t_got - t_exp) < 0.1, f"{t_exp} vs {t_got}"
+
+
+def test_detect_onsets_min_separation():
+    # two notes 0.15 s apart with min_sep=0.3 → only the first survives
+    y = _song([0.5, 0.65, 1.5], [110.0, 165.0, 220.0])
+    onsets, valid = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
+    got = np.asarray(onsets)[np.asarray(valid)] / SR
+    diffs = np.diff(got)
+    assert np.all(diffs >= 0.3)
+
+
+def test_padded_detection_matches_exact():
+    """Fixed-budget padding with n_valid_samples must not change onsets."""
+    y = _song([0.5, 1.2, 1.9], [110.0, 220.0, 330.0])
+    o1, v1 = detect_onsets(jnp.asarray(y), sr=SR)
+    ypad = np.concatenate([y, np.zeros(SR, np.float32)])
+    o2, v2 = detect_onsets(jnp.asarray(ypad), sr=SR,
+                           n_valid_samples=jnp.asarray(len(y)))
+    got1 = np.asarray(o1)[np.asarray(v1)]
+    got2 = np.asarray(o2)[np.asarray(v2)]
+    np.testing.assert_array_equal(got1, got2)
+
+
+def test_segment_waveform_end_to_end():
+    onset_times = [0.4, 1.1, 1.8]
+    y = _song(onset_times, [146.83, 196.0, 246.94])
+    clips, kept, onsets, ovalid, times = segment_waveform(jnp.asarray(y),
+                                                          sr=SR)
+    clips, kept = np.asarray(clips), np.asarray(kept)
+    ovalid = np.asarray(ovalid)
+    n_onsets = int(ovalid.sum())
+    n_kept = int(kept.sum())
+    assert n_onsets == 3
+    # reference quirk: last onset slices against itself → empty → dropped
+    assert n_kept == n_onsets - 1
+    assert clips.shape[1] == int(0.5 * SR)
+    # kept clips carry signal
+    assert np.abs(clips[kept]).max() > 0.01
+    # non-strict mode keeps the final note too
+    _, kept2, *_ = segment_waveform(jnp.asarray(y), sr=SR,
+                                    strict_reference_compat=False)
+    assert int(np.asarray(kept2).sum()) == n_onsets
+
+
+def test_gating_silences_noise_floor(rng):
+    y = _song([0.5], [220.0], dur=1.5)
+    noise = (rng.normal(size=len(y)) * 1e-4).astype(np.float32)
+    noisy = y + noise
+    gated = np.asarray(gating.gate_waveform(jnp.asarray(noisy), -32.5))
+    # noise-only tail must be zeroed, note must survive
+    assert np.abs(gated[: int(0.3 * SR)]).max() == 0.0
+    assert np.abs(gated[int(0.5 * SR): int(0.9 * SR)]).max() > 0.01
+
+
+def test_audio_slicer_file_roundtrip(tmp_path):
+    y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
+    write_wav(tmp_path / "song.wav", y, SR)
+    slicer = AudioSlicer()
+    out = tmp_path / "clips"
+    onsets = slicer.slice_and_save(tmp_path / "song.wav", out, verbose=False)
+    assert len(onsets) == 3
+    wavs = sorted(out.glob("*.wav"))
+    assert len(wavs) == 2  # last onset dropped (reference behavior)
+    # filename pattern: 0000_clip__0.xxxs.wav
+    assert wavs[0].name.startswith("0000_clip__")
