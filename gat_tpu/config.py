@@ -66,7 +66,7 @@ class MelSpecConfig:
 class MLPConfig:
     """MLP model + training hyperparameters (ref: config.py:57-73)."""
     CHECKPOINTS_DIR: Path = CHECKPOINTS_ROOT / "mlp"
-    DEFAULT_CKPT_NAME: str = f"mlp_v{CONFIG_VERSION}.gtckpt"
+    DEFAULT_CKPT_NAME: str = f"mlp_v{CONFIG_VERSION}.gtckpt.npz"
 
     SAVE_CHECKPOINT: bool = True
 
@@ -87,7 +87,7 @@ class MLPConfig:
 class CNNConfig:
     """CNN model + training hyperparameters (ref: config.py:77-96)."""
     CHECKPOINTS_DIR: Path = CHECKPOINTS_ROOT / "cnn"
-    DEFAULT_CKPT_NAME: str = f"cnn_v{CONFIG_VERSION}.gtckpt"
+    DEFAULT_CKPT_NAME: str = f"cnn_v{CONFIG_VERSION}.gtckpt.npz"
 
     SAVE_CHECKPOINT: bool = True
 

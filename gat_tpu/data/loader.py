@@ -1,0 +1,99 @@
+"""Dataset discovery and batched audio loading.
+
+Behavioral spec: version_1/source/audio/loading.py. Labels come from
+folder names (`<dataset>/<label>/*.wav`); audio is decoded with the
+first-party WAV reader, resampled to `target_sr` on device (batched by
+source rate so each distinct ratio is one traced program), and
+pad/trimmed to a fixed length. Unlike the reference's per-file librosa
+loop, decoding is the only host work — resampling and length-fixing run
+as device batches.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+
+from ..ops.resample import resample, fix_length
+from ..utils.wavio import read_wav
+
+__all__ = ["get_available_datasets", "AudioDatasetLoader"]
+
+
+def get_available_datasets(datasets_root):
+    """Two-level walk: datasets_root/<subroot>/<dataset> → names, paths
+    (ref loading.py:9-33)."""
+    datasets_root = Path(datasets_root)
+    if not datasets_root.exists():
+        print(f"[get_available_datasets] Dataset directory not found: "
+              f"{datasets_root}")
+        return [], []
+    names, paths = [], []
+    for subroot in sorted(datasets_root.iterdir()):
+        if not subroot.is_dir() or subroot.name.startswith("."):
+            continue
+        for ds in sorted(subroot.iterdir()):
+            if ds.is_dir() and not ds.name.startswith("."):
+                names.append(f"{subroot.name}/{ds.name}")
+                paths.append(ds)
+    if not names:
+        print(f"[get_available_datasets] No datasets found under "
+              f"{datasets_root}")
+    return names, paths
+
+
+class AudioDatasetLoader:
+    """Loads `<root>/<label-folder>/*.wav` with label = folder name
+    (ref loading.py:36-105). Returns float32 arrays at `target_sr`."""
+
+    def __init__(self, dataset_roots, target_sr: int = 11025,
+                 mono: bool = True, duration: float | None = None):
+        self.dataset_roots = [Path(r) for r in dataset_roots]
+        self.target_sr = int(target_sr)
+        self.mono = mono
+        self.fixed_len = (int(self.target_sr * duration)
+                          if duration is not None else None)
+
+    def iter_paths(self):
+        for root in self.dataset_roots:
+            for folder in sorted(os.listdir(root)):
+                folder_path = root / folder
+                if not folder_path.is_dir():
+                    continue
+                for fname in sorted(os.listdir(folder_path)):
+                    if fname.endswith(".wav"):
+                        yield folder_path / fname, folder
+
+    def load_audio_dataset(self, pad_to_max: bool = True):
+        """Returns (wavs, srs, labels, paths): wavs is a list of float32
+        arrays (all target_sr); pad_to_max zero-pads to the longest."""
+        raw, srs_in, labels, paths = [], [], [], []
+        for path, label in self.iter_paths():
+            x, sr = read_wav(path, mono=self.mono)
+            raw.append(x)
+            srs_in.append(sr)
+            labels.append(label)
+            paths.append(str(path))
+        if not raw:
+            raise FileNotFoundError(
+                "load_audio_dataset: No audio files found.")
+
+        # group by (source_sr, length) so each resample is one traced batch
+        wavs: list[np.ndarray | None] = [None] * len(raw)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (x, sr) in enumerate(zip(raw, srs_in)):
+            groups.setdefault((sr, len(x)), []).append(i)
+        for (sr, _n), idxs in groups.items():
+            batch = np.stack([raw[i] for i in idxs])
+            out = np.asarray(resample(batch, sr, self.target_sr))
+            if self.fixed_len is not None:
+                out = np.asarray(fix_length(out, self.fixed_len))
+            for j, i in enumerate(idxs):
+                wavs[i] = out[j].astype(np.float32)
+
+        if pad_to_max:
+            max_len = max(len(w) for w in wavs)
+            wavs = [np.pad(w, (0, max_len - len(w))) for w in wavs]
+        srs = [self.target_sr] * len(wavs)
+        return wavs, srs, labels, paths

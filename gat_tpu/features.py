@@ -1,0 +1,192 @@
+"""Feature builder: batched MFCC-vector and mel-spectrogram front-ends.
+
+Behavioral spec: version_1/source/audio/features.py (MelFeatureBuilder).
+The reference extracts features clip-by-clip in Python loops with a YIN
+call per clip (SURVEY §3.1 hot loops); here each front-end is ONE jit
+graph over the whole clip batch:
+
+  * MFCC path (MLP input): per-clip RMS volume normalization →
+    librosa-semantics MFCC (64) → mean-pool over frames → append
+    log10(YIN pitch Hz) → optional standard scaling
+    (ref features.py:162-218).
+  * mel-spec path (CNN input): torchaudio-semantics MelSpectrogram +
+    AmplitudeToDB (ref features.py:275-339). Output is NHWC
+    (N, n_mels, T, 1) — the TPU-native layout; use `to_reference_layout`
+    for the reference's (N, 1, n_mels, T).
+
+Quirk preserved: on the dataset/file path the YIN pitch feature is
+computed on the *raw* clip (ref features.py:201), on the single-array
+path on the *normalized* clip (ref features.py:473) — YIN's CMND is
+amplitude-invariant so both agree, but the flag exists for fidelity.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MFCC_CONFIG, MELSPEC_CONFIG
+from .ops import spectral
+from .ops.yin import yin_pitch
+from .utils.scaler import FeatureScaler
+
+__all__ = ["encode_labels", "normalize_volume", "mfcc_feature_vectors",
+           "melspec_features", "to_reference_layout", "FeatureBuilder"]
+
+
+def encode_labels(labels):
+    """Sorted-unique string labels → int codes
+    (ref features.py:107-112). Returns (encoded, num_classes,
+    reverse_map)."""
+    classes = sorted(set(labels))
+    label_to_idx = {c: i for i, c in enumerate(classes)}
+    encoded = np.array([label_to_idx[l] for l in labels], dtype=np.int32)
+    reverse_map = {i: c for i, c in enumerate(classes)}
+    return encoded, len(classes), reverse_map
+
+
+def normalize_volume(y: jax.Array, eps: float = 1e-9) -> jax.Array:
+    """Per-clip RMS volume normalization (ref features.py:124-126)."""
+    rms = jnp.sqrt(jnp.mean(y * y, axis=-1, keepdims=True))
+    return y / (rms + eps)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "n_mfcc", "normalize_audio_volume", "add_pitch_features",
+    "pitch_on_normalized"))
+def mfcc_feature_vectors(clips: jax.Array, sr: int, n_mfcc: int = 64,
+                         normalize_audio_volume: bool = True,
+                         add_pitch_features: bool = True,
+                         pitch_on_normalized: bool = False) -> jax.Array:
+    """(N, L) → (N, n_mfcc [+1]): time-pooled MFCC vector with optional
+    appended log10-pitch feature. One traced graph for the whole batch."""
+    y = normalize_volume(clips) if normalize_audio_volume else clips
+    m = spectral.mfcc(y, sr, n_mfcc=n_mfcc)        # (N, T, n_mfcc)
+    vec = jnp.mean(m, axis=-2)                     # (N, n_mfcc)
+    if add_pitch_features:
+        pitch_src = y if pitch_on_normalized else clips
+        hz = yin_pitch(pitch_src, sr)              # (N,)
+        vec = jnp.concatenate([vec, jnp.log10(hz)[..., None]], axis=-1)
+    return vec
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sr", "n_mels", "n_fft", "hop_length", "normalize_audio_volume",
+    "to_db"))
+def melspec_features(clips: jax.Array, sr: int, n_mels: int = 64,
+                     n_fft: int = 2048, hop_length: int = 256,
+                     normalize_audio_volume: bool = True,
+                     to_db: bool = True) -> jax.Array:
+    """(N, L) → (N, n_mels, T, 1) NHWC mel-spectrogram 'images'."""
+    y = normalize_volume(clips) if normalize_audio_volume else clips
+    S = spectral.melspectrogram_torchaudio(y, sr, n_fft=n_fft,
+                                           hop_length=hop_length,
+                                           n_mels=n_mels, to_db=to_db)
+    # (N, T, M) → (N, M, T, 1)
+    return jnp.transpose(S, (0, 2, 1))[..., None]
+
+
+def to_reference_layout(x):
+    """NHWC (N, M, T, 1) → the reference's NCHW (N, 1, M, T)
+    (ref features.py:331,505)."""
+    return jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+
+
+class FeatureBuilder:
+    """Dataset- and single-clip-level feature extraction with the
+    reference MelFeatureBuilder's surface (ref features.py:17-508)."""
+
+    def __init__(self):
+        self.scaler: FeatureScaler | None = None
+
+    # ----- dataset paths -------------------------------------------------
+    def extract_mfcc_features(self, audio_loader, n_mfcc: int = 64,
+                              normalize_audio_volume: bool = False,
+                              add_pitch_features: bool = True):
+        """Returns (X (N, D) np, y_encoded, num_classes, reverse_map)."""
+        wavs, _, labels, _ = audio_loader.load_audio_dataset(pad_to_max=True)
+        clips = jnp.asarray(np.stack(wavs))
+        X = np.asarray(mfcc_feature_vectors(
+            clips, audio_loader.target_sr, n_mfcc=n_mfcc,
+            normalize_audio_volume=normalize_audio_volume,
+            add_pitch_features=add_pitch_features))
+        y_encoded, num_classes, reverse_map = encode_labels(labels)
+        print(f"Extracted MFCC features for {len(X)} samples.")
+        return X, y_encoded, num_classes, reverse_map
+
+    def extract_melspec_features(self, audio_loader, n_mels: int = 64,
+                                 n_fft: int = 2048, hop_length: int = 256,
+                                 normalize_audio_volume: bool = False,
+                                 to_db: bool = True):
+        """Returns (X (N, M, T, 1) np NHWC, y_encoded, num_classes,
+        reverse_map)."""
+        wavs, _, labels, _ = audio_loader.load_audio_dataset(pad_to_max=True)
+        clips = jnp.asarray(np.stack(wavs))
+        X = np.asarray(melspec_features(
+            clips, audio_loader.target_sr, n_mels=n_mels, n_fft=n_fft,
+            hop_length=hop_length,
+            normalize_audio_volume=normalize_audio_volume, to_db=to_db))
+        y_encoded, num_classes, reverse_map = encode_labels(labels)
+        print(f"Extracted Mel-spectrogram features for {X.shape[0]} "
+              f"samples. X shape: {tuple(X.shape)}")
+        return X, y_encoded, num_classes, reverse_map
+
+    # ----- inference paths ----------------------------------------------
+    def extract_inference_features(self, audio_loader, mfcc_params=None,
+                                   melspec_params=None, scaler=None):
+        """Checkpoint-param-driven extraction for a directory of clips
+        (ref features.py:130-158). Returns (mfcc (N, D), melspec NHWC)."""
+        mfcc_params = mfcc_params or dict(MFCC_CONFIG.__dict__)
+        melspec_params = melspec_params or dict(MELSPEC_CONFIG.__dict__)
+        wavs, _, _, _ = audio_loader.load_audio_dataset(pad_to_max=True)
+        clips = jnp.asarray(np.stack(wavs))
+        return self.extract_inference_features_from_clips(
+            clips, audio_loader.target_sr, mfcc_params, melspec_params,
+            scaler)
+
+    def extract_inference_features_from_clips(self, clips, sr,
+                                              mfcc_params, melspec_params,
+                                              scaler=None,
+                                              pitch_on_normalized=False):
+        """Batched in-memory path — the whole front-end on device."""
+        mf = mfcc_feature_vectors(
+            clips, sr, n_mfcc=mfcc_params["N_MFCC"],
+            normalize_audio_volume=mfcc_params["NORMALIZE_AUDIO_VOLUME"],
+            add_pitch_features=mfcc_params["ADD_PITCH_FEATURES"],
+            pitch_on_normalized=pitch_on_normalized)
+        if scaler is not None:
+            mf = scaler.transform(mf)
+        ms = melspec_features(
+            clips, sr, n_mels=melspec_params["N_MELS"],
+            n_fft=melspec_params["N_FFT"],
+            hop_length=melspec_params["HOP_LENGTH"],
+            normalize_audio_volume=melspec_params["NORMALIZE_AUDIO_VOLUME"])
+        return mf, ms
+
+    def extract_inference_features_from_audio(self, audio, target_sr,
+                                              mfcc_params=None,
+                                              melspec_params=None,
+                                              scaler=None,
+                                              melspec_to_db: bool = True):
+        """Single clip (L,) → batch-of-1 features (ref
+        features.py:441-508; pitch feature computed on the normalized
+        signal on this path)."""
+        mfcc_params = mfcc_params or dict(MFCC_CONFIG.__dict__)
+        melspec_params = melspec_params or dict(MELSPEC_CONFIG.__dict__)
+        clips = jnp.asarray(audio, jnp.float32)[None, :]
+        mf = mfcc_feature_vectors(
+            clips, target_sr, n_mfcc=mfcc_params["N_MFCC"],
+            normalize_audio_volume=mfcc_params["NORMALIZE_AUDIO_VOLUME"],
+            add_pitch_features=mfcc_params["ADD_PITCH_FEATURES"],
+            pitch_on_normalized=True)
+        if scaler is not None:
+            mf = scaler.transform(mf)
+        ms = melspec_features(
+            clips, target_sr, n_mels=melspec_params["N_MELS"],
+            n_fft=melspec_params["N_FFT"],
+            hop_length=melspec_params["HOP_LENGTH"],
+            normalize_audio_volume=melspec_params["NORMALIZE_AUDIO_VOLUME"],
+            to_db=melspec_to_db)
+        return mf, ms

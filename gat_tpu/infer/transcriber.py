@@ -1,0 +1,171 @@
+"""Transcriber: the file-level and array-level inference APIs.
+
+Behavioral spec: version_1/source/transcribe.py (C17/C18). Checkpoints
+are the source of truth — feature params, scaler, and target_sr all come
+from the embedded checkpoint config, never the live config
+(ref transcribe.py:113-129). Differences by design (TPU-first):
+
+  * No disk round-trip: the reference writes sliced clips as .wav and
+    re-reads them (ref transcribe.py:100-121, SURVEY §3.1); here slicing,
+    clip resampling, feature extraction, both model forwards, the
+    ensemble, and the YIN baseline are device ops over one in-memory
+    batch. `save_clips=True` restores the reference's side effect.
+  * One YIN pass: the reference runs YIN per clip twice (pitch feature +
+    dsp_info baseline, SURVEY §3.1); the baseline pass here is one
+    batched kernel (and the pitch-feature pass lives inside the feature
+    graph).
+"""
+from __future__ import annotations
+
+from datetime import datetime
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (TARGET_SR, CLIP_DURATION, MLP_CONFIG, CNN_CONFIG,
+                      INFERENCE_OUTPUT_ROOT)
+from ..features import FeatureBuilder
+from ..ops.resample import resample, fix_length
+from ..ops.yin import yin_pitch, estimate_note
+from ..segment.slicing import segment_waveform, AudioSlicer
+from ..train.checkpoint import load_checkpoint
+from ..utils.scaler import FeatureScaler
+from ..utils.wavio import read_wav
+from .predictor import NotePredictor
+
+__all__ = ["Transcriber"]
+
+
+class Transcriber:
+    def __init__(self, mlp_ckpt=None, cnn_ckpt=None, mlp_root=None,
+                 cnn_root=None, cnn_weight: float = 0.80,
+                 require_cnn: bool = True):
+        """Resolve + load both checkpoints, validate their embedded
+        configs, and initialize the ensemble (ref transcribe.py:26-75).
+        `require_cnn=False` permits MLP-only operation (the reference
+        repo itself ships without the CNN blob)."""
+        self.feature_builder = FeatureBuilder()
+        self.predictor = NotePredictor(cnn_weight=cnn_weight)
+
+        mlp_root = Path(mlp_root) if mlp_root else MLP_CONFIG.CHECKPOINTS_DIR
+        cnn_root = Path(cnn_root) if cnn_root else CNN_CONFIG.CHECKPOINTS_DIR
+        mlp_path = (Path(mlp_ckpt) if mlp_ckpt and Path(mlp_ckpt).is_file()
+                    else mlp_root / (mlp_ckpt or MLP_CONFIG.DEFAULT_CKPT_NAME))
+        cnn_path = (Path(cnn_ckpt) if cnn_ckpt and Path(cnn_ckpt).is_file()
+                    else cnn_root / (cnn_ckpt or CNN_CONFIG.DEFAULT_CKPT_NAME))
+
+        if not mlp_path.is_file():
+            raise FileNotFoundError(
+                f"[Transcriber] Missing MLP checkpoint: {mlp_path}")
+        if require_cnn and not cnn_path.is_file():
+            raise FileNotFoundError(
+                f"[Transcriber] Missing CNN checkpoint: {cnn_path}")
+
+        self.model_ckpts = {"mlp": load_checkpoint(mlp_path)}
+        if cnn_path.is_file():
+            self.model_ckpts["cnn"] = load_checkpoint(cnn_path)
+
+        self.model_configs = {k: v.get("config")
+                              for k, v in self.model_ckpts.items()}
+        if any(not c for c in self.model_configs.values()):
+            raise ValueError("[Transcriber] Checkpoints missing 'config' "
+                             "field.")
+
+        srs = {c["target_sr"] for c in self.model_configs.values()}
+        if len(srs) > 1:
+            raise ValueError("[Transcriber] Target SR mismatch.")
+        self.ckpt_sr = int(srs.pop())
+        self.clip_length = float(
+            self.model_configs["mlp"].get("clip_length", CLIP_DURATION))
+
+        sc = self.model_ckpts["mlp"].get("scaler")
+        self.scaler = FeatureScaler.from_dict(sc) if sc is not None else None
+
+        self.predictor.load_models(self.model_ckpts.get("mlp"),
+                                   self.model_ckpts.get("cnn"))
+
+    # ------------------------------------------------------------------
+    def _feature_params(self):
+        mfcc_params = self.model_configs["mlp"]["features"]["params"]
+        cnn_cfg = self.model_configs.get("cnn")
+        melspec_params = (cnn_cfg["features"]["params"] if cnn_cfg
+                          else None)
+        return mfcc_params, melspec_params
+
+    def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
+        """Batched core: clips already at checkpoint SR, (N, L) →
+        prediction dict + batched YIN baseline. All device compute."""
+        mfcc_params, melspec_params = self._feature_params()
+        mf, ms = self.feature_builder.extract_inference_features_from_clips(
+            clips_ckpt_sr, self.ckpt_sr, mfcc_params,
+            melspec_params or {"N_MELS": 64, "N_FFT": 2048,
+                               "HOP_LENGTH": 256,
+                               "NORMALIZE_AUDIO_VOLUME": True},
+            self.scaler)
+        result = self.predictor.predict(
+            mf, ms if "cnn" in self.model_ckpts else None)
+
+        pitches = np.asarray(yin_pitch(clips_ckpt_sr, self.ckpt_sr))
+        result["dsp_info"] = []
+        for hz in pitches:
+            midi, name, midi_f = estimate_note(float(hz))
+            result["dsp_info"].append((float(hz), {
+                "midi": midi, "note_name": name, "midi_float": midi_f}))
+        return result
+
+    def transcribe(self, audio_path, out_root=INFERENCE_OUTPUT_ROOT,
+                   audio_name: str = "transcribe_audio",
+                   target_sr: int = TARGET_SR,
+                   clip_duration: float = CLIP_DURATION,
+                   save_clips: bool = False, max_onsets: int = 64) -> dict:
+        """Full transcription of one audio file (ref transcribe.py:77-144):
+        slice at `target_sr`, re-rate clips to the checkpoint SR, extract
+        features with checkpoint params, ensemble-predict, YIN baseline."""
+        y, sr_in = read_wav(audio_path)
+        y22 = jnp.asarray(np.asarray(resample(y, sr_in, target_sr)))
+
+        clips, kept, onsets, ovalid, times = segment_waveform(
+            y22, sr=target_sr, length_sec=clip_duration,
+            max_onsets=max_onsets)
+        kept_np = np.asarray(kept)
+        clips_np = np.asarray(clips)[kept_np]
+        if clips_np.shape[0] == 0:
+            raise ValueError("[transcribe] No clips survived slicing.")
+
+        if save_clips:
+            out_root = Path(out_root)
+            stamp = datetime.now().strftime("%m-%d_%H-%M-%S")
+            out_dir = out_root / f"{audio_name}_{stamp}" / audio_name
+            onsets_np = np.asarray(onsets)
+            idx_kept = np.flatnonzero(kept_np)
+            for i in idx_kept:
+                AudioSlicer.save_clip(np.asarray(clips)[i], target_sr,
+                                      out_dir, int(i),
+                                      onsets_np[i] / target_sr)
+
+        # adopt the checkpoint's sample rate (ref transcribe.py:113-121)
+        clips_ckpt = resample(jnp.asarray(clips_np), target_sr, self.ckpt_sr)
+        clips_ckpt = fix_length(clips_ckpt,
+                                int(self.ckpt_sr * clip_duration))
+        result = self.transcribe_clips(clips_ckpt)
+        result["onsets_s"] = (np.asarray(onsets)[kept_np]
+                              / float(target_sr)).tolist()
+        result["times"] = np.asarray(times)[kept_np].tolist()
+        return result
+
+    def transcribe_note(self, audio, clip_duration: float = CLIP_DURATION,
+                        sr_in: int = TARGET_SR) -> dict:
+        """Single in-memory note (ref transcribe.py:147-199): resample to
+        the checkpoint SR, zero-pad/trim to clip_duration, batch-of-1
+        features, predict."""
+        audio = jnp.asarray(audio, jnp.float32)
+        if sr_in != self.ckpt_sr:
+            audio = resample(audio, sr_in, self.ckpt_sr)
+        audio = fix_length(audio, int(clip_duration * self.ckpt_sr))
+
+        mfcc_params, melspec_params = self._feature_params()
+        mf, ms = self.feature_builder.extract_inference_features_from_audio(
+            audio, self.ckpt_sr, mfcc_params, melspec_params, self.scaler)
+        return self.predictor.predict(
+            mf, ms if "cnn" in self.model_ckpts else None)

@@ -1,0 +1,107 @@
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gat_tpu.infer import Transcriber, NotePredictor
+from gat_tpu.train.checkpoint import load_checkpoint
+from gat_tpu.utils.wavio import write_wav
+from tests.conftest import make_pluck
+
+NATIVE_MLP = Path(__file__).resolve().parent.parent / \
+    "data/checkpoints/mlp/mlp_v1.0.0.gtckpt.npz"
+
+SR = 22050
+# notes the reference MLP classifies confidently from synthetic plucks;
+# the final note only feeds the last-onset quirk (it is always dropped)
+NOTES = [(0.4, 110.0, "A2"), (1.1, 146.83, "D3"), (1.8, 196.0, "G3"),
+         (2.5, 246.94, "B3"), (3.2, 329.63, "E4")]
+
+
+def _riff(notes=NOTES, dur=None):
+    dur = dur or (notes[-1][0] + 0.8)
+    y = np.zeros(int(dur * SR), np.float32)
+    for t0, f, _ in notes:
+        n = make_pluck(f, SR, 0.45, seed=int(f))
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * SR)
+        y[s:s + len(n)] += n
+    return y
+
+
+@pytest.fixture(scope="module")
+def transcriber():
+    return Transcriber(mlp_ckpt=str(NATIVE_MLP), require_cnn=False)
+
+
+def test_ctor_validates_missing_ckpt():
+    with pytest.raises(FileNotFoundError):
+        Transcriber(mlp_ckpt="/nonexistent/m.npz", require_cnn=False)
+
+
+def test_transcriber_adopts_ckpt_sr(transcriber):
+    # shipped checkpoint was trained at 11025 while live config says 22050;
+    # checkpoint wins (ref transcribe.py:113-116)
+    assert transcriber.ckpt_sr == 11025
+    assert transcriber.scaler is not None
+
+
+def test_transcribe_file_end_to_end(tmp_path, transcriber):
+    """Synthetic riff → slicing → features → imported reference MLP →
+    SPN labels. The last note is sacrificed to the reference's
+    final-onset quirk; every other note must label correctly and agree
+    with the YIN baseline."""
+    y = _riff()
+    p = tmp_path / "riff.wav"
+    write_wav(p, y, SR)
+    result = transcriber.transcribe(p)
+    labels = result["labels"]
+    expected = [n for _, _, n in NOTES[:-1]]
+    assert labels == expected, f"{labels} != {expected}"
+    # YIN baseline agrees (ASCII vs unicode naming differ only on sharps)
+    yin_names = [info["note_name"] for _, info in result["dsp_info"]]
+    assert yin_names == expected
+    assert all(c > 0.2 for c in result["confidences"])
+    assert result["probs"].shape == (4, 47)
+
+
+def test_transcribe_saves_clips(tmp_path, transcriber):
+    y = _riff(NOTES[:3])
+    p = tmp_path / "r.wav"
+    write_wav(p, y, SR)
+    out = tmp_path / "out"
+    transcriber.transcribe(p, out_root=out, save_clips=True,
+                           audio_name="r")
+    clips = list(out.glob("r_*/r/*.wav"))
+    assert len(clips) == 2  # 3 onsets − final-onset quirk
+
+
+def test_transcribe_note_array(transcriber):
+    note = make_pluck(110.0, SR, 0.5, seed=7)
+    result = transcriber.transcribe_note(note, sr_in=SR)
+    assert result["labels"] == ["A2"]
+    # already at ckpt SR → no resample branch
+    note11 = make_pluck(110.0, 11025, 0.5, seed=7)
+    r2 = transcriber.transcribe_note(note11, sr_in=11025)
+    assert r2["labels"] == ["A2"]
+
+
+def test_predictor_requires_some_features():
+    p = NotePredictor()
+    p.load_models(load_checkpoint(NATIVE_MLP), None)
+    with pytest.raises(ValueError):
+        p.predict(None, None)
+
+
+def test_predict_debug_weight_sweep(transcriber):
+    note = make_pluck(146.83, SR, 0.5, seed=3)
+    from gat_tpu.ops.resample import resample
+    from gat_tpu.features import mfcc_feature_vectors
+    import jax.numpy as jnp
+    c = np.asarray(resample(note, SR, 11025))[:5512]
+    mf = transcriber.scaler.transform(
+        mfcc_feature_vectors(jnp.asarray(c)[None], 11025))
+    preds = transcriber.predictor.predict_debug([0.0], np.asarray(mf))
+    # with cnn absent, weight 0.0 → pure MLP
+    assert preds[0][1]["labels"] == ["D3"]
