@@ -8,7 +8,6 @@ the Unicode sharp '♯' while the reference's dataset labels use ASCII '#'
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
@@ -28,12 +27,15 @@ STANDARD_TUNING_MIDI = {1: 64, 2: 59, 3: 55, 4: 50, 5: 45, 6: 40}
 
 
 def hz_to_midi(hz):
-    """12 * log2(hz/440) + 69; accepts scalars or arrays (jnp-traceable)."""
-    return 12.0 * (jnp.log2(jnp.asarray(hz)) - jnp.log2(440.0)) + 69.0
+    """12 * log2(hz/440) + 69. Host-side numpy — tiny scalar ops must not
+    dispatch to the device (on the tunneled TPU each costs a remote
+    compile). Traced code inlines the same formula with jnp."""
+    return 12.0 * (np.log2(np.asarray(hz)) - np.log2(440.0)) + 69.0
 
 
 def midi_to_hz(midi):
-    return 440.0 * 2.0 ** ((jnp.asarray(midi) - 69.0) / 12.0)
+    return 440.0 * 2.0 ** ((np.asarray(midi, dtype=np.float64) - 69.0)
+                           / 12.0)
 
 
 def midi_to_note(midi: int, unicode: bool = True) -> str:

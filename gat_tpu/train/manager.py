@@ -1,0 +1,176 @@
+"""TrainingManager: orchestrates dataset → features → model → trainer →
+checkpoint for each model family.
+
+Behavioral spec: prototyping/source/training_manager.py (C14). The
+reference blocks on interactive `input()` for dataset choice
+(ref training_manager.py:38-46); here the choice can also be passed
+programmatically (`dataset` by name/index/path) so training is scriptable
+— the interactive path remains available.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import asdict
+from pathlib import Path
+
+from ..config import (DATASETS_ROOT, TARGET_SR, CLIP_DURATION,
+                      MFCC_CONFIG, MELSPEC_CONFIG, MLP_CONFIG, CNN_CONFIG)
+from ..data.loader import AudioDatasetLoader, get_available_datasets
+from ..features import FeatureBuilder
+from ..models import MLP, CNN
+from .data import build_mfcc_train_val, build_melspec_train_val
+from .trainer import Trainer
+
+__all__ = ["TrainingManager"]
+
+
+class TrainingManager:
+    """Models must be trained on the SAME dataset (reference rule)."""
+
+    def __init__(self, mlp_cfg=None, cnn_cfg=None,
+                 datasets_root=DATASETS_ROOT, target_sr: int = TARGET_SR,
+                 clip_duration: float = CLIP_DURATION,
+                 use_bf16_cnn: bool | None = None):
+        self.mlp_cfg = mlp_cfg or MLP_CONFIG
+        self.cnn_cfg = cnn_cfg or CNN_CONFIG
+        self.datasets_root = Path(datasets_root)
+        self.target_sr = target_sr
+        self.clip_duration = clip_duration
+        # AMP analog: bf16 CNN compute (ref cnn config USE_AMP)
+        self.use_bf16_cnn = (self.cnn_cfg.USE_AMP if use_bf16_cnn is None
+                             else use_bf16_cnn)
+
+    @staticmethod
+    def _print_config(cfg):
+        print("\nConfiguration Values: ")
+        for k, v in asdict(cfg).items():
+            print(f" -\t{k}: {v}")
+        print()
+
+    def _choose_dataset(self, dataset=None) -> Path:
+        """Programmatic or interactive dataset selection
+        (ref training_manager.py:38-46)."""
+        if dataset is not None:
+            p = Path(dataset)
+            if p.is_dir():
+                return p
+            names, paths = get_available_datasets(self.datasets_root)
+            if isinstance(dataset, int) or str(dataset).isdigit():
+                return paths[int(dataset)]
+            for n, pp in zip(names, paths):
+                if n == dataset or n.endswith(f"/{dataset}"):
+                    return pp
+            raise FileNotFoundError(
+                f"[_choose_dataset] Unknown dataset: {dataset}")
+        names, paths = get_available_datasets(self.datasets_root)
+        print("Available datasets:", *names, sep="\n", end="\n\n")
+        idx = int(input(f"Enter dataset index (0 to {len(names) - 1}): "))
+        print(f"Selected dataset: {paths[idx]}\n")
+        return paths[idx]
+
+    # ------------------------------------------------------------------
+    def train_mlp(self, dataset=None, epochs: int | None = None,
+                  save: bool | None = None, seed: int = 42,
+                  verbose: bool = True, ckpt_root=None):
+        """MFCC → MLP pipeline (ref training_manager.py:56-148)."""
+        t0 = time.time()
+        if verbose:
+            self._print_config(MFCC_CONFIG)
+            self._print_config(self.mlp_cfg)
+        ds_path = self._choose_dataset(dataset)
+        t_feat = time.time()
+
+        loader = AudioDatasetLoader([ds_path], target_sr=self.target_sr,
+                                    duration=self.clip_duration)
+        builder = FeatureBuilder()
+        (dl_tr, dl_val, X, y, num_classes, reverse_map,
+         scaler) = build_mfcc_train_val(
+            builder, loader, n_mfcc=MFCC_CONFIG.N_MFCC,
+            batch_size=MFCC_CONFIG.BATCH_SIZE,
+            normalize_audio_volume=MFCC_CONFIG.NORMALIZE_AUDIO_VOLUME,
+            standard_scaler=MFCC_CONFIG.STANDARD_SCALER, seed=seed)
+        if verbose:
+            print(f"audio loading & feature extraction time: "
+                  f"{time.time() - t_feat:.2f}s\n")
+            print("num_features:", X.shape[1])
+            print("num_classes:", num_classes)
+
+        model = MLP(num_features=X.shape[1],
+                    hidden_dim=self.mlp_cfg.HIDDEN_DIM,
+                    num_hidden_layers=self.mlp_cfg.NUM_HIDDEN_LAYERS,
+                    num_classes=num_classes,
+                    dropout=self.mlp_cfg.DROPOUT)
+        trainer = Trainer(model, dl_tr, dl_val, reverse_map=reverse_map,
+                          lr=self.mlp_cfg.LR,
+                          weight_decay=self.mlp_cfg.DECAY, scaler=scaler,
+                          seed=seed, max_clip_norm=self.mlp_cfg.MAX_CLIP_NORM,
+                          model_type="mlp")
+        trainer.train(epochs=epochs or self.mlp_cfg.EPOCHS,
+                      es_window_len=self.mlp_cfg.ES_WINDOW_LEN,
+                      es_slope_limit=self.mlp_cfg.ES_SLOPE_LIMIT,
+                      verbose=verbose)
+        if save if save is not None else self.mlp_cfg.SAVE_CHECKPOINT:
+            trainer.save(root=ckpt_root, target_sr=self.target_sr,
+                         clip_length=self.clip_duration)
+        if verbose:
+            print(f"[train_mlp] total time: {time.time() - t0:.1f}s")
+        return trainer
+
+    def train_cnn(self, dataset=None, epochs: int | None = None,
+                  save: bool | None = None, seed: int = 42,
+                  verbose: bool = True, ckpt_root=None):
+        """mel-spec → CNN pipeline (ref training_manager.py:152-243)."""
+        t0 = time.time()
+        if verbose:
+            self._print_config(MELSPEC_CONFIG)
+            self._print_config(self.cnn_cfg)
+        ds_path = self._choose_dataset(dataset)
+        t_feat = time.time()
+
+        loader = AudioDatasetLoader([ds_path], target_sr=self.target_sr,
+                                    duration=self.clip_duration)
+        builder = FeatureBuilder()
+        (dl_tr, dl_val, X, y, num_classes,
+         reverse_map) = build_melspec_train_val(
+            builder, loader, n_mels=MELSPEC_CONFIG.N_MELS,
+            n_fft=MELSPEC_CONFIG.N_FFT,
+            hop_length=MELSPEC_CONFIG.HOP_LENGTH,
+            batch_size=MELSPEC_CONFIG.BATCH_SIZE,
+            normalize_audio_volume=MELSPEC_CONFIG.NORMALIZE_AUDIO_VOLUME,
+            seed=seed)
+        if verbose:
+            print(f"audio loading & feature extraction time: "
+                  f"{time.time() - t_feat:.2f}s\n")
+            print("X shape:", X.shape, "num_classes:", num_classes)
+
+        import jax.numpy as jnp
+        model = CNN(num_classes=num_classes,
+                    base_channels=self.cnn_cfg.BASE_CHANNELS,
+                    num_blocks=self.cnn_cfg.NUM_BLOCKS,
+                    hidden_dim=self.cnn_cfg.HIDDEN_DIM,
+                    dropout=self.cnn_cfg.DROPOUT,
+                    kernel_size=self.cnn_cfg.KERNEL_SIZE,
+                    dtype=jnp.bfloat16 if self.use_bf16_cnn
+                    else jnp.float32)
+        trainer = Trainer(model, dl_tr, dl_val, reverse_map=reverse_map,
+                          lr=self.cnn_cfg.LR,
+                          weight_decay=self.cnn_cfg.DECAY, seed=seed,
+                          max_clip_norm=self.cnn_cfg.MAX_CLIP_NORM,
+                          model_type="cnn")
+        trainer.train(epochs=epochs or self.cnn_cfg.EPOCHS,
+                      es_window_len=self.cnn_cfg.ES_WINDOW_LEN,
+                      es_slope_limit=self.cnn_cfg.ES_SLOPE_LIMIT,
+                      verbose=verbose)
+        if save if save is not None else self.cnn_cfg.SAVE_CHECKPOINT:
+            trainer.save(root=ckpt_root, target_sr=self.target_sr,
+                         clip_length=self.clip_duration)
+        if verbose:
+            print(f"[train_cnn] total time: {time.time() - t0:.1f}s")
+        return trainer
+
+    def train_all(self, dataset=None, **kw):
+        """MLP then CNN on the same dataset
+        (ref training_manager.py:248-256)."""
+        mlp_trainer = self.train_mlp(dataset=dataset, **kw)
+        cnn_trainer = self.train_cnn(dataset=dataset, **kw)
+        return mlp_trainer, cnn_trainer

@@ -1,0 +1,421 @@
+"""Trainer: jit-compiled training for the MLP and CNN classifiers.
+
+Behavioral spec: prototyping/source/training/mlp_trainer.py:110-514 and
+cnn_trainer.py:142-563 (C12/C13). Same recipe, TPU-native execution:
+
+  * one jit `train_step` per batch shape: forward + CE(label smoothing
+    0.05) + backward + global-norm clip(1.0) + AdamW(lr 1e-3, wd 1e-4),
+    with the gradient norm computed in-graph (the reference recomputes it
+    in a Python loop over parameters, ref mlp_trainer.py:327-333)
+  * ReduceLROnPlateau(factor .5, patience 3, rel threshold 1e-4) — the
+    learning rate is an injected hyperparameter, so LR drops don't
+    recompile
+  * slope-based early stopping: np.polyfit over the last `es_window_len`
+    val losses once past 1.5× the window, stop when slope ≥ limit
+    (ref mlp_trainer.py:350-363, including its check-before-append
+    ordering)
+  * Kaiming-normal(a=0.01) weight init, zero biases
+    (ref mlp_trainer.py:155-159)
+  * the CUDA-AMP path (ref cnn_trainer.py:321-358) maps to bfloat16
+    compute via the CNN's dtype — no GradScaler needed; TPU bf16 keeps
+    fp32 range
+
+Checkpoints carry the full C15 schema plus optimizer state for resume.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import (CONFIG_VERSION, TARGET_SR, CLIP_DURATION,
+                      MFCC_CONFIG, MELSPEC_CONFIG, MLP_CONFIG, CNN_CONFIG,
+                      config_dict)
+from .checkpoint import save_checkpoint, load_checkpoint
+from .metrics import confusion_matrix, classification_report, plot_curves
+
+__all__ = ["ReduceLROnPlateau", "Trainer", "kaiming_reinit"]
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (mode='min',
+    threshold_mode='rel') — ref mlp_trainer.py:129-134."""
+
+    def __init__(self, init_lr: float, factor: float = 0.5,
+                 patience: int = 3, threshold: float = 1e-4,
+                 min_lr: float = 0.0):
+        self.lr = float(init_lr)
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.lr = max(self.lr * self.factor, self.min_lr)
+            self.num_bad = 0
+        return self.lr
+
+
+def _kaiming_std(fan_in: int, a: float = 0.01) -> float:
+    return float(np.sqrt(2.0 / (1.0 + a * a)) / np.sqrt(fan_in))
+
+
+def kaiming_reinit(params, key) -> dict:
+    """Kaiming-normal(a=0.01, fan_in) on every kernel, zeros on biases
+    (ref mlp_trainer.py:155-159, cnn_trainer.py:194)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    keys = jax.random.split(key, len(flat))
+    new_leaves = []
+    for (path, leaf), k in zip(flat, keys):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "kernel" and leaf.ndim >= 2:
+            fan_in = int(np.prod(leaf.shape[:-1]))
+            new_leaves.append(
+                jax.random.normal(k, leaf.shape, leaf.dtype)
+                * _kaiming_std(fan_in))
+        elif name == "bias":
+            new_leaves.append(jnp.zeros_like(leaf))
+        else:
+            new_leaves.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+class Trainer:
+    """Unified MLP/CNN trainer (the reference keeps two near-identical
+    classes; the only structural difference — BatchNorm state and AMP —
+    is handled by the variables tree and the model dtype)."""
+
+    def __init__(self, model, train_dl, val_dl=None, reverse_map=None,
+                 lr: float = 1e-3, weight_decay: float = 1e-4,
+                 scaler=None, seed: int = 0, label_smoothing: float = 0.05,
+                 max_clip_norm: float = 1.0, model_type: str | None = None):
+        self.model = model
+        self.model_type = model_type or type(model).__name__.lower()
+        self.train_dl = train_dl
+        self.val_dl = val_dl
+        self.scaler = scaler
+        self.label_smoothing = label_smoothing
+
+        self.reverse_map = reverse_map
+        self.class_names = ([str(reverse_map[k])
+                             for k in sorted(reverse_map)]
+                            if reverse_map else [])
+        self.num_classes = len(self.class_names) or model.num_classes
+
+        self._check_dims(train_dl)
+        if val_dl is not None:
+            self._check_dims(val_dl)
+
+        xb, _ = next(iter(train_dl))
+        key = jax.random.PRNGKey(seed)
+        k_init, k_w, self._dropout_key = jax.random.split(key, 3)
+        variables = model.init(k_init, jnp.asarray(xb[:1], jnp.float32))
+        params = kaiming_reinit(variables["params"], k_w)
+        self.params = params
+        self.extra = {k: v for k, v in variables.items() if k != "params"}
+        self._has_bn = "batch_stats" in self.extra
+
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(max_clip_norm),
+            optax.inject_hyperparams(optax.adamw)(
+                learning_rate=lr, weight_decay=weight_decay))
+        self.opt_state = self.tx.init(self.params)
+        self.scheduler = ReduceLROnPlateau(lr)
+
+        self.train_loss_history: list[float] = []
+        self.train_accuracy_history: list[float] = []
+        self.val_loss_history: list[float] = []
+        self.val_accuracy_history: list[float] = []
+        self.epoch = 0
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _check_dims(self, dl):
+        """Input/feature-dim guards (ref mlp_trainer.py:161-171,
+        cnn_trainer.py:183-191)."""
+        if len(dl) == 0:
+            raise ValueError("[_check_dims] Provided DataLoader is empty.")
+        xb, _ = next(iter(dl))
+        if self.model_type == "mlp":
+            if xb.shape[1] != self.model.num_features:
+                raise ValueError(
+                    f"[_check_dims] Input feature dimension mismatch: "
+                    f"DataLoader provides {xb.shape[1]}, but model expects "
+                    f"{self.model.num_features}")
+        else:
+            if xb.ndim != 4:
+                raise ValueError(
+                    f"[_check_dims] CNN expects rank-4 input, got "
+                    f"{xb.ndim}-D")
+
+    def _apply_train(self, params, extra, xb, rng):
+        variables = {"params": params, **extra}
+        if self._has_bn:
+            logits, mut = self.model.apply(variables, xb, train=True,
+                                           rngs={"dropout": rng},
+                                           mutable=["batch_stats"])
+            return logits, mut
+        logits = self.model.apply(variables, xb, deterministic=False,
+                                  rngs={"dropout": rng})
+        return logits, extra
+
+    def _apply_eval(self, params, extra, xb):
+        variables = {"params": params, **extra}
+        if self._has_bn:
+            return self.model.apply(variables, xb, train=False)
+        return self.model.apply(variables, xb, deterministic=True)
+
+    def _loss(self, logits, yb):
+        one_hot = jax.nn.one_hot(yb, logits.shape[-1])
+        soft = optax.smooth_labels(one_hot, self.label_smoothing)
+        return optax.softmax_cross_entropy(logits, soft).mean()
+
+    def _build_train_step(self):
+        def step(params, extra, opt_state, xb, yb, rng):
+            def loss_fn(p):
+                logits, mut = self._apply_train(p, extra, xb, rng)
+                return self._loss(logits, yb), (logits, mut)
+            (loss, (logits, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            correct = jnp.sum(jnp.argmax(logits, axis=-1) == yb)
+            return params, mut, opt_state, loss, correct, gnorm
+        return jax.jit(step)
+
+    def _build_eval_step(self):
+        def step(params, extra, xb, yb):
+            logits = self._apply_eval(params, extra, xb)
+            loss = self._loss(logits, yb)
+            preds = jnp.argmax(logits, axis=-1)
+            return loss, jnp.sum(preds == yb), preds
+        return jax.jit(step)
+
+    def _set_lr(self, lr: float):
+        inner = self.opt_state[1]
+        hp = dict(inner.hyperparams)
+        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        self.opt_state = (self.opt_state[0], inner._replace(hyperparams=hp))
+
+    # ------------------------------------------------------------------
+    def train(self, epochs: int = 20, train_dl=None, es_window_len: int = 4,
+              es_slope_limit: float = 1e-5, plot_metrics: bool = False,
+              verbose: bool = True):
+        """Epoch loop with per-epoch validation, plateau LR, slope-based
+        early stop (ref mlp_trainer.py:287-383)."""
+        train_dl = train_dl or self.train_dl
+        if train_dl is None:
+            print("[train] No train dataloader provided. Exiting [train].")
+            return
+        self._check_dims(train_dl)
+        self.train_loss_history = []
+        self.train_accuracy_history = []
+        if verbose:
+            print("[train] Training start.")
+        t0 = time.time()
+        self.last_grad_norm = 0.0
+
+        for ep in range(1, epochs + 1):
+            if verbose:
+                print(f"[train] EPOCH {ep}/{epochs}")
+            loss_sum, correct, total = 0.0, 0, 0
+            for xb, yb in train_dl:
+                self._dropout_key, sub = jax.random.split(self._dropout_key)
+                (self.params, self.extra, self.opt_state, loss, corr,
+                 gnorm) = self._train_step(
+                    self.params, self.extra, self.opt_state,
+                    jnp.asarray(xb, jnp.float32), jnp.asarray(yb), sub)
+                bs = len(yb)
+                loss_sum += float(loss) * bs
+                correct += int(corr)
+                total += bs
+                self.last_grad_norm = float(gnorm)
+
+            epoch_loss = loss_sum / total if total else 0.0
+            epoch_acc = correct / total if total else 0.0
+            self.train_loss_history.append(epoch_loss)
+            self.train_accuracy_history.append(epoch_acc)
+            self.epoch += 1
+
+            val_acc, val_loss = self.evaluate()
+            if val_loss is not None:
+                self._set_lr(self.scheduler.step(val_loss))
+
+                # early-stop check precedes appending this epoch's metrics
+                # (reference ordering, mlp_trainer.py:350-363)
+                if ep > int(es_window_len * 1.5):
+                    last_losses = self.val_loss_history[-es_window_len:]
+                    if len(last_losses) >= 2:
+                        slope, _ = np.polyfit(
+                            np.arange(len(last_losses)), last_losses, 1)
+                        if verbose:
+                            print(f"[train] early stop slope value: "
+                                  f"{slope:.4f}, over last "
+                                  f"{es_window_len} epochs")
+                        if slope >= es_slope_limit:
+                            if verbose:
+                                print("[train] early stop triggered: loss "
+                                      "no longer decreasing")
+                            break
+
+                self.val_accuracy_history.append(val_acc)
+                self.val_loss_history.append(val_loss)
+                if verbose:
+                    print(f"[train] train loss: {epoch_loss:.4f} | "
+                          f"train accuracy: {epoch_acc:.4f} | "
+                          f"val loss: {val_loss:.4f} | "
+                          f"val accuracy: {val_acc:.4f}")
+
+        if plot_metrics:
+            plot_curves({"Accuracy": self.train_accuracy_history,
+                         "Loss": self.train_loss_history},
+                        title="Training Curves")
+            plot_curves({"Accuracy": self.val_accuracy_history,
+                         "Loss": self.val_loss_history},
+                        title="Validation Curves")
+        if verbose:
+            print(f"\n[train] Training complete. "
+                  f"({time.time() - t0:.1f}s)\n")
+
+    def evaluate(self, val_dl=None, cm: bool = False, report: bool = False,
+                 plot_metrics: bool = False):
+        """Weighted val loss + accuracy; optional confusion matrix /
+        classification report (ref mlp_trainer.py:393-432)."""
+        dl = val_dl or self.val_dl
+        if dl is None:
+            print("[evaluate] No val dataloader provided.")
+            return None, None
+        correct, total, loss_sum = 0, 0, 0.0
+        preds_all, y_all = [], []
+        for xb, yb in dl:
+            loss, corr, preds = self._eval_step(
+                self.params, self.extra, jnp.asarray(xb, jnp.float32),
+                jnp.asarray(yb))
+            bs = len(yb)
+            loss_sum += float(loss) * bs
+            correct += int(corr)
+            total += bs
+            preds_all.extend(np.asarray(preds))
+            y_all.extend(np.asarray(yb))
+        acc = correct / total if total else 0.0
+        avg_loss = loss_sum / total if total else 0.0
+        if cm:
+            print(confusion_matrix(y_all, preds_all, self.num_classes))
+        if report:
+            print(classification_report(y_all, preds_all, self.class_names))
+        return acc, avg_loss
+
+    def predict(self, xb):
+        logits = self._apply_eval(self.params, self.extra,
+                                  jnp.asarray(xb, jnp.float32))
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    # ------------------------------------------------------------------
+    @property
+    def variables(self) -> dict:
+        return {"params": self.params, **self.extra}
+
+    def _default_cfg(self):
+        if self.model_type == "mlp":
+            return ("mfcc", config_dict(MFCC_CONFIG),
+                    config_dict(MLP_CONFIG))
+        return ("melspec", config_dict(MELSPEC_CONFIG),
+                config_dict(CNN_CONFIG))
+
+    def save(self, filename=None, root=None, target_sr: int = TARGET_SR,
+             clip_length: float = CLIP_DURATION, include_opt: bool = True):
+        """Self-describing checkpoint, C15 schema (ref
+        mlp_trainer.py:434-480)."""
+        feat_type, feat_params, model_params = self._default_cfg()
+        cfg = MLP_CONFIG if self.model_type == "mlp" else CNN_CONFIG
+        root = Path(root) if root else cfg.CHECKPOINTS_DIR
+        filename = filename or cfg.DEFAULT_CKPT_NAME
+        ckpt = {
+            "meta": {"config_version": CONFIG_VERSION,
+                     "datetime": time.strftime("%d/%m/%Y %H:%M:%S"),
+                     "model_type": self.model_type},
+            "config": {
+                "features": {"type": feat_type, "params": feat_params},
+                "model": {"type": self.model_type, "params": model_params},
+                "target_sr": target_sr,
+                "clip_length": clip_length,
+            },
+            "variables": jax.tree_util.tree_map(np.asarray, self.variables),
+            "model_init_args": dict(self.model.init_args),
+            "train_loss_history": self.train_loss_history,
+            "train_accuracy_history": self.train_accuracy_history,
+            "val_loss_history": self.val_loss_history,
+            "val_accuracy_history": self.val_accuracy_history,
+            "epoch": self.epoch,
+            "reverse_map": self.reverse_map,
+            "num_classes": self.num_classes,
+            "class_names": self.class_names,
+        }
+        if self.scaler is not None:
+            ckpt["scaler"] = (self.scaler.to_dict()
+                              if hasattr(self.scaler, "to_dict")
+                              else self.scaler)
+        if include_opt:
+            ckpt["opt_state"] = _opt_state_to_tree(self.opt_state)
+        save_checkpoint(root / filename, ckpt)
+        return root / filename
+
+    def load(self, filename=None, root=None):
+        """Restore weights, histories, epoch counter (and optimizer state
+        when present) — ref mlp_trainer.py:482-514."""
+        cfg = MLP_CONFIG if self.model_type == "mlp" else CNN_CONFIG
+        root = Path(root) if root else cfg.CHECKPOINTS_DIR
+        filename = filename or cfg.DEFAULT_CKPT_NAME
+        ck = load_checkpoint(Path(root) / filename)
+        saved_args = ck.get("model_init_args", {})
+        current = dict(self.model.init_args)
+        if saved_args and {k: tuple(v) if isinstance(v, list) else v
+                           for k, v in saved_args.items()} != current:
+            print("[load] WARNING: Mismatch between saved model init args "
+                  "and current model init args!")
+            print("Saved:", saved_args)
+            print("Current:", current)
+        variables = jax.tree_util.tree_map(jnp.asarray, ck["variables"])
+        self.params = variables.pop("params")
+        self.extra = variables
+        if "opt_state" in ck:
+            self.opt_state = _tree_to_opt_state(self.opt_state,
+                                                ck["opt_state"])
+        self.train_loss_history = list(ck.get("train_loss_history", []))
+        self.train_accuracy_history = list(
+            ck.get("train_accuracy_history", []))
+        self.val_loss_history = list(ck.get("val_loss_history", []))
+        self.val_accuracy_history = list(
+            ck.get("val_accuracy_history", []))
+        self.epoch = int(ck.get("epoch", 0))
+        print(f"[load] Checkpoint loaded from {Path(root) / filename}")
+
+
+def _opt_state_to_tree(opt_state) -> dict:
+    """Flatten the optax state's array leaves into an indexed dict (the
+    structure itself is re-derivable from the optimizer definition)."""
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    return {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+
+
+def _tree_to_opt_state(template, tree: dict):
+    leaves = [tree[k] for k in sorted(tree)]
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(l) for l in leaves])

@@ -1,0 +1,117 @@
+"""Sharded-path tests on the virtual 8-device CPU mesh (conftest forces
+JAX_PLATFORMS=cpu with xla_force_host_platform_device_count=8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gat_tpu.models import MLP, CNN
+from gat_tpu.parallel import (make_mesh, shard_batch, pad_to_multiple,
+                              make_sharded_train_step, mlp_tp_shardings,
+                              sharded_batch_pitch)
+from tests.conftest import make_pluck
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def test_mesh_shapes():
+    m = make_mesh(8)
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(8, model_parallel=2)
+    assert m2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(8, model_parallel=3)
+
+
+def test_pad_to_multiple():
+    x = np.ones((13, 4))
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape == (16, 4) and n == 13
+    same, n2 = pad_to_multiple(np.ones((16, 4)), 8)
+    assert same.shape == (16, 4) and n2 == 16
+
+
+def test_sharded_pitch_matches_single_device():
+    mesh = make_mesh(8)
+    sr = 11025
+    clips = np.stack([make_pluck(f, sr, 0.5, seed=i)[:5512]
+                      for i, f in enumerate([110, 147, 196, 220, 247,
+                                             294, 330, 392])])
+    run = sharded_batch_pitch(mesh, sr)
+    sharded = np.asarray(run(shard_batch(clips, mesh)))
+    from gat_tpu.ops.yin import yin_pitch
+    single = np.asarray(yin_pitch(jnp.asarray(clips), sr))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5)
+
+
+def test_dp_train_step_matches_replicated_math(rng):
+    """A data-parallel step over 8 devices must match the same step on one
+    device (same batch, no dropout): XLA's inserted psum IS the gradient
+    all-reduce."""
+    mesh = make_mesh(8)
+    model = MLP(num_features=12, hidden_dim=16, num_classes=4, dropout=0.0)
+    xb = rng.normal(size=(32, 12)).astype(np.float32)
+    yb = rng.integers(0, 4, 32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(xb[:1]))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(variables["params"])
+
+    step, prepare = make_sharded_train_step(model, tx, mesh)
+    p_sh, e_sh, o_sh = prepare(variables["params"], {}, opt_state)
+    p2, _, _, loss_sh = step(p_sh, e_sh, o_sh, shard_batch(xb, mesh),
+                             shard_batch(yb, mesh), jax.random.PRNGKey(1))
+
+    # plain single-device reference
+    def loss_fn(p):
+        logits = model.apply({"params": p}, jnp.asarray(xb),
+                             deterministic=True)
+        one_hot = jax.nn.one_hot(jnp.asarray(yb), 4)
+        soft = optax.smooth_labels(one_hot, 0.05)
+        return optax.softmax_cross_entropy(logits, soft).mean()
+    loss_ref, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    upd, _ = tx.update(grads, opt_state, variables["params"])
+    p_ref = optax.apply_updates(variables["params"], upd)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_mlp_forward_matches(rng):
+    """Tensor-parallel MLP layout (hidden dim sharded over `model`)
+    produces the same logits as replicated."""
+    mesh = make_mesh(8, model_parallel=2)
+    model = MLP(num_features=12, hidden_dim=16, num_classes=4, dropout=0.0)
+    xb = jnp.asarray(rng.normal(size=(8, 12)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), xb[:1])
+    ref = np.asarray(model.apply(variables, xb))
+
+    shardings = mlp_tp_shardings(variables["params"], mesh)
+    p_tp = jax.tree_util.tree_map(jax.device_put, variables["params"],
+                                  shardings)
+
+    @jax.jit
+    def fwd(p, x):
+        return model.apply({"params": p}, x)
+    out = np.asarray(fwd(p_tp, shard_batch(np.asarray(xb), mesh)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_cnn_dp_step_runs(rng):
+    mesh = make_mesh(8)
+    model = CNN(num_classes=4, base_channels=4, num_blocks=2, hidden_dim=16)
+    xb = rng.normal(size=(16, 16, 8, 1)).astype(np.float32)
+    yb = rng.integers(0, 4, 16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(xb[:1]))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(variables["params"])
+    step, prepare = make_sharded_train_step(model, tx, mesh)
+    extra = {"batch_stats": variables["batch_stats"]}
+    p, e, o = prepare(variables["params"], extra, opt_state)
+    p2, mut, o2, loss = step(p, e, o, shard_batch(xb, mesh),
+                             shard_batch(yb, mesh), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "batch_stats" in mut

@@ -1,0 +1,121 @@
+import numpy as np
+import pytest
+
+from gat_tpu.train import (Trainer, ReduceLROnPlateau, ArrayDataLoader,
+                           TrainingManager)
+from gat_tpu.models import MLP, CNN
+from gat_tpu.data.synth import synthesize_note_dataset
+
+
+def test_plateau_scheduler_torch_semantics():
+    s = ReduceLROnPlateau(1.0, factor=0.5, patience=3, threshold=1e-4)
+    # improving: no reduction
+    for m in (1.0, 0.9, 0.8, 0.7):
+        assert s.step(m) == 1.0
+    # stuck for patience+1 epochs → halve
+    for i, m in enumerate([0.7, 0.7, 0.7, 0.7]):
+        lr = s.step(m)
+    assert lr == 0.5
+
+
+def test_array_dataloader(rng):
+    X = rng.normal(size=(10, 3)).astype(np.float32)
+    y = np.arange(10)
+    dl = ArrayDataLoader(X, y, batch_size=4, shuffle=True, seed=1)
+    assert len(dl) == 3
+    seen = np.concatenate([yb for _, yb in dl])
+    assert sorted(seen) == list(range(10))
+    dl2 = ArrayDataLoader(X, y, batch_size=4, shuffle=False, drop_last=True)
+    assert len(dl2) == 2
+
+
+def test_mlp_trains_to_separable_data(rng):
+    """Tiny 3-class linearly separable problem → near-perfect accuracy."""
+    n, d, k = 300, 10, 3
+    centers = rng.normal(size=(k, d)) * 4
+    y = rng.integers(0, k, n)
+    X = (centers[y] + rng.normal(size=(n, d))).astype(np.float32)
+    dl_tr = ArrayDataLoader(X[:240], y[:240], 32, seed=0)
+    dl_val = ArrayDataLoader(X[240:], y[240:], 32, shuffle=False)
+    model = MLP(num_features=d, hidden_dim=32, num_hidden_layers=2,
+                num_classes=k)
+    tr = Trainer(model, dl_tr, dl_val,
+                 reverse_map={0: "a", 1: "b", 2: "c"}, seed=0)
+    tr.train(epochs=15, verbose=False)
+    acc, loss = tr.evaluate()
+    assert acc > 0.95, f"val acc {acc}"
+    assert len(tr.train_loss_history) == tr.epoch
+    assert tr.last_grad_norm > 0
+
+
+def test_dims_guard(rng):
+    X = rng.normal(size=(8, 5)).astype(np.float32)
+    dl = ArrayDataLoader(X, np.zeros(8, int), 4)
+    model = MLP(num_features=7, num_classes=3)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        Trainer(model, dl)
+
+
+def test_cnn_train_step_runs(rng):
+    """CNN with BatchNorm: one epoch updates params and batch_stats."""
+    X = rng.normal(size=(16, 16, 8, 1)).astype(np.float32)
+    y = rng.integers(0, 3, 16)
+    dl = ArrayDataLoader(X, y, 8, seed=0)
+    model = CNN(num_classes=3, base_channels=4, num_blocks=2, hidden_dim=16)
+    tr = Trainer(model, dl, dl, reverse_map={0: "a", 1: "b", 2: "c"},
+                 model_type="cnn", seed=0)
+    bn_before = np.asarray(tr.extra["batch_stats"]["bn_0"]["mean"]).copy()
+    tr.train(epochs=1, verbose=False)
+    bn_after = np.asarray(tr.extra["batch_stats"]["bn_0"]["mean"])
+    assert not np.allclose(bn_before, bn_after)  # running stats updated
+    acc, loss = tr.evaluate()
+    assert loss is not None
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path, rng):
+    X = rng.normal(size=(20, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    model = MLP(num_features=6, hidden_dim=16, num_classes=2)
+    tr = Trainer(model, dl, dl, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr.train(epochs=2, verbose=False)
+    path = tr.save(filename="t.gtckpt.npz", root=tmp_path)
+    preds_before = tr.predict(X)
+
+    tr2 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=1)
+    tr2.load(filename="t.gtckpt.npz", root=tmp_path)
+    assert tr2.epoch == 2
+    np.testing.assert_array_equal(tr2.predict(X), preds_before)
+    # resumed training continues without error (optimizer state restored)
+    tr2.train(epochs=1, verbose=False)
+    assert tr2.epoch == 3
+
+
+@pytest.mark.slow
+def test_manager_end_to_end_tiny(tmp_path):
+    """TrainingManager on a tiny synthetic dataset: both models train and
+    produce checkpoints loadable by the Transcriber."""
+    ds = synthesize_note_dataset(tmp_path / "data" / "synth" / "mini",
+                                 class_names=["A2", "D3", "G3"],
+                                 variants_per_class=16, verbose=False)
+    mgr = TrainingManager(datasets_root=tmp_path / "data",
+                          use_bf16_cnn=False)
+    mlp_tr = mgr.train_mlp(dataset=ds, epochs=6, verbose=False,
+                           ckpt_root=tmp_path / "ck" / "mlp")
+    cnn_tr = mgr.train_cnn(dataset=ds, epochs=25, verbose=False,
+                           ckpt_root=tmp_path / "ck" / "cnn")
+    acc_mlp, _ = mlp_tr.evaluate()
+    acc_cnn, _ = cnn_tr.evaluate()
+    assert acc_mlp > 0.8, f"MLP val acc {acc_mlp}"
+    assert acc_cnn > 0.6, f"CNN val acc {acc_cnn}"
+
+    from gat_tpu.infer import Transcriber
+    t = Transcriber(
+        mlp_ckpt=str(tmp_path / "ck" / "mlp" / "mlp_v1.0.0.gtckpt.npz"),
+        cnn_ckpt=str(tmp_path / "ck" / "cnn" / "cnn_v1.0.0.gtckpt.npz"))
+    from tests.conftest import make_pluck
+    note = make_pluck(146.83, 22050, 0.5, seed=5)
+    r = t.transcribe_note(note, sr_in=22050)
+    assert r["labels"][0] in ("A2", "D3", "G3")
+    assert r["per_model_probs"]["cnn"] is not None

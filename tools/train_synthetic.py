@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Generate the synthetic 47-class note dataset and train the shipped
+checkpoints.
+
+The reference's CNN checkpoint is a missing git-LFS blob and its training
+data is personal recordings (SURVEY §5.4/§6) — so the shipped CNN here is
+trained on the synthesizer in gat_tpu/data/synth.py. Trained at target_sr
+11025 to pair with the imported reference MLP checkpoint (Transcriber
+requires both checkpoints to share a sample rate, ref transcribe.py:113).
+
+Usage:
+    python tools/train_synthetic.py [--model cnn|mlp|all] [--epochs N]
+        [--variants N] [--platform tpu|cpu]
+"""
+import argparse
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="cnn", choices=["cnn", "mlp", "all"])
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--variants", type=int, default=40)
+    ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
+    ap.add_argument("--target_sr", type=int, default=11025)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    print("devices:", jax.devices())
+
+    from gat_tpu.config import DATASETS_ROOT
+    from gat_tpu.data.synth import synthesize_note_dataset
+    from gat_tpu.train import TrainingManager
+
+    ds = DATASETS_ROOT / "synthetic" / f"ks47_v{args.variants}"
+    if not ds.exists():
+        t0 = time.time()
+        synthesize_note_dataset(ds, variants_per_class=args.variants,
+                                seed=args.seed)
+        print(f"dataset synthesis: {time.time() - t0:.1f}s")
+
+    mgr = TrainingManager(target_sr=args.target_sr)
+    if args.model in ("cnn", "all"):
+        tr = mgr.train_cnn(dataset=ds, epochs=args.epochs or 40,
+                           seed=args.seed)
+        acc, loss = tr.evaluate(report=True)
+        print(f"CNN final: val acc {acc:.4f}, val loss {loss:.4f}")
+    if args.model in ("mlp", "all"):
+        tr = mgr.train_mlp(dataset=ds, epochs=args.epochs or 20,
+                           seed=args.seed)
+        acc, loss = tr.evaluate(report=True)
+        print(f"MLP final: val acc {acc:.4f}, val loss {loss:.4f}")
+
+
+if __name__ == "__main__":
+    main()
