@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: batched transcription throughput on the current device.
+
+Measures the fused clip-batch graph (MFCC+pitch feature, mel-spec, MLP +
+CNN forwards, ensemble, batched YIN baseline) — the compute path of
+Transcriber.transcribe_clips — in audio-seconds transcribed per second
+per chip.
+
+vs_baseline: ratio against a reference-equivalent CPU baseline — the
+same work executed clip-by-clip (batch=1) on CPU, which is how the
+reference processes clips (per-clip librosa loops, SURVEY §3.1). The
+baseline is measured once in a CPU subprocess and cached in
+.bench_cpu_baseline.json.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+_CACHE = REPO / ".bench_cpu_baseline.json"
+
+
+def _make_clips(batch: int, clip_len: int):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    t = np.arange(clip_len) / 11025.0
+    freqs = rng.uniform(80.0, 700.0, batch)
+    clips = 0.3 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
+    clips += rng.normal(0, 0.01, clips.shape)
+    return clips.astype(np.float32)
+
+
+def measure(batch: int, iters: int, warmup: int = 2) -> float:
+    """audio-seconds/sec of the fused graph at the given batch size."""
+    import jax
+    from __graft_entry__ import entry
+    fn, (example,) = entry(batch=batch)
+    clip_len = example.shape[1]
+    clips = _make_clips(batch, clip_len)
+    jfn = jax.jit(fn)
+    x = jax.device_put(clips)
+    for _ in range(warmup):
+        out = jfn(x)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(x)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    audio_seconds = batch * (clip_len / 11025.0) * iters
+    return audio_seconds / dt
+
+
+def cpu_baseline() -> float:
+    """Reference-equivalent CPU throughput: per-clip (batch=1) sequential
+    processing on the CPU backend, measured in a subprocess."""
+    if _CACHE.exists():
+        try:
+            return float(json.loads(_CACHE.read_text())["audio_s_per_s"])
+        except Exception:
+            pass
+    code = (
+        "import jax, json;"
+        "jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "from bench import measure;"
+        "v = measure(batch=1, iters=20, warmup=2);"
+        "print('CPU_BASELINE=' + json.dumps(v))" % str(REPO))
+    env = dict(os.environ)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1200)
+    for line in out.stdout.splitlines():
+        if line.startswith("CPU_BASELINE="):
+            v = float(json.loads(line.split("=", 1)[1]))
+            _CACHE.write_text(json.dumps({"audio_s_per_s": v}))
+            return v
+    raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / ".jax_cache"))
+    baseline = cpu_baseline()
+    value = measure(BATCH, ITERS)
+    print(json.dumps({
+        "metric": "audio_seconds_transcribed_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

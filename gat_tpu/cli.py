@@ -1,0 +1,111 @@
+"""Transcription CLI (C19).
+
+Behavioral spec: version_1/source/transcribe_cli.py. Same surface:
+`--audio --out --save_clips --save_results`, a results table with YIN
+estimates, and an optional CSV + pretty-printed dump. The tkinter file
+dialog is kept behind a lazy import (headless environments get a clear
+error instead of a hard tkinter dependency). Adds `--live` (streaming
+mic mode) and `--mlp_ckpt/--cnn_ckpt` overrides.
+
+Run: python -m gat_tpu.cli --audio my.wav
+"""
+from __future__ import annotations
+
+import argparse
+import tempfile
+from pathlib import Path
+from pprint import pformat
+
+from .config import INFERENCE_OUTPUT_ROOT
+
+
+def _pick_file_dialog() -> Path | None:
+    try:
+        import tkinter as tk
+        from tkinter import filedialog
+        root = tk.Tk()
+        root.withdraw()
+        file_path = filedialog.askopenfilename(
+            title="Select guitar audio file",
+            filetypes=(("WAV files", "*.wav"), ("All files", "*.*")))
+    except Exception:  # headless: no tkinter or no display
+        return None
+    return Path(file_path) if file_path else None
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Guitar Audio Transcriber — TPU-native")
+    parser.add_argument("--audio", type=str, default=None,
+                        help="Path to input .wav file")
+    parser.add_argument("--out", type=str, default=None,
+                        help="Directory for output files")
+    parser.add_argument("--save_clips", action="store_true",
+                        help="Write sliced clips to disk")
+    parser.add_argument("--save_results", action="store_true",
+                        help="Write transcription text file")
+    parser.add_argument("--mlp_ckpt", type=str, default=None)
+    parser.add_argument("--cnn_ckpt", type=str, default=None)
+    parser.add_argument("--live", action="store_true",
+                        help="Stream from the microphone instead of a file")
+    args = parser.parse_args(argv)
+
+    from .infer import Transcriber
+    transcriber = Transcriber(mlp_ckpt=args.mlp_ckpt,
+                              cnn_ckpt=args.cnn_ckpt)
+
+    if args.live:
+        from .stream import LiveTranscriber
+        LiveTranscriber(transcriber).live()
+        return 0
+
+    audio_path: Path | None = None
+    if args.audio is not None:
+        p = Path(args.audio)
+        if p.is_file() and p.suffix.lower() == ".wav":
+            audio_path = p
+    if audio_path is None:
+        audio_path = _pick_file_dialog()
+    if audio_path is None:
+        parser.error("no --audio given and no file dialog available")
+    if not audio_path.is_file():
+        raise FileNotFoundError(f"Audio file not found: {audio_path}")
+    if audio_path.suffix.lower() != ".wav":
+        raise ValueError(f"Input file must be a .wav file: {audio_path}")
+
+    out_dir = Path(args.out) if args.out else INFERENCE_OUTPUT_ROOT
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_file = out_dir / f"{audio_path.stem}_transcription.txt"
+
+    if args.save_clips:
+        result = transcriber.transcribe(audio_path, out_root=out_dir,
+                                        audio_name=audio_path.stem,
+                                        save_clips=True)
+    else:
+        with tempfile.TemporaryDirectory() as tmpdir:
+            result = transcriber.transcribe(audio_path,
+                                            out_root=Path(tmpdir),
+                                            audio_name=audio_path.stem)
+
+    labels = result["labels"]
+    confs = result["confidences"]
+    yin_info = result["dsp_info"]
+
+    print("\nTranscription Results:")
+    print("Idx |  Label |  Confidence | (YIN Note Estimate)")
+    for i, (lab, conf, y_info) in enumerate(zip(labels, confs, yin_info)):
+        print(f"{i:03d}  {lab:>4}  (conf={conf:.2f})  "
+              f"{y_info[1]['note_name']}")
+
+    if args.save_results:
+        with out_file.open("w", encoding="utf-8") as f:
+            for i, (lab, conf) in enumerate(zip(labels, confs)):
+                f.write(f"{i},{lab},{conf:.4f}\n")
+            f.write("\nFull result dict:\n")
+            f.write(pformat(result))
+        print(f"\nSaved transcription to {out_file}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,209 @@
+"""Live streaming transcription (C20).
+
+Behavioral spec: prototyping/source/transcribe_live.py:81-273. Same
+architecture — a producer pushes mono float32 blocks into a 1.5 s ring
+buffer; the main loop detects onsets over buffer snapshots, slices note
+segments (single-onset slices run to the buffer end, pairs slice between
+onsets), pads/trims to the clip duration, and feeds a bounded queue whose
+consumer runs single-clip inference — with two changes:
+
+  * the audio source is an abstraction: `MicSource` (sounddevice, gated —
+    not installed in this environment), `ArraySource` (replays a waveform
+    block-by-block, for tests/offline), or any iterable of blocks.
+  * backpressure is drop-oldest (the pattern the reference sketches in
+    comments at transcribe_live.py:136-147 but leaves disabled).
+"""
+from __future__ import annotations
+
+import queue
+import time
+
+import numpy as np
+
+from ..config import TARGET_SR, CLIP_DURATION
+from .ring import RingBuffer
+
+__all__ = ["ArraySource", "MicSource", "LiveTranscriber"]
+
+
+class ArraySource:
+    """Replays a waveform in fixed-size blocks (a deterministic stand-in
+    for the microphone)."""
+
+    def __init__(self, audio: np.ndarray, blocksize: int = 1024):
+        self.audio = np.asarray(audio, np.float32)
+        self.blocksize = blocksize
+
+    def blocks(self):
+        for i in range(0, len(self.audio), self.blocksize):
+            yield self.audio[i:i + self.blocksize]
+
+
+class MicSource:
+    """sounddevice InputStream wrapper (ref transcribe_live.py:152-158).
+    Raises a clear error when sounddevice is unavailable."""
+
+    def __init__(self, sample_rate: int = TARGET_SR, channels: int = 1,
+                 blocksize: int = 1024):
+        try:
+            import sounddevice  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "[MicSource] sounddevice is not installed; live microphone "
+                "capture is unavailable. Use ArraySource for offline "
+                "streaming.") from e
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.blocksize = blocksize
+
+    def stream(self, callback):
+        import sounddevice as sd
+
+        def cb(indata, frames, time_info, status):
+            if status:
+                print(status)
+            callback(indata[:, 0].astype(np.float32))
+
+        return sd.InputStream(samplerate=self.sample_rate,
+                              channels=self.channels,
+                              blocksize=self.blocksize, callback=cb,
+                              dtype="float32")
+
+
+class LiveTranscriber:
+    def __init__(self, transcriber=None, buffer_duration: float = 1.5,
+                 sample_rate: int = TARGET_SR, blocksize: int = 1024,
+                 min_slice_t: float = 0.3, verbose: bool = True):
+        if transcriber is None:
+            from ..infer import Transcriber
+            transcriber = Transcriber()
+        self.transcriber = transcriber
+        self.sample_rate = sample_rate
+        self.blocksize = blocksize
+        self.buffer = RingBuffer(int(buffer_duration * sample_rate))
+        self.note_q: queue.Queue = queue.Queue(maxsize=2)
+        self.min_slice_len = int(min_slice_t * sample_rate)
+        self.verbose = verbose
+        self.results: list[dict] = []
+
+    # ----- segmentation over buffer snapshots --------------------------
+    def detect_onsets(self, y: np.ndarray) -> list[int]:
+        from ..ops.onset import detect_onsets
+        import jax.numpy as jnp
+        onsets, valid = detect_onsets(jnp.asarray(y), sr=self.sample_rate,
+                                      hop_length=1024, min_sep=0.3)
+        return [int(s) for s, v in zip(np.asarray(onsets),
+                                       np.asarray(valid)) if v]
+
+    @staticmethod
+    def pad_or_trim_audio(y: np.ndarray, target_dur: float,
+                          sr: int) -> np.ndarray:
+        n = int(target_dur * sr)
+        if len(y) >= n:
+            return y[:n]
+        return np.pad(y, (0, n - len(y)))
+
+    def _enqueue(self, clip: np.ndarray) -> None:
+        """Bounded queue with drop-oldest backpressure."""
+        try:
+            self.note_q.put_nowait(clip)
+        except queue.Full:
+            try:
+                self.note_q.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                self.note_q.put_nowait(clip)
+            except queue.Full:
+                pass
+
+    def process_buffer(self) -> int:
+        """One consumer step over a full buffer: slice notes between onset
+        pairs (a trailing single onset slices to the end), enqueue clips,
+        drop the consumed prefix. Returns clips enqueued
+        (ref transcribe_live.py:165-196)."""
+        if not self.buffer.is_full():
+            return 0
+        buf = self.buffer.get_buffer()  # snapshot copy
+        onsets = self.detect_onsets(buf)
+        queued = 0
+        h_idx = 0
+        if len(onsets) == 1:
+            s = buf[onsets[0]:]
+            if len(s) > self.min_slice_len:
+                self._enqueue(self.pad_or_trim_audio(
+                    s, CLIP_DURATION, self.sample_rate))
+                queued += 1
+                h_idx = onsets[0]
+                onsets = []
+        while len(onsets) >= 2:
+            s = buf[onsets[0]:onsets[1]]
+            if len(s) > self.min_slice_len:
+                self._enqueue(self.pad_or_trim_audio(
+                    s, CLIP_DURATION, self.sample_rate))
+                queued += 1
+                h_idx = onsets[1]
+                del onsets[:2]
+            else:
+                h_idx = onsets[0]
+                del onsets[:1]
+        self.buffer.clear_from(h_idx + 1 if h_idx else 0)
+        return queued
+
+    def inference(self, audio: np.ndarray, sr_in: int | None = None):
+        """Single-clip inference + console print
+        (ref transcribe_live.py:225-266)."""
+        sr_in = sr_in or self.sample_rate
+        if audio is None or len(audio) == 0:
+            print("[inference] No audio provided.")
+            return None
+        if audio.size < int(CLIP_DURATION * sr_in):
+            return None
+        result = self.transcriber.transcribe_note(audio, sr_in=sr_in)
+        self.results.append(result)
+        if self.verbose:
+            for i, (lab, conf) in enumerate(zip(result["labels"],
+                                                result["confidences"])):
+                print(f"{i:03d}  {lab:>4}  (conf={conf:.2f})")
+        return result
+
+    def drain_queue(self) -> int:
+        done = 0
+        while True:
+            try:
+                note = self.note_q.get_nowait()
+            except queue.Empty:
+                return done
+            if note is not None and len(note):
+                self.inference(np.asarray(note, np.float32))
+                done += 1
+
+    # ----- drivers ------------------------------------------------------
+    def run_on_source(self, source) -> list[dict]:
+        """Offline/streamed driver: feed blocks, process as the buffer
+        fills, drain the queue. Deterministic (no threads) — used by tests
+        and file streaming."""
+        for block in source.blocks():
+            self.buffer.push(block)
+            self.process_buffer()
+            self.drain_queue()
+        # flush whatever remains
+        self.process_buffer()
+        self.drain_queue()
+        return self.results
+
+    def live(self, duration: float | None = None):
+        """Microphone driver (ref transcribe_live.py:115-222): callback
+        thread pushes into the ring; this loop polls, slices, infers."""
+        mic = MicSource(self.sample_rate, blocksize=self.blocksize)
+        t0 = time.time()
+        with mic.stream(self.buffer.push):
+            print("Listening to mic... Press Ctrl+C to stop.")
+            try:
+                while duration is None or time.time() - t0 < duration:
+                    self.process_buffer()
+                    self.drain_queue()
+                    time.sleep(0.1)
+            except KeyboardInterrupt:
+                print("Stopping live mic...")
+        return self.results

@@ -1,0 +1,84 @@
+"""Lock-light audio ring buffer for live capture.
+
+Behavioral spec: prototyping/source/transcribe_live.py:41-78 (C20). The
+reference's deque-of-floats has two problems this rebuild avoids: per-
+sample Python objects (the callback does `deque.extend(x.tolist())`), and
+a latent bug where `clear_from(idx)` pops from the *end* of the deque
+while its caller means "drop the consumed prefix" (SURVEY §5.2). Here the
+ring is one preallocated float32 array with head/size indices —
+`clear_from(idx)` drops the first idx samples, as intended.
+
+Thread model matches the reference: a producer thread only push()es, the
+consumer snapshots with get_buffer() (a copy) — plus a mutex because
+numpy index updates are not atomic.
+"""
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+__all__ = ["RingBuffer"]
+
+
+class RingBuffer:
+    def __init__(self, maxlen: int):
+        self.maxlen = int(maxlen)
+        self._buf = np.zeros(self.maxlen, dtype=np.float32)
+        self._start = 0      # index of oldest sample
+        self._size = 0
+        self._lock = threading.Lock()
+
+    def push(self, data: np.ndarray) -> None:
+        """Append samples; oldest samples fall off when full."""
+        data = np.asarray(data, np.float32).ravel()
+        n = len(data)
+        if n == 0:
+            return
+        with self._lock:
+            if n >= self.maxlen:
+                self._buf[:] = data[-self.maxlen:]
+                self._start = 0
+                self._size = self.maxlen
+                return
+            end = (self._start + self._size) % self.maxlen
+            first = min(n, self.maxlen - end)
+            self._buf[end:end + first] = data[:first]
+            if n > first:
+                self._buf[:n - first] = data[first:]
+            overflow = max(0, self._size + n - self.maxlen)
+            self._start = (self._start + overflow) % self.maxlen
+            self._size = min(self._size + n, self.maxlen)
+
+    def get_buffer(self) -> np.ndarray:
+        """Snapshot copy, oldest→newest."""
+        with self._lock:
+            idx = (self._start + np.arange(self._size)) % self.maxlen
+            return self._buf[idx].copy()
+
+    def get_slice(self, i: int, j: int) -> np.ndarray:
+        """Copy of [i, j) in logical (oldest-first) coordinates; empty when
+        out of range (ref ring get_slice semantics)."""
+        with self._lock:
+            if i > self._size or j > self._size:
+                return np.zeros((0,), dtype=np.float32)
+            idx = (self._start + np.arange(i, j)) % self.maxlen
+            return self._buf[idx].copy()
+
+    def is_full(self) -> bool:
+        return self._size == self.maxlen
+
+    def size(self) -> int:
+        return self._size
+
+    def clear(self) -> None:
+        with self._lock:
+            self._start = 0
+            self._size = 0
+
+    def clear_from(self, idx: int) -> None:
+        """Drop the first `idx` samples (the consumed prefix)."""
+        with self._lock:
+            idx = max(0, min(int(idx), self._size))
+            self._start = (self._start + idx) % self.maxlen
+            self._size -= idx

@@ -1,0 +1,115 @@
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from gat_tpu.cli import main as cli_main
+from gat_tpu.utils.wavio import write_wav
+from gat_tpu.utils.reports import audio_report, feature_report
+from tests.conftest import make_pluck
+
+SR = 22050
+TOOLS = Path(__file__).resolve().parent.parent / "tools"
+sys.path.insert(0, str(TOOLS))
+
+
+def _riff_wav(path):
+    y = np.zeros(int(3.2 * SR), np.float32)
+    for t0, f in [(0.4, 110.0), (1.3, 196.0), (2.2, 246.94)]:
+        n = make_pluck(f, SR, 0.45, seed=int(f))
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * SR)
+        y[s:s + len(n)] += n
+    write_wav(path, y, SR)
+    return path
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    p = _riff_wav(tmp_path / "riff.wav")
+    rc = cli_main(["--audio", str(p), "--out", str(tmp_path / "out"),
+                   "--save_results"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Transcription Results:" in out
+    assert "A2" in out and "G3" in out
+    txt = (tmp_path / "out" / "riff_transcription.txt").read_text()
+    assert txt.startswith("0,A2")
+    assert "Full result dict:" in txt
+
+
+def test_cli_rejects_non_wav(tmp_path):
+    bad = tmp_path / "x.mp3"
+    bad.write_bytes(b"junk")
+    with pytest.raises(SystemExit):  # argparse error path (no dialog)
+        cli_main(["--audio", str(bad)])
+
+
+def test_cli_save_clips(tmp_path):
+    p = _riff_wav(tmp_path / "r.wav")
+    rc = cli_main(["--audio", str(p), "--out", str(tmp_path / "o"),
+                   "--save_clips"])
+    assert rc == 0
+    assert list((tmp_path / "o").glob("r_*/r/*.wav"))
+
+
+def test_dataset_creator_pipeline(tmp_path):
+    """slice-all → pitch-dataset → count on synthetic 'recordings'."""
+    import dataset_creator as dc
+
+    # one recording for string 5 (A2) fret 0 with three plucks
+    raw = tmp_path / "raw" / "String_5" / "Fret_0"
+    raw.mkdir(parents=True)
+    y = np.zeros(int(4.0 * 44100), np.float32)
+    for t0 in (0.5, 1.7, 2.9):
+        n = make_pluck(110.0, 44100, 0.6, seed=int(t0 * 10))
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * 44100)
+        y[s:s + len(n)] += n
+    write_wav(raw / "rec.wav", y, 44100)
+
+    clips = tmp_path / "clips"
+    total = dc.slice_all_clips(tmp_path / "raw", clips)
+    assert total == 3
+    wavs = list(clips.glob("String_5/Fret_0/*.wav"))
+    assert len(wavs) == 2  # final-onset quirk
+
+    ds = tmp_path / "ds"
+    n = dc.create_pitch_dataset(clips, ds)
+    assert n == 2
+    assert (ds / "A2").is_dir()
+    counts = dc.count_clips(ds)
+    assert counts == {"A2": 2}
+
+
+def test_eda_dataset_and_features(tmp_path, capsys):
+    import eda
+    from gat_tpu.data.synth import synthesize_note_dataset
+    ds = synthesize_note_dataset(tmp_path / "mini",
+                                 class_names=["A2", "E3"],
+                                 variants_per_class=4, verbose=False)
+    out = eda.dataset_analysis(ds, plot_path=tmp_path / "dist.png")
+    assert out["counts"] == {"A2": 4, "E3": 4}
+    assert (tmp_path / "dist.png").exists()
+    rep = eda.feature_analysis(ds)
+    assert rep["n_samples"] == 8
+    assert rep["X_nan_frac"] == 0.0
+
+
+def test_reports_on_loader(tmp_path):
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.data.synth import synthesize_note_dataset
+    ds = synthesize_note_dataset(tmp_path / "m", class_names=["D3"],
+                                 variants_per_class=3, verbose=False)
+    loader = AudioDatasetLoader([ds], target_sr=11025, duration=0.5)
+    rep = audio_report(loader, print_report=False)
+    assert rep["unique_srs"] == [11025]
+    assert abs(rep["duration_mean"] - 0.5) < 0.01
+    X = np.random.default_rng(0).normal(size=(6, 4))
+    rep2 = feature_report(X, [0, 0, 0, 1, 1, 1], {0: "D3", 1: "E3"},
+                          out_root=tmp_path, out_filename="rep.json",
+                          print_report=False)
+    assert (tmp_path / "rep.json").exists()
+    assert rep2["per_class_counts"] == {"D3": 3, "E3": 3}

@@ -1,0 +1,77 @@
+import numpy as np
+import pytest
+
+from gat_tpu.stream import RingBuffer, LiveTranscriber, ArraySource, \
+    MicSource
+from tests.conftest import make_pluck
+
+
+def test_ring_push_and_snapshot():
+    r = RingBuffer(10)
+    r.push(np.arange(4, dtype=np.float32))
+    assert r.size() == 4 and not r.is_full()
+    np.testing.assert_array_equal(r.get_buffer(), [0, 1, 2, 3])
+    r.push(np.arange(4, 12, dtype=np.float32))  # overflows by 2
+    assert r.is_full()
+    np.testing.assert_array_equal(r.get_buffer(), np.arange(2, 12))
+
+
+def test_ring_clear_from_drops_prefix():
+    r = RingBuffer(8)
+    r.push(np.arange(8, dtype=np.float32))
+    r.clear_from(3)
+    np.testing.assert_array_equal(r.get_buffer(), [3, 4, 5, 6, 7])
+    r.push(np.array([8, 9], np.float32))
+    np.testing.assert_array_equal(r.get_buffer(), [3, 4, 5, 6, 7, 8, 9])
+
+
+def test_ring_get_slice_bounds():
+    r = RingBuffer(8)
+    r.push(np.arange(5, dtype=np.float32))
+    np.testing.assert_array_equal(r.get_slice(1, 3), [1, 2])
+    assert r.get_slice(0, 9).size == 0  # out of range → empty
+
+
+def test_ring_oversized_push():
+    r = RingBuffer(4)
+    r.push(np.arange(10, dtype=np.float32))
+    np.testing.assert_array_equal(r.get_buffer(), [6, 7, 8, 9])
+
+
+def test_mic_source_gated():
+    with pytest.raises(ImportError, match="sounddevice"):
+        MicSource()
+
+
+def test_live_transcriber_on_array_source():
+    """Streamed riff through the full live path → notes recognized."""
+    SR = 22050
+    from gat_tpu.infer import Transcriber
+    t = Transcriber()
+    live = LiveTranscriber(t, verbose=False)
+
+    y = np.zeros(int(4.5 * SR), np.float32)
+    for t0, f in [(0.5, 110.0), (1.6, 196.0), (2.7, 246.94)]:
+        n = make_pluck(f, SR, 0.45, seed=int(f))
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * SR)
+        y[s:s + len(n)] += n
+
+    results = live.run_on_source(ArraySource(y, blocksize=1024))
+    labels = [r["labels"][0] for r in results]
+    # all recognized labels must come from the played notes
+    assert len(labels) >= 2, f"too few notes transcribed: {labels}"
+    assert set(labels) <= {"A2", "G3", "B3"}, labels
+
+
+def test_queue_drop_oldest_backpressure():
+    live = LiveTranscriber.__new__(LiveTranscriber)
+    import queue
+    live.note_q = queue.Queue(maxsize=2)
+    for i in range(4):
+        live._enqueue(np.full(3, i, np.float32))
+    # oldest dropped, newest kept
+    assert live.note_q.qsize() == 2
+    first = live.note_q.get_nowait()
+    assert first[0] in (2.0,)
