@@ -42,7 +42,12 @@ def _make_clips(batch: int, clip_len: int):
 
 
 def measure(batch: int, iters: int, warmup: int = 2) -> float:
-    """audio-seconds/sec of the fused graph at the given batch size."""
+    """audio-seconds/sec of the fused graph at the given batch size.
+
+    Iterations are dispatched back-to-back with one synchronization at the
+    end: that measures sustained device throughput. (Per-call sync would
+    instead measure the host↔device link round-trip — ~30 ms through the
+    tunneled TPU here — which a production serving loop pipelines away.)"""
     import jax
     from __graft_entry__ import entry
     fn, (example,) = entry(batch=batch)
@@ -56,7 +61,7 @@ def measure(batch: int, iters: int, warmup: int = 2) -> float:
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(x)
-        jax.block_until_ready(out)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     audio_seconds = batch * (clip_len / 11025.0) * iters
     return audio_seconds / dt

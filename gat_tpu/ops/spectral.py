@@ -30,8 +30,58 @@ __all__ = [
     "hann_window", "frame", "stft", "power_spectrogram",
     "power_to_db_librosa", "amplitude_to_db_torchaudio",
     "dct_ii_matrix", "melspectrogram_librosa", "melspectrogram_torchaudio",
-    "mfcc", "n_frames",
+    "mfcc", "n_frames", "set_stft_backend", "stft_backend",
 ]
+
+# ---------------------------------------------------------------------------
+# STFT backend: 'fft' (jnp.fft.rfft) or 'matmul' (real DFT as two MXU
+# GEMMs). TPUs have no FFT unit — an rfft lowers to a slow generic
+# decomposition, while a 2048×1025 cos/sin matmul rides the systolic array
+# at full rate (cf. PAPERS.md: nnAudio/MelT GEMM-native spectrograms).
+# 'auto' picks matmul on TPU-like backends, fft elsewhere.
+# ---------------------------------------------------------------------------
+_STFT_BACKEND = "auto"
+_MATMUL_DTYPE = jnp.float32  # bfloat16 doubles MXU rate; fp32 accumulate
+
+
+def set_matmul_dtype(dtype) -> None:
+    """GEMM input dtype for the matmul backend (float32 or bfloat16);
+    accumulation stays float32 via preferred_element_type."""
+    global _MATMUL_DTYPE
+    _MATMUL_DTYPE = jnp.dtype(dtype)
+    jax.clear_caches()
+
+
+def matmul_dtype():
+    return _MATMUL_DTYPE
+
+
+def set_stft_backend(name: str) -> None:
+    """Select the spectral backend. Clears jit caches: the flag is read at
+    trace time, so previously compiled graphs embed the old backend."""
+    global _STFT_BACKEND
+    assert name in ("auto", "fft", "matmul")
+    if name != _STFT_BACKEND:
+        _STFT_BACKEND = name
+        jax.clear_caches()
+
+
+def stft_backend() -> str:
+    if _STFT_BACKEND != "auto":
+        return _STFT_BACKEND
+    platform = jax.default_backend()
+    return "matmul" if platform not in ("cpu",) else "fft"
+
+
+@functools.lru_cache(maxsize=8)
+def _rdft_np(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Real-DFT matrices: X @ C + i·(X @ S) == rfft(X) for real X.
+    Shapes (n_fft, 1 + n_fft // 2), float32."""
+    n = np.arange(n_fft)[:, None]
+    f = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * n * f / n_fft
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=16)
@@ -94,6 +144,24 @@ def stft(y: jax.Array, n_fft: int = 2048, hop_length: int | None = None,
 def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
                       center: bool = True, pad_mode: str = "constant",
                       power: float = 2.0) -> jax.Array:
+    """|STFT|^power, using the MXU matmul-DFT on TPU (the window is
+    folded into the DFT operands; XLA fuses the square/add epilogue)."""
+    if stft_backend() == "matmul":
+        if center:
+            y = _pad_center(y, n_fft // 2, pad_mode)
+        frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
+        c_m, s_m = _rdft_np(n_fft)
+        win = _hann_np(n_fft)[:, None]
+        cw = jnp.asarray(c_m * win, _MATMUL_DTYPE)
+        sw = jnp.asarray(s_m * win, _MATMUL_DTYPE)
+        re = jnp.einsum("...tn,nf->...tf", frames, cw,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("...tn,nf->...tf", frames, sw,
+                        preferred_element_type=jnp.float32)
+        p = re * re + im * im
+        if power == 2.0:
+            return p
+        return jnp.sqrt(p) if power == 1.0 else p ** (power / 2.0)
     z = stft(y, n_fft=n_fft, hop_length=hop_length, center=center,
              pad_mode=pad_mode)
     mag = jnp.abs(z)

@@ -20,32 +20,74 @@ from __future__ import annotations
 import functools
 import math
 
+import numpy as _np
 import jax
 import jax.numpy as jnp
 
-from .spectral import frame, _pad_center
+from .spectral import frame, _pad_center, _rdft_np, stft_backend
 
 __all__ = ["yin", "yin_pitch", "estimate_note"]
 
 _TINY32 = 1.1754944e-38  # np.finfo(np.float32).tiny — librosa's util.tiny
 
 
+def _irdft_lags_np(n_fft: int, lag_start: int, n_lags: int):
+    """Restricted inverse real-DFT: matrices (1+n_fft//2, n_lags) such that
+    Re @ IC - Im @ IS == irfft(X)[lag_start : lag_start + n_lags]."""
+    f = _np.arange(1 + n_fft // 2)[:, None]
+    n = (lag_start + _np.arange(n_lags))[None, :]
+    w = _np.full((1 + n_fft // 2, 1), 2.0)
+    w[0, 0] = 1.0
+    w[-1, 0] = 1.0
+    ang = 2.0 * _np.pi * f * n / n_fft
+    ic = (w * _np.cos(ang) / n_fft).astype(_np.float32)
+    isin = (w * _np.sin(ang) / n_fft).astype(_np.float32)
+    return ic, isin
+
+
+def _autocorr_lags(frames: jax.Array, frame_length: int, win_length: int,
+                   n_lags: int) -> jax.Array:
+    """acf(τ) = Σ_{i=1..W} x[i] x[i+τ] for τ ∈ [0, n_lags), i.e.
+    irfft(rfft(x)·rfft(x[W:0:-1]))[W : W+n_lags] — computed either with
+    FFTs (CPU) or as real-DFT GEMMs on the MXU (TPU has no FFT unit)."""
+    rev = frames[..., win_length:0:-1]  # x[W], x[W-1], ..., x[1]
+    if stft_backend() == "matmul":
+        c_m, s_m = _rdft_np(frame_length)
+        cj, sj = jnp.asarray(c_m), jnp.asarray(s_m)
+        ra = jnp.einsum("...n,nf->...f", frames, cj,
+                        preferred_element_type=jnp.float32)
+        ia = jnp.einsum("...n,nf->...f", frames, sj,
+                        preferred_element_type=jnp.float32)
+        rb = jnp.einsum("...w,wf->...f", rev, cj[:win_length],
+                        preferred_element_type=jnp.float32)
+        ib = jnp.einsum("...w,wf->...f", rev, sj[:win_length],
+                        preferred_element_type=jnp.float32)
+        re = ra * rb - ia * ib
+        im = ra * ib + ia * rb
+        ic, isin = _irdft_lags_np(frame_length, win_length, n_lags)
+        return (jnp.einsum("...f,fl->...l", re, jnp.asarray(ic),
+                           preferred_element_type=jnp.float32)
+                - jnp.einsum("...f,fl->...l", im, jnp.asarray(isin),
+                             preferred_element_type=jnp.float32))
+    a = jnp.fft.rfft(frames, frame_length, axis=-1)
+    b = jnp.fft.rfft(rev, frame_length, axis=-1)
+    full = jnp.fft.irfft(a * b, frame_length, axis=-1)
+    return full[..., win_length:win_length + n_lags]
+
+
 def _cmnd(frames: jax.Array, frame_length: int, win_length: int,
           min_period: int, max_period: int) -> jax.Array:
     """Cumulative-mean-normalized difference over τ ∈ [min_p, max_p]."""
-    # FFT autocorrelation: acf(τ) = Σ_{i=1..W} x[i] x[i+τ]
-    a = jnp.fft.rfft(frames, frame_length, axis=-1)
-    rev = frames[..., win_length:0:-1]  # x[W], x[W-1], ..., x[1]
-    b = jnp.fft.rfft(rev, frame_length, axis=-1)
-    acf = jnp.fft.irfft(a * b, frame_length, axis=-1)[..., win_length:]
+    acf = _autocorr_lags(frames, frame_length, win_length, max_period + 1)
     acf = jnp.where(jnp.abs(acf) < 1e-6, 0.0, acf)
 
-    # Sliding energies e(τ) = Σ_{i=τ+1..τ+W} x[i]²
+    # Sliding energies e(τ) = Σ_{i=τ+1..τ+W} x[i]², τ ≤ max_period only
     csum = jnp.cumsum(frames ** 2, axis=-1)
-    energy = csum[..., win_length:] - csum[..., :-win_length]
+    energy = (csum[..., win_length:win_length + max_period + 1]
+              - csum[..., :max_period + 1])
     energy = jnp.where(jnp.abs(energy) < 1e-6, 0.0, energy)
 
-    diff = energy[..., :1] + energy - 2.0 * acf  # d(τ), τ = 0..L-W-1
+    diff = energy[..., :1] + energy - 2.0 * acf  # d(τ), τ = 0..max_p
 
     numerator = diff[..., min_period:max_period + 1]
     tau = jnp.arange(1, max_period + 1, dtype=diff.dtype)
