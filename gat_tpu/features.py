@@ -55,16 +55,25 @@ def normalize_volume(y: jax.Array, eps: float = 1e-9) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=(
     "sr", "n_mfcc", "normalize_audio_volume", "add_pitch_features",
-    "pitch_on_normalized"))
+    "pitch_on_normalized", "use_pallas"))
 def mfcc_feature_vectors(clips: jax.Array, sr: int, n_mfcc: int = 64,
                          normalize_audio_volume: bool = True,
                          add_pitch_features: bool = True,
-                         pitch_on_normalized: bool = False) -> jax.Array:
+                         pitch_on_normalized: bool = False,
+                         use_pallas: bool = False) -> jax.Array:
     """(N, L) → (N, n_mfcc [+1]): time-pooled MFCC vector with optional
-    appended log10-pitch feature. One traced graph for the whole batch."""
+    appended log10-pitch feature. One traced graph for the whole batch.
+
+    use_pallas selects the hand-fused VMEM-resident kernel
+    (ops/pallas/mfcc_frontend.py); the default XLA matmul-DFT path
+    benches slightly faster on v5e, so the kernel is opt-in."""
     y = normalize_volume(clips) if normalize_audio_volume else clips
-    m = spectral.mfcc(y, sr, n_mfcc=n_mfcc)        # (N, T, n_mfcc)
-    vec = jnp.mean(m, axis=-2)                     # (N, n_mfcc)
+    if use_pallas:
+        from .ops.pallas.mfcc_frontend import mfcc_mean_pallas
+        vec = mfcc_mean_pallas(y, sr, n_mfcc=n_mfcc, block_b=128)
+    else:
+        m = spectral.mfcc(y, sr, n_mfcc=n_mfcc)    # (N, T, n_mfcc)
+        vec = jnp.mean(m, axis=-2)                 # (N, n_mfcc)
     if add_pitch_features:
         pitch_src = y if pitch_on_normalized else clips
         hz = yin_pitch(pitch_src, sr)              # (N,)
