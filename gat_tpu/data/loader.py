@@ -68,16 +68,21 @@ class AudioDatasetLoader:
     def load_audio_dataset(self, pad_to_max: bool = True):
         """Returns (wavs, srs, labels, paths): wavs is a list of float32
         arrays (all target_sr); pad_to_max zero-pads to the longest."""
-        raw, srs_in, labels, paths = [], [], [], []
-        for path, label in self.iter_paths():
-            x, sr = read_wav(path, mono=self.mono)
-            raw.append(x)
-            srs_in.append(sr)
-            labels.append(label)
-            paths.append(str(path))
-        if not raw:
+        pairs = list(self.iter_paths())
+        if not pairs:
             raise FileNotFoundError(
                 "load_audio_dataset: No audio files found.")
+        labels = [label for _, label in pairs]
+        paths = [str(p) for p, _ in pairs]
+        if self.mono:
+            # native C++ codec + thread pool (GIL released per decode);
+            # transparently falls back to the Python decoder
+            from ..utils.native_wav import read_wav_batch
+            decoded = read_wav_batch([p for p, _ in pairs])
+        else:
+            decoded = [read_wav(p, mono=False) for p, _ in pairs]
+        raw = [x for x, _ in decoded]
+        srs_in = [sr for _, sr in decoded]
 
         # group by (source_sr, length) so each resample is one traced batch
         wavs: list[np.ndarray | None] = [None] * len(raw)

@@ -1,0 +1,135 @@
+"""Time-axis sequence parallelism for long-audio segmentation.
+
+SURVEY §5.7: the reference has no sequence-parallel story (it slices long
+files into clips on one process); the TPU-native analog shards the *time
+axis* of one long recording across the `data` mesh axis. The heavy work —
+framing + windowed DFT + mel projection + dB (the onset-strength front
+end, ~99% of segmentation FLOPs) — runs on each device over its own chunk
+of the waveform, with a one-sided halo of (n_fft − hop) samples exchanged
+from the right neighbor via `lax.ppermute` so frames straddling shard
+boundaries are exact. The resulting envelope (4 bytes per hop — tiny) is
+all-gathered and the sequential peak-picking logic runs replicated.
+
+`ppermute`'s missing-source-is-zero semantics give the last shard its
+zero halo for free (the global signal is padded to the sharded frame
+budget, so those frames read zeros exactly as the single-device
+computation does).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import spectral
+from ..ops.onset import peak_pick_mask, backtrack_indices
+from .mesh import DATA
+
+__all__ = ["onset_envelope_timesharded", "detect_onsets_timesharded"]
+
+_TINY32 = 1.1754944e-38
+
+
+def _local_log_mel(chunk: jax.Array, sr: int, hop: int, n_fft: int,
+                   n_mels: int) -> jax.Array:
+    """Un-padded framing of an extended chunk → log-mel rows (Tl, M).
+    (librosa melspectrogram semantics minus the center pad, which the
+    caller applied globally.)"""
+    frames = spectral.frame(chunk, n_fft, hop)
+    win = spectral.hann_window(n_fft)
+    if spectral.stft_backend() == "matmul":
+        c_m, s_m = spectral._rdft_np(n_fft)
+        re = jnp.einsum("tn,nf->tf", frames * win, jnp.asarray(c_m),
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("tn,nf->tf", frames * win, jnp.asarray(s_m),
+                        preferred_element_type=jnp.float32)
+        power = re * re + im * im
+    else:
+        power = jnp.abs(jnp.fft.rfft(frames * win, n_fft, axis=-1)) ** 2
+    fb = jnp.asarray(spectral.mel_filterbank_librosa(sr, n_fft, n_mels))
+    mel = jnp.einsum("tf,mf->tm", power, fb,
+                     preferred_element_type=jnp.float32)
+    return mel
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "sr", "hop_length",
+                                             "n_fft", "n_mels"))
+def onset_envelope_timesharded(y: jax.Array, mesh: Mesh, sr: int,
+                               hop_length: int = 512, n_fft: int = 2048,
+                               n_mels: int = 128) -> jax.Array:
+    """Mel-flux onset envelope of ONE long waveform, time-sharded.
+
+    Returns the same envelope as ops.onset.onset_strength(y) (same length
+    up to the sharding frame budget)."""
+    d = mesh.shape[DATA]
+    pad = n_fft // 2
+    y_p = jnp.pad(y, (pad, pad))
+    t_global = 1 + (y_p.shape[0] - n_fft) // hop_length
+    t_local = -(-t_global // d)  # ceil → per-shard frame budget
+    owned = t_local * hop_length
+    halo_n = n_fft - hop_length
+    y_p = jnp.pad(y_p, (0, max(0, d * owned + halo_n - y_p.shape[0])))
+    body = y_p[:d * owned]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P(DATA), out_specs=P(DATA))
+    def local_mel(y_local):
+        # halo: my head goes to my left neighbor; last shard reads zeros
+        head = y_local[0, :halo_n]
+        halo = jax.lax.ppermute(head, DATA,
+                                [(i, i - 1) for i in range(1, d)])
+        ext = jnp.concatenate([y_local[0], halo])
+        return _local_log_mel(ext, sr, hop_length, n_fft, n_mels)[None]
+
+    mel = local_mel(body.reshape(d, owned))      # (d, Tl, M) sharded
+    mel = mel.reshape(d * t_local, n_mels)
+    s_db = spectral.power_to_db_librosa(mel, spec_axes=2)
+
+    diff = jnp.maximum(0.0, s_db[1:] - s_db[:-1])
+    env = jnp.mean(diff, axis=-1)
+    lead = 1 + n_fft // (2 * hop_length)
+    env = jnp.pad(env, (lead, 0))[:d * t_local]
+    return env[:t_global]
+
+
+def detect_onsets_timesharded(y: jax.Array, mesh: Mesh, sr: int = 22050,
+                              hop_length: int = 512, min_sep: float = 0.3,
+                              max_onsets: int = 256):
+    """Long-audio onset detection with the envelope computed
+    sequence-parallel; the tiny sequential peak-pick stays replicated
+    (ref detect_onsets semantics, slicing.py:106-122)."""
+    env = onset_envelope_timesharded(y, mesh, sr, hop_length)
+    t = env.shape[0]
+    emin, emax = jnp.min(env), jnp.max(env)
+    env_n = (env - emin) / (emax - emin + _TINY32)
+
+    pre_max = int(0.03 * sr // hop_length)
+    post_max = int(0.00 * sr // hop_length + 1)
+    pre_avg = int(0.10 * sr // hop_length)
+    post_avg = int(0.10 * sr // hop_length + 1)
+    wait = int(0.03 * sr // hop_length)
+    peaks = peak_pick_mask(env_n, pre_max, post_max, pre_avg, post_avg,
+                           delta=0.07, wait=wait)
+    bt = backtrack_indices(env_n)
+    frames = jnp.arange(t, dtype=jnp.int32)
+    onset_frames = jnp.where(peaks, bt, frames)
+    samples = onset_frames * hop_length
+
+    min_samples = int(min_sep * sr)
+
+    def step(last, xs):
+        s, is_peak = xs
+        keep = is_peak & (s - last >= min_samples)
+        return jnp.where(keep, s, last), keep
+
+    _, keep = jax.lax.scan(step, jnp.asarray(-999999, jnp.int32),
+                           (samples, peaks))
+    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+    order = jnp.sort(jnp.where(keep, samples, big))[:max_onsets]
+    valid = order < big
+    return jnp.where(valid, order, 0), valid

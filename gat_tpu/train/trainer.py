@@ -151,7 +151,7 @@ class Trainer:
         if len(dl) == 0:
             raise ValueError("[_check_dims] Provided DataLoader is empty.")
         xb, _ = next(iter(dl))
-        if self.model_type == "mlp":
+        if hasattr(self.model, "num_features"):  # vector models (MLP, …)
             if xb.shape[1] != self.model.num_features:
                 raise ValueError(
                     f"[_check_dims] Input feature dimension mismatch: "
@@ -332,7 +332,7 @@ class Trainer:
         return {"params": self.params, **self.extra}
 
     def _default_cfg(self):
-        if self.model_type == "mlp":
+        if self.model_type in ("mlp", "logreg", "softmaxregression"):
             return ("mfcc", config_dict(MFCC_CONFIG),
                     config_dict(MLP_CONFIG))
         return ("melspec", config_dict(MELSPEC_CONFIG),

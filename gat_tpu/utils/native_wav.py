@@ -1,0 +1,111 @@
+"""ctypes bindings for the native WAV decoder (native/wav_codec.cpp).
+
+Compiled on demand with g++ (cached under native/build/); every entry
+point degrades to the pure-Python decoder in utils/wavio.py when the
+toolchain or library is unavailable. ctypes releases the GIL during the
+C call, so `read_wav_batch` decodes a dataset's files with real thread
+parallelism — the host-side loading stage the reference runs file-by-file
+through librosa (ref loading.py:72-87).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["native_available", "read_wav_native", "read_wav_batch"]
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO / "native" / "wav_codec.cpp"
+_LIB = _REPO / "native" / "build" / "libwavcodec.so"
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not _LIB.exists() or (_SRC.exists() and
+                                     _SRC.stat().st_mtime
+                                     > _LIB.stat().st_mtime):
+                _LIB.parent.mkdir(parents=True, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB),
+                     str(_SRC)],
+                    check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(str(_LIB))
+            lib.wav_probe.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long)]
+            lib.wav_probe.restype = ctypes.c_int
+            lib.wav_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_long)]
+            lib.wav_decode.restype = ctypes.c_int
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def read_wav_native(path) -> tuple[np.ndarray, int]:
+    """Decode one file to mono float32 via the native codec; raises on
+    failure (callers fall back to the Python decoder)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("[read_wav_native] native codec unavailable")
+    p = str(path).encode()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    frames = ctypes.c_long()
+    rc = lib.wav_probe(p, ctypes.byref(sr), ctypes.byref(ch),
+                       ctypes.byref(frames))
+    if rc == -1:
+        raise FileNotFoundError(f"[read_wav_native] cannot open: {path}")
+    if rc:
+        raise ValueError(f"[read_wav_native] bad wav ({rc}): {path}")
+    out = np.empty(frames.value, np.float32)
+    got = ctypes.c_long()
+    rc = lib.wav_decode(p, out.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_float)), frames.value, ctypes.byref(sr),
+        ctypes.byref(got))
+    if rc:
+        raise ValueError(f"[read_wav_native] decode failed ({rc}): {path}")
+    return out[:got.value], sr.value
+
+
+def read_wav_batch(paths, max_workers: int | None = None):
+    """Decode many files in parallel (native codec + thread pool, GIL
+    released in C). Falls back to the Python decoder per file. Returns a
+    list of (audio, sr) in input order."""
+    from .wavio import read_wav
+
+    def one(p):
+        if native_available():
+            try:
+                return read_wav_native(p)
+            except ValueError:
+                pass  # unusual subtype → python path
+        return read_wav(p)
+
+    workers = max_workers or min(16, (os.cpu_count() or 4))
+    if len(paths) <= 1 or workers == 1:
+        return [one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(one, paths))

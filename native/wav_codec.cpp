@@ -1,0 +1,175 @@
+// Native WAV decoder for the gat_tpu data loader.
+//
+// The reference leans on libsndfile (through soundfile/librosa) for WAV
+// decode (ref loading.py:85); this is the first-party native equivalent:
+// a small RIFF/WAVE parser that decodes PCM 8/16/24/32 and IEEE float
+// 32/64 to mono float32. The Python side (gat_tpu/utils/native_wav.py)
+// calls it through ctypes — the GIL is released during the call, so a
+// thread pool decodes a dataset's files genuinely in parallel.
+//
+// Two-call protocol:
+//   wav_probe(path, &sr, &channels, &frames)      → 0 on success
+//   wav_decode(path, out, capacity, &sr, &frames) → 0 on success, mono
+//
+// Error codes: -1 open/read failure, -2 not RIFF/WAVE, -3 unsupported
+// format, -4 capacity too small.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Wav {
+    uint16_t format = 0;
+    uint16_t channels = 0;
+    uint32_t sample_rate = 0;
+    uint16_t bits = 0;
+    std::vector<uint8_t> data;
+};
+
+constexpr uint16_t kPcm = 0x0001;
+constexpr uint16_t kFloat = 0x0003;
+constexpr uint16_t kExtensible = 0xFFFE;
+
+int parse(const char* path, Wav& w, bool want_data) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    uint8_t hdr[12];
+    if (std::fread(hdr, 1, 12, f) != 12 ||
+        std::memcmp(hdr, "RIFF", 4) != 0 ||
+        std::memcmp(hdr + 8, "WAVE", 4) != 0) {
+        std::fclose(f);
+        return -2;
+    }
+    bool have_fmt = false, have_data = false;
+    while (true) {
+        uint8_t chdr[8];
+        if (std::fread(chdr, 1, 8, f) != 8) break;
+        uint32_t size;
+        std::memcpy(&size, chdr + 4, 4);
+        if (std::memcmp(chdr, "fmt ", 4) == 0) {
+            std::vector<uint8_t> fmt(size);
+            if (std::fread(fmt.data(), 1, size, f) != size) break;
+            std::memcpy(&w.format, fmt.data(), 2);
+            std::memcpy(&w.channels, fmt.data() + 2, 2);
+            std::memcpy(&w.sample_rate, fmt.data() + 4, 4);
+            std::memcpy(&w.bits, fmt.data() + 14, 2);
+            if (w.format == kExtensible && size >= 26) {
+                std::memcpy(&w.format, fmt.data() + 24, 2);
+            }
+            have_fmt = true;
+        } else if (std::memcmp(chdr, "data", 4) == 0) {
+            if (want_data) {
+                w.data.resize(size);
+                if (std::fread(w.data.data(), 1, size, f) != size) break;
+            } else {
+                w.data.resize(size);  // size only; skip payload
+                std::fseek(f, size, SEEK_CUR);
+            }
+            have_data = true;
+        } else {
+            std::fseek(f, size, SEEK_CUR);
+        }
+        if (size & 1) std::fseek(f, 1, SEEK_CUR);
+        if (have_fmt && have_data && !want_data) break;
+        if (have_fmt && have_data && want_data) break;
+    }
+    std::fclose(f);
+    if (!have_fmt || !have_data) return -2;
+    if (w.channels == 0) return -3;
+    return 0;
+}
+
+long frame_count(const Wav& w) {
+    long bytes_per = (w.bits / 8) * w.channels;
+    return bytes_per ? static_cast<long>(w.data.size()) / bytes_per : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int wav_probe(const char* path, int* sr, int* channels, long* frames) {
+    Wav w;
+    int rc = parse(path, w, /*want_data=*/false);
+    if (rc) return rc;
+    if (!((w.format == kPcm && (w.bits == 8 || w.bits == 16 ||
+                                w.bits == 24 || w.bits == 32)) ||
+          (w.format == kFloat && (w.bits == 32 || w.bits == 64)))) {
+        return -3;
+    }
+    *sr = static_cast<int>(w.sample_rate);
+    *channels = w.channels;
+    *frames = frame_count(w);
+    return 0;
+}
+
+// Decodes to mono float32 (channel average). `capacity` in samples.
+int wav_decode(const char* path, float* out, long capacity, int* sr,
+               long* frames_out) {
+    Wav w;
+    int rc = parse(path, w, /*want_data=*/true);
+    if (rc) return rc;
+    long frames = frame_count(w);
+    if (frames > capacity) return -4;
+    int ch = w.channels;
+    const uint8_t* d = w.data.data();
+    const float inv_ch = 1.0f / ch;
+
+    if (w.format == kPcm && w.bits == 16) {
+        const int16_t* s = reinterpret_cast<const int16_t*>(d);
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.f;
+            for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+            out[i] = acc * inv_ch / 32768.0f;
+        }
+    } else if (w.format == kPcm && w.bits == 24) {
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.f;
+            for (int c = 0; c < ch; ++c) {
+                const uint8_t* p = d + 3 * (i * ch + c);
+                int32_t v = p[0] | (p[1] << 8) | (p[2] << 16);
+                if (v >= (1 << 23)) v -= (1 << 24);
+                acc += static_cast<float>(v);
+            }
+            out[i] = acc * inv_ch / 8388608.0f;
+        }
+    } else if (w.format == kPcm && w.bits == 32) {
+        const int32_t* s = reinterpret_cast<const int32_t*>(d);
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0.0;
+            for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+            out[i] = static_cast<float>(acc * inv_ch / 2147483648.0);
+        }
+    } else if (w.format == kPcm && w.bits == 8) {
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.f;
+            for (int c = 0; c < ch; ++c)
+                acc += (static_cast<int>(d[i * ch + c]) - 128);
+            out[i] = acc * inv_ch / 128.0f;
+        }
+    } else if (w.format == kFloat && w.bits == 32) {
+        const float* s = reinterpret_cast<const float*>(d);
+        for (long i = 0; i < frames; ++i) {
+            float acc = 0.f;
+            for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+            out[i] = acc * inv_ch;
+        }
+    } else if (w.format == kFloat && w.bits == 64) {
+        const double* s = reinterpret_cast<const double*>(d);
+        for (long i = 0; i < frames; ++i) {
+            double acc = 0.0;
+            for (int c = 0; c < ch; ++c) acc += s[i * ch + c];
+            out[i] = static_cast<float>(acc * inv_ch);
+        }
+    } else {
+        return -3;
+    }
+    *sr = static_cast<int>(w.sample_rate);
+    *frames_out = frames;
+    return 0;
+}
+
+}  // extern "C"

@@ -105,3 +105,22 @@ def test_reference_ckpt_to_native_schema():
     assert native["reverse_map"][27] == "E2"
     assert native["scaler"]["mean"].shape == (65,)
     assert "dense_0" in native["variables"]["params"]
+
+
+def test_softmax_regression_baseline_trains(rng):
+    """The archive's third classical family: logistic regression via the
+    unified Trainer."""
+    from gat_tpu.models import SoftmaxRegression
+    from gat_tpu.train import Trainer, ArrayDataLoader
+    n, d, k = 200, 8, 3
+    centers = rng.normal(size=(k, d)) * 5
+    y = rng.integers(0, k, n)
+    X = (centers[y] + rng.normal(size=(n, d))).astype(np.float32)
+    dl = ArrayDataLoader(X[:160], y[:160], 32, seed=0)
+    dl_val = ArrayDataLoader(X[160:], y[160:], 32, shuffle=False)
+    model = SoftmaxRegression(num_features=d, num_classes=k)
+    tr = Trainer(model, dl, dl_val, reverse_map={0: "a", 1: "b", 2: "c"},
+                 model_type="logreg", seed=0, lr=0.1)
+    tr.train(epochs=30, es_slope_limit=-1e9, verbose=False)
+    acc, _ = tr.evaluate()
+    assert acc > 0.9

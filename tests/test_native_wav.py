@@ -1,0 +1,71 @@
+"""Native C++ WAV codec vs the pure-Python decoder."""
+import numpy as np
+import pytest
+
+from gat_tpu.utils import native_wav
+from gat_tpu.utils.wavio import write_wav, read_wav
+
+needs_native = pytest.mark.skipif(not native_wav.native_available(),
+                                  reason="g++/toolchain unavailable")
+
+
+@needs_native
+@pytest.mark.parametrize("subtype", ["PCM_16", "PCM_24", "PCM_32", "FLOAT"])
+def test_native_matches_python(tmp_path, rng, subtype):
+    x = rng.uniform(-0.8, 0.8, 3001).astype(np.float32)
+    p = tmp_path / "a.wav"
+    write_wav(p, x, 22050, subtype=subtype)
+    nat, sr_n = native_wav.read_wav_native(p)
+    py, sr_p = read_wav(p)
+    assert sr_n == sr_p == 22050
+    np.testing.assert_allclose(nat, py, atol=1e-6)
+
+
+@needs_native
+def test_native_stereo_average(tmp_path, rng):
+    st = rng.uniform(-0.5, 0.5, (500, 2)).astype(np.float32)
+    p = tmp_path / "st.wav"
+    write_wav(p, st, 16000, subtype="FLOAT")
+    nat, _ = native_wav.read_wav_native(p)
+    np.testing.assert_allclose(nat, st.mean(axis=1), atol=1e-6)
+
+
+@needs_native
+def test_native_errors(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        native_wav.read_wav_native(tmp_path / "missing.wav")
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"definitely not a wav")
+    with pytest.raises(ValueError):
+        native_wav.read_wav_native(bad)
+
+
+def test_batch_decode_order_and_fallback(tmp_path, rng):
+    paths = []
+    for i in range(8):
+        x = np.full(100 + i, 0.01 * (i + 1), np.float32)
+        p = tmp_path / f"{i}.wav"
+        write_wav(p, x, 8000, subtype="FLOAT")
+        paths.append(p)
+    out = native_wav.read_wav_batch(paths)
+    assert len(out) == 8
+    for i, (x, sr) in enumerate(out):
+        assert sr == 8000
+        assert len(x) == 100 + i
+        np.testing.assert_allclose(x, 0.01 * (i + 1), atol=1e-6)
+
+
+def test_loader_uses_batch_decode(tmp_path, rng):
+    from gat_tpu.data.loader import AudioDatasetLoader
+    for label, f in [("A2", 0.1), ("E3", 0.2)]:
+        d = tmp_path / label
+        d.mkdir()
+        for j in range(3):
+            write_wav(d / f"{j}.wav",
+                      rng.uniform(-0.3, 0.3, 4000).astype(np.float32),
+                      22050)
+    loader = AudioDatasetLoader([tmp_path], target_sr=11025, duration=0.25)
+    wavs, srs, labels, paths = loader.load_audio_dataset()
+    assert len(wavs) == 6
+    assert set(labels) == {"A2", "E3"}
+    assert all(len(w) == int(11025 * 0.25) for w in wavs)
