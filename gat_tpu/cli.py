@@ -46,13 +46,23 @@ def main(argv=None):
                         help="Write transcription text file")
     parser.add_argument("--mlp_ckpt", type=str, default=None)
     parser.add_argument("--cnn_ckpt", type=str, default=None)
+    parser.add_argument("--cnn_weight", type=float, default=0.80,
+                        help="Ensemble weight on the CNN (0 → MLP only)")
+    parser.add_argument("--model", choices=["ensemble", "mlp"],
+                        default="ensemble",
+                        help="Run the full ensemble or the MLP alone "
+                             "(the v0 CLI's model choice)")
     parser.add_argument("--live", action="store_true",
                         help="Stream from the microphone instead of a file")
     args = parser.parse_args(argv)
 
     from .infer import Transcriber
     transcriber = Transcriber(mlp_ckpt=args.mlp_ckpt,
-                              cnn_ckpt=args.cnn_ckpt)
+                              cnn_ckpt=args.cnn_ckpt,
+                              cnn_weight=args.cnn_weight,
+                              require_cnn=(args.model == "ensemble"))
+    if args.model == "mlp":
+        transcriber.model_ckpts.pop("cnn", None)
 
     if args.live:
         from .stream import LiveTranscriber

@@ -1,0 +1,63 @@
+"""Device-side lax.scan streaming engine vs known note times/labels."""
+import numpy as np
+import pytest
+
+from gat_tpu.infer import Transcriber
+from gat_tpu.stream.scan import ScanStreamer
+from tests.conftest import make_pluck
+
+SR = 22050
+NOTES = [(0.6, 110.0, "A2"), (1.5, 146.83, "D3"), (2.4, 196.0, "G3"),
+         (3.3, 246.94, "B3")]
+
+
+@pytest.fixture(scope="module")
+def streamer():
+    return ScanStreamer(Transcriber(), sr=SR)
+
+
+def _song():
+    y = np.zeros(int(4.6 * SR), np.float32)
+    for t0, f, _ in NOTES:
+        n = make_pluck(f, SR, 0.45, seed=int(f))
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * SR)
+        y[s:s + len(n)] += n
+    return y
+
+
+def test_scan_stream_finds_and_labels_notes(streamer):
+    results = streamer.transcribe_stream(_song())
+    # every played note must be emitted, at the right time, rightly
+    # labeled; local per-ring envelope normalization may add same-label
+    # echoes (the host live path shares this streaming-vs-batch
+    # difference), so match expected notes greedily and only allow
+    # leftovers that repeat the preceding label
+    it = iter(results)
+    matched = []
+    for t0, _, name in NOTES:
+        for r in it:
+            if abs(r["onset_s"] - t0) < 0.15:
+                assert r["labels"][0] == name, (t0, r)
+                assert r["confidences"][0] > 0.4
+                matched.append(r)
+                break
+            assert matched and r["labels"] == matched[-1]["labels"], \
+                f"unexpected emission {r['onset_s']}: {r['labels']}"
+    assert len(matched) == len(NOTES), \
+        f"got {[(r['onset_s'], r['labels']) for r in results]}"
+
+
+def test_scan_stream_silence(streamer):
+    out = streamer.transcribe_stream(np.zeros(3 * SR, np.float32))
+    assert out == []
+
+
+def test_scan_stream_single_note_mid_stream(streamer):
+    y = np.zeros(int(2.5 * SR), np.float32)
+    n = make_pluck(196.0, SR, 0.45, seed=1)
+    y[SR:SR + len(n)] += n
+    out = streamer.transcribe_stream(y)
+    assert len(out) == 1
+    assert out[0]["labels"] == ["G3"]
