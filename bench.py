@@ -26,7 +26,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "512"))
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 _CACHE = REPO / ".bench_cpu_baseline.json"
 

@@ -104,9 +104,21 @@ def n_frames(n_samples: int, frame_length: int, hop_length: int,
 
 
 def frame(y: jax.Array, frame_length: int, hop_length: int) -> jax.Array:
-    """(..., n) → (..., n_frames, frame_length), no padding."""
+    """(..., n) → (..., n_frames, frame_length), no padding.
+
+    When hop divides frame_length (every config in this framework: 2048/512,
+    2048/256, 2048/1024) the frames are built from `frame_length//hop`
+    shifted slices of a hop-strided reshape — pure slice+concat, which XLA
+    lowers to cheap copies. The general case falls back to a gather."""
     n = y.shape[-1]
     nf = 1 + (n - frame_length) // hop_length
+    if frame_length % hop_length == 0:
+        k = frame_length // hop_length
+        rows_n = n // hop_length
+        rows = y[..., :rows_n * hop_length].reshape(
+            y.shape[:-1] + (rows_n, hop_length))
+        pieces = [rows[..., j:j + nf, :] for j in range(k)]
+        return jnp.concatenate(pieces, axis=-1)
     idx = (np.arange(nf)[:, None] * hop_length
            + np.arange(frame_length)[None, :])
     return y[..., idx]
