@@ -93,10 +93,39 @@ def cpu_baseline() -> float:
     raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
 
 
+def measure_latency(iters: int = 50) -> float:
+    """p50 single-clip latency (s): one clip through the fused graph with
+    a host sync per call — the BASELINE.md latency metric. Includes the
+    host↔device link, as a serving request would."""
+    import numpy as np
+    import jax
+    from __graft_entry__ import entry
+    fn, (example,) = entry(batch=1)
+    jfn = jax.jit(fn)
+    x = jax.device_put(_make_clips(1, example.shape[1]))
+    for _ in range(3):
+        jax.block_until_ready(jfn(x))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jfn(x))
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
+    if os.environ.get("BENCH_MODE") == "latency":
+        p50 = measure_latency()
+        print(json.dumps({
+            "metric": "p50_single_clip_latency",
+            "value": round(p50 * 1000, 3),
+            "unit": "ms",
+            "vs_baseline": 1.0,
+        }))
+        return
     baseline = cpu_baseline()
     value = measure(BATCH, ITERS)
     print(json.dumps({
