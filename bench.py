@@ -31,10 +31,20 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 _CACHE = REPO / ".bench_cpu_baseline.json"
 
 
-def _make_clips(batch: int, clip_len: int):
+def _ckpt_sr() -> int:
+    """Sample rate the fused graph runs at — from the shipped checkpoint
+    (the clip→audio-seconds conversion must track it, not a constant)."""
+    from gat_tpu.config import MLP_CONFIG
+    from gat_tpu.train.checkpoint import load_checkpoint
+    ck = load_checkpoint(MLP_CONFIG.CHECKPOINTS_DIR
+                         / MLP_CONFIG.DEFAULT_CKPT_NAME)
+    return int(ck["config"]["target_sr"])
+
+
+def _make_clips(batch: int, clip_len: int, sr: int):
     import numpy as np
     rng = np.random.default_rng(0)
-    t = np.arange(clip_len) / 11025.0
+    t = np.arange(clip_len) / float(sr)
     freqs = rng.uniform(80.0, 700.0, batch)
     clips = 0.3 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
     clips += rng.normal(0, 0.01, clips.shape)
@@ -52,7 +62,8 @@ def measure(batch: int, iters: int, warmup: int = 2) -> float:
     from __graft_entry__ import entry
     fn, (example,) = entry(batch=batch)
     clip_len = example.shape[1]
-    clips = _make_clips(batch, clip_len)
+    sr = _ckpt_sr()
+    clips = _make_clips(batch, clip_len, sr)
     jfn = jax.jit(fn)
     x = jax.device_put(clips)
     for _ in range(warmup):
@@ -63,7 +74,7 @@ def measure(batch: int, iters: int, warmup: int = 2) -> float:
         out = jfn(x)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    audio_seconds = batch * (clip_len / 11025.0) * iters
+    audio_seconds = batch * (clip_len / float(sr)) * iters
     return audio_seconds / dt
 
 
@@ -102,7 +113,7 @@ def measure_latency(iters: int = 50) -> float:
     from __graft_entry__ import entry
     fn, (example,) = entry(batch=1)
     jfn = jax.jit(fn)
-    x = jax.device_put(_make_clips(1, example.shape[1]))
+    x = jax.device_put(_make_clips(1, example.shape[1], _ckpt_sr()))
     for _ in range(3):
         jax.block_until_ready(jfn(x))
     times = []

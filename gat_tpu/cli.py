@@ -69,19 +69,19 @@ def main(argv=None):
         LiveTranscriber(transcriber).live()
         return 0
 
-    audio_path: Path | None = None
     if args.audio is not None:
-        p = Path(args.audio)
-        if p.is_file() and p.suffix.lower() == ".wav":
-            audio_path = p
-    if audio_path is None:
+        # an explicit --audio must be valid — error directly instead of
+        # silently falling through to the file dialog
+        audio_path = Path(args.audio)
+        if not audio_path.is_file():
+            raise FileNotFoundError(f"Audio file not found: {audio_path}")
+        if audio_path.suffix.lower() != ".wav":
+            raise ValueError(
+                f"Input file must be a .wav file: {audio_path}")
+    else:
         audio_path = _pick_file_dialog()
-    if audio_path is None:
-        parser.error("no --audio given and no file dialog available")
-    if not audio_path.is_file():
-        raise FileNotFoundError(f"Audio file not found: {audio_path}")
-    if audio_path.suffix.lower() != ".wav":
-        raise ValueError(f"Input file must be a .wav file: {audio_path}")
+        if audio_path is None:
+            parser.error("no --audio given and no file dialog available")
 
     out_dir = Path(args.out) if args.out else INFERENCE_OUTPUT_ROOT
     out_dir.mkdir(parents=True, exist_ok=True)

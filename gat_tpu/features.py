@@ -35,6 +35,10 @@ from .utils.scaler import FeatureScaler
 __all__ = ["encode_labels", "normalize_volume", "mfcc_feature_vectors",
            "melspec_features", "to_reference_layout", "FeatureBuilder"]
 
+# sentinel: "caller gave nothing → use config defaults" vs an explicit
+# None, which means "skip the mel branch" (MLP-only operation)
+_USE_CONFIG = object()
+
 
 def encode_labels(labels):
     """Sorted-unique string labels → int codes
@@ -159,7 +163,8 @@ class FeatureBuilder:
                                               mfcc_params, melspec_params,
                                               scaler=None,
                                               pitch_on_normalized=False):
-        """Batched in-memory path — the whole front-end on device."""
+        """Batched in-memory path — the whole front-end on device.
+        melspec_params=None (no CNN loaded) skips the mel branch."""
         mf = mfcc_feature_vectors(
             clips, sr, n_mfcc=mfcc_params["N_MFCC"],
             normalize_audio_volume=mfcc_params["NORMALIZE_AUDIO_VOLUME"],
@@ -167,6 +172,8 @@ class FeatureBuilder:
             pitch_on_normalized=pitch_on_normalized)
         if scaler is not None:
             mf = scaler.transform(mf)
+        if melspec_params is None:
+            return mf, None
         ms = melspec_features(
             clips, sr, n_mels=melspec_params["N_MELS"],
             n_fft=melspec_params["N_FFT"],
@@ -176,14 +183,16 @@ class FeatureBuilder:
 
     def extract_inference_features_from_audio(self, audio, target_sr,
                                               mfcc_params=None,
-                                              melspec_params=None,
+                                              melspec_params=_USE_CONFIG,
                                               scaler=None,
                                               melspec_to_db: bool = True):
         """Single clip (L,) → batch-of-1 features (ref
         features.py:441-508; pitch feature computed on the normalized
-        signal on this path)."""
+        signal on this path). melspec_params=None skips the mel branch
+        (MLP-only operation)."""
         mfcc_params = mfcc_params or dict(MFCC_CONFIG.__dict__)
-        melspec_params = melspec_params or dict(MELSPEC_CONFIG.__dict__)
+        if melspec_params is _USE_CONFIG:
+            melspec_params = dict(MELSPEC_CONFIG.__dict__)
         clips = jnp.asarray(audio, jnp.float32)[None, :]
         mf = mfcc_feature_vectors(
             clips, target_sr, n_mfcc=mfcc_params["N_MFCC"],
@@ -192,6 +201,8 @@ class FeatureBuilder:
             pitch_on_normalized=True)
         if scaler is not None:
             mf = scaler.transform(mf)
+        if melspec_params is None:
+            return mf, None
         ms = melspec_features(
             clips, target_sr, n_mels=melspec_params["N_MELS"],
             n_fft=melspec_params["N_FFT"],

@@ -1,0 +1,64 @@
+"""The one ensemble forward: clips → blended class probabilities.
+
+Every consumer of the fused clip→probs graph — the batch Transcriber,
+the scan streaming engine, the sharded mesh program, and the driver
+entry point — builds its function here, so the ensemble recipe (feature
+params from the checkpoints, scaler, softmax blend, optional resample)
+exists exactly once.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..features import mfcc_feature_vectors, melspec_features
+from ..ops.resample import resample, fix_length
+
+__all__ = ["build_clip_ensemble_fn"]
+
+
+def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
+                           mfcc_params: dict,
+                           melspec_params: dict | None,
+                           in_sr: int | None = None,
+                           clip_len: int | None = None,
+                           pitch_on_normalized: bool = False):
+    """Returns a jit-able fn(clips (N, L)) → probs (N, num_classes).
+
+    clips arrive at `in_sr` (default: already at the checkpoint rate) and
+    are re-rated/length-fixed on device when needed. When
+    `melspec_params` is None (no CNN loaded) the mel front-end and CNN
+    forward are skipped entirely."""
+    mean = scaler.mean_ if scaler is not None else None
+    scale = scaler.scale_ if scaler is not None else None
+    w = predictor.cnn_weight
+    use_cnn = melspec_params is not None and predictor.cnn is not None
+    mlp_vars = predictor.mlp_variables
+    cnn_vars = predictor.cnn_variables if use_cnn else None
+
+    def run(clips):
+        c = clips
+        if in_sr is not None and in_sr != ckpt_sr:
+            c = resample(c, in_sr, ckpt_sr)
+        if clip_len is not None:
+            c = fix_length(c, clip_len)
+        mf = mfcc_feature_vectors(
+            c, ckpt_sr, n_mfcc=mfcc_params["N_MFCC"],
+            normalize_audio_volume=mfcc_params["NORMALIZE_AUDIO_VOLUME"],
+            add_pitch_features=mfcc_params["ADD_PITCH_FEATURES"],
+            pitch_on_normalized=pitch_on_normalized)
+        if mean is not None:
+            mf = (mf - mean) / scale
+        probs = jax.nn.softmax(predictor.mlp.apply(mlp_vars, mf), axis=-1)
+        if use_cnn:
+            ms = melspec_features(
+                c, ckpt_sr, n_mels=melspec_params["N_MELS"],
+                n_fft=melspec_params["N_FFT"],
+                hop_length=melspec_params["HOP_LENGTH"],
+                normalize_audio_volume=melspec_params[
+                    "NORMALIZE_AUDIO_VOLUME"])
+            cp = jax.nn.softmax(predictor.cnn.apply(cnn_vars, ms), axis=-1)
+            probs = (1.0 - w) * probs + w * cp
+        return probs
+
+    return run

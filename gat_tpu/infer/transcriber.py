@@ -95,16 +95,15 @@ class Transcriber:
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
         """Batched core: clips already at checkpoint SR, (N, L) →
-        prediction dict + batched YIN baseline. All device compute."""
+        prediction dict + batched YIN baseline. All device compute; the
+        mel branch is skipped entirely in MLP-only operation."""
         mfcc_params, melspec_params = self._feature_params()
+        if "cnn" not in self.model_ckpts:
+            melspec_params = None
         mf, ms = self.feature_builder.extract_inference_features_from_clips(
-            clips_ckpt_sr, self.ckpt_sr, mfcc_params,
-            melspec_params or {"N_MELS": 64, "N_FFT": 2048,
-                               "HOP_LENGTH": 256,
-                               "NORMALIZE_AUDIO_VOLUME": True},
+            clips_ckpt_sr, self.ckpt_sr, mfcc_params, melspec_params,
             self.scaler)
-        result = self.predictor.predict(
-            mf, ms if "cnn" in self.model_ckpts else None)
+        result = self.predictor.predict(mf, ms)
 
         pitches = np.asarray(yin_pitch(clips_ckpt_sr, self.ckpt_sr))
         result["dsp_info"] = []
@@ -165,7 +164,8 @@ class Transcriber:
         audio = fix_length(audio, int(clip_duration * self.ckpt_sr))
 
         mfcc_params, melspec_params = self._feature_params()
+        if "cnn" not in self.model_ckpts:
+            melspec_params = None
         mf, ms = self.feature_builder.extract_inference_features_from_audio(
             audio, self.ckpt_sr, mfcc_params, melspec_params, self.scaler)
-        return self.predictor.predict(
-            mf, ms if "cnn" in self.model_ckpts else None)
+        return self.predictor.predict(mf, ms)

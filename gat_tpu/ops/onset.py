@@ -28,7 +28,7 @@ from .spectral import melspectrogram_librosa, power_to_db_librosa, n_frames
 from .filters import maximum_filter1d, uniform_filter1d
 
 __all__ = ["onset_strength", "peak_pick_mask", "backtrack_indices",
-           "detect_onsets"]
+           "pick_onsets_from_envelope", "detect_onsets"]
 
 _TINY32 = 1.1754944e-38
 
@@ -100,32 +100,20 @@ def backtrack_indices(energy: jax.Array) -> jax.Array:
     return jax.lax.cummax(cand, axis=cand.ndim - 1).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("sr", "hop_length", "min_sep",
-                                             "max_onsets", "backtrack"))
-def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
-                  min_sep: float = 0.3, max_onsets: int = 64,
-                  backtrack: bool = True,
-                  n_valid_samples: jax.Array | None = None):
-    """Full onset chain for ONE signal (vmap for batches):
-    (n,) → (onset_samples (max_onsets,) int32, valid (max_onsets,) bool).
-
-    Mirrors the reference slicer: onset_strength → onset_detect(backtrack)
-    → frames_to_samples → greedy min-separation in samples
-    (ref slicing.py:106-122). `n_valid_samples` masks a zero-padded tail so
-    fixed-budget batching doesn't change detections."""
-    env = onset_strength(y, sr, hop_length=hop_length)
+def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
+                              min_sep: float, max_onsets: int,
+                              backtrack: bool = True,
+                              valid_frames: jax.Array | None = None):
+    """The sequential half of onset detection, shared by the single-device
+    and time-sharded paths: normalize the envelope (min-max over valid
+    frames), librosa-default peak pick, optional energy-minimum
+    backtracking, greedy min-separation, and compaction into a fixed
+    onset budget. env: (T,) → (onsets (max_onsets,) int32, valid mask)."""
     t = env.shape[-1]
-
-    if n_valid_samples is None:
+    if valid_frames is None:
         valid_frames = jnp.ones((t,), bool)
-        env_valid = env
-    else:
-        nvf = 1 + n_valid_samples // hop_length  # frames covering real audio
-        valid_frames = jnp.arange(t) < nvf
-        env_valid = jnp.where(valid_frames, env, jnp.inf)
 
-    # onset_detect normalization: min-max over (valid) envelope
-    emin = jnp.min(env_valid)
+    emin = jnp.min(jnp.where(valid_frames, env, jnp.inf))
     emax = jnp.max(jnp.where(valid_frames, env, -jnp.inf))
     env_n = (env - emin) / (emax - emin + _TINY32)
 
@@ -146,7 +134,6 @@ def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
         onset_frames = frames
     samples = onset_frames * hop_length
 
-    # greedy min-separation over frames (in sample units)
     min_samples = int(min_sep * sr)
 
     def step(last, xs):
@@ -157,9 +144,31 @@ def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
     _, keep = jax.lax.scan(step, jnp.asarray(-999999, jnp.int32),
                            (samples, peaks))
 
-    # compact kept sample indices into the fixed budget
     big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
-    tagged = jnp.where(keep, samples, big)
-    order = jnp.sort(tagged)[:max_onsets]
+    order = jnp.sort(jnp.where(keep, samples, big))[:max_onsets]
     valid = order < big
     return jnp.where(valid, order, 0), valid
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "hop_length", "min_sep",
+                                             "max_onsets", "backtrack"))
+def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
+                  min_sep: float = 0.3, max_onsets: int = 64,
+                  backtrack: bool = True,
+                  n_valid_samples: jax.Array | None = None):
+    """Full onset chain for ONE signal (vmap for batches):
+    (n,) → (onset_samples (max_onsets,) int32, valid (max_onsets,) bool).
+
+    Mirrors the reference slicer: onset_strength → onset_detect(backtrack)
+    → frames_to_samples → greedy min-separation in samples
+    (ref slicing.py:106-122). `n_valid_samples` masks a zero-padded tail so
+    fixed-budget batching doesn't change detections."""
+    env = onset_strength(y, sr, hop_length=hop_length)
+    t = env.shape[-1]
+    if n_valid_samples is None:
+        valid_frames = None
+    else:
+        nvf = 1 + n_valid_samples // hop_length  # frames covering real audio
+        valid_frames = jnp.arange(t) < nvf
+    return pick_onsets_from_envelope(env, sr, hop_length, min_sep,
+                                     max_onsets, backtrack, valid_frames)

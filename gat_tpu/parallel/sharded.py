@@ -19,7 +19,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..features import mfcc_feature_vectors, melspec_features
 from ..models import MLP, CNN
 from .mesh import DATA, MODEL, data_sharding, replicated
 
@@ -51,41 +50,27 @@ def mlp_tp_shardings(params: dict, mesh: Mesh) -> dict:
 
 
 def make_sharded_transcribe(predictor, scaler, mesh: Mesh, sr: int,
-                            mfcc_params: dict, melspec_params: dict):
+                            mfcc_params: dict,
+                            melspec_params: dict | None):
     """One jit program: clip batch (sharded over `data`) → ensemble probs
-    + YIN pitch. Weights replicated across the mesh."""
-    mlp_vars = jax.device_put(predictor.mlp_variables, replicated(mesh))
-    cnn_vars = (jax.device_put(predictor.cnn_variables, replicated(mesh))
-                if predictor.cnn_variables is not None else None)
-    mean = scaler.mean_ if scaler is not None else None
-    scale = scaler.scale_ if scaler is not None else None
-    w = predictor.cnn_weight
+    + YIN pitch. Weights replicated across the mesh; the ensemble recipe
+    itself comes from infer.pipeline (single source of truth)."""
+    from ..infer.pipeline import build_clip_ensemble_fn
+    from ..ops.yin import yin_pitch
+    predictor.mlp_variables = jax.device_put(predictor.mlp_variables,
+                                             replicated(mesh))
+    if predictor.cnn_variables is not None:
+        predictor.cnn_variables = jax.device_put(predictor.cnn_variables,
+                                                 replicated(mesh))
+    ensemble = build_clip_ensemble_fn(predictor, scaler, sr, mfcc_params,
+                                      melspec_params)
 
     @functools.partial(jax.jit,
                        in_shardings=(data_sharding(mesh, 2),),
                        out_shardings=(data_sharding(mesh, 2),
                                       data_sharding(mesh, 1)))
     def run(clips):
-        from ..ops.yin import yin_pitch
-        mf = mfcc_feature_vectors(
-            clips, sr, n_mfcc=mfcc_params["N_MFCC"],
-            normalize_audio_volume=mfcc_params["NORMALIZE_AUDIO_VOLUME"],
-            add_pitch_features=mfcc_params["ADD_PITCH_FEATURES"])
-        if mean is not None:
-            mf = (mf - mean) / scale
-        probs = jax.nn.softmax(predictor.mlp.apply(mlp_vars, mf), axis=-1)
-        if cnn_vars is not None:
-            ms = melspec_features(
-                clips, sr, n_mels=melspec_params["N_MELS"],
-                n_fft=melspec_params["N_FFT"],
-                hop_length=melspec_params["HOP_LENGTH"],
-                normalize_audio_volume=melspec_params[
-                    "NORMALIZE_AUDIO_VOLUME"])
-            cnn_probs = jax.nn.softmax(predictor.cnn.apply(cnn_vars, ms),
-                                       axis=-1)
-            probs = (1.0 - w) * probs + w * cnn_probs
-        pitch = yin_pitch(clips, sr)
-        return probs, pitch
+        return ensemble(clips), yin_pitch(clips, sr)
 
     return run
 

@@ -26,12 +26,10 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import spectral
-from ..ops.onset import peak_pick_mask, backtrack_indices
+from ..ops.onset import pick_onsets_from_envelope
 from .mesh import DATA
 
 __all__ = ["onset_envelope_timesharded", "detect_onsets_timesharded"]
-
-_TINY32 = 1.1754944e-38
 
 
 def _local_log_mel(chunk: jax.Array, sr: int, hop: int, n_fft: int,
@@ -74,19 +72,25 @@ def onset_envelope_timesharded(y: jax.Array, mesh: Mesh, sr: int,
     halo_n = n_fft - hop_length
     y_p = jnp.pad(y_p, (0, max(0, d * owned + halo_n - y_p.shape[0])))
     body = y_p[:d * owned]
+    # the last shard's halo is the real tail beyond the sharded body —
+    # replicated to all shards, used only where ppermute delivers nothing
+    tail = y_p[d * owned:d * owned + halo_n]
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=P(DATA), out_specs=P(DATA))
-    def local_mel(y_local):
-        # halo: my head goes to my left neighbor; last shard reads zeros
+        in_specs=(P(DATA), P()), out_specs=P(DATA))
+    def local_mel(y_local, tail_rep):
+        # halo: my head goes to my left neighbor; the last shard (which
+        # ppermute leaves zeroed) takes the replicated real tail instead
         head = y_local[0, :halo_n]
         halo = jax.lax.ppermute(head, DATA,
                                 [(i, i - 1) for i in range(1, d)])
+        is_last = jax.lax.axis_index(DATA) == d - 1
+        halo = jnp.where(is_last, tail_rep, halo)
         ext = jnp.concatenate([y_local[0], halo])
         return _local_log_mel(ext, sr, hop_length, n_fft, n_mels)[None]
 
-    mel = local_mel(body.reshape(d, owned))      # (d, Tl, M) sharded
+    mel = local_mel(body.reshape(d, owned), tail)  # (d, Tl, M) sharded
     mel = mel.reshape(d * t_local, n_mels)
     s_db = spectral.power_to_db_librosa(mel, spec_axes=2)
 
@@ -101,35 +105,10 @@ def detect_onsets_timesharded(y: jax.Array, mesh: Mesh, sr: int = 22050,
                               hop_length: int = 512, min_sep: float = 0.3,
                               max_onsets: int = 256):
     """Long-audio onset detection with the envelope computed
-    sequence-parallel; the tiny sequential peak-pick stays replicated
-    (ref detect_onsets semantics, slicing.py:106-122)."""
+    sequence-parallel; the tiny sequential half (normalization, peak
+    pick, backtrack, min-separation) is the same shared helper the
+    single-device path uses (ref detect_onsets semantics,
+    slicing.py:106-122)."""
     env = onset_envelope_timesharded(y, mesh, sr, hop_length)
-    t = env.shape[0]
-    emin, emax = jnp.min(env), jnp.max(env)
-    env_n = (env - emin) / (emax - emin + _TINY32)
-
-    pre_max = int(0.03 * sr // hop_length)
-    post_max = int(0.00 * sr // hop_length + 1)
-    pre_avg = int(0.10 * sr // hop_length)
-    post_avg = int(0.10 * sr // hop_length + 1)
-    wait = int(0.03 * sr // hop_length)
-    peaks = peak_pick_mask(env_n, pre_max, post_max, pre_avg, post_avg,
-                           delta=0.07, wait=wait)
-    bt = backtrack_indices(env_n)
-    frames = jnp.arange(t, dtype=jnp.int32)
-    onset_frames = jnp.where(peaks, bt, frames)
-    samples = onset_frames * hop_length
-
-    min_samples = int(min_sep * sr)
-
-    def step(last, xs):
-        s, is_peak = xs
-        keep = is_peak & (s - last >= min_samples)
-        return jnp.where(keep, s, last), keep
-
-    _, keep = jax.lax.scan(step, jnp.asarray(-999999, jnp.int32),
-                           (samples, peaks))
-    big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
-    order = jnp.sort(jnp.where(keep, samples, big))[:max_onsets]
-    valid = order < big
-    return jnp.where(valid, order, 0), valid
+    return pick_onsets_from_envelope(env, sr, hop_length, min_sep,
+                                     max_onsets)

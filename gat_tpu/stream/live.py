@@ -117,13 +117,18 @@ class LiveTranscriber:
             except queue.Full:
                 pass
 
-    def process_buffer(self) -> int:
+    def process_buffer(self, force: bool = False) -> int:
         """One consumer step over a full buffer: slice notes between onset
         pairs (a trailing single onset slices to the end), enqueue clips,
         drop the consumed prefix. Returns clips enqueued
-        (ref transcribe_live.py:165-196)."""
+        (ref transcribe_live.py:165-196).
+
+        `force=True` (end-of-stream flush) processes a partially filled
+        buffer too — otherwise audio shorter than the buffer duration
+        would never be examined."""
         if not self.buffer.is_full():
-            return 0
+            if not force or self.buffer.size() <= self.min_slice_len:
+                return 0
         buf = self.buffer.get_buffer()  # snapshot copy
         onsets = self.detect_onsets(buf)
         queued = 0
@@ -187,8 +192,8 @@ class LiveTranscriber:
             self.buffer.push(block)
             self.process_buffer()
             self.drain_queue()
-        # flush whatever remains
-        self.process_buffer()
+        # flush whatever remains, including a never-filled buffer
+        self.process_buffer(force=True)
         self.drain_queue()
         return self.results
 

@@ -56,43 +56,18 @@ class ScanStreamer:
         chunk, ring_n, clip_n = self.chunk, self.ring_n, self.clip_n
         min_sep_n = self.min_sep_n
         mfcc_params, melspec_params = t._feature_params()
-        melspec_params = melspec_params or {
-            "N_MELS": 64, "N_FFT": 2048, "HOP_LENGTH": 256,
-            "NORMALIZE_AUDIO_VOLUME": True}
-        has_cnn = "cnn" in t.model_ckpts
-        ckpt_sr = t.ckpt_sr
-        from ..ops.resample import resample, fix_length
-        from ..features import mfcc_feature_vectors, melspec_features
+        if "cnn" not in t.model_ckpts:
+            melspec_params = None
+        from ..infer.pipeline import build_clip_ensemble_fn
         from ..segment.gating import slice_rms_db
+        ensemble = build_clip_ensemble_fn(
+            t.predictor, t.scaler, t.ckpt_sr, mfcc_params, melspec_params,
+            in_sr=sr, clip_len=round(clip_n * t.ckpt_sr / sr),
+            pitch_on_normalized=True)
 
         def clip_probs(clip):
             """(clip_n,) @ sr → (num_classes,) ensemble probs."""
-            c = clip[None]
-            if sr != ckpt_sr:
-                c = resample(c, sr, ckpt_sr)
-            c = fix_length(c, int(ckpt_sr * clip_n / sr))
-            mf = mfcc_feature_vectors(
-                c, ckpt_sr, n_mfcc=mfcc_params["N_MFCC"],
-                normalize_audio_volume=mfcc_params[
-                    "NORMALIZE_AUDIO_VOLUME"],
-                add_pitch_features=mfcc_params["ADD_PITCH_FEATURES"],
-                pitch_on_normalized=True)
-            if t.scaler is not None:
-                mf = t.scaler.transform(mf)
-            probs = jax.nn.softmax(t.predictor.mlp.apply(
-                t.predictor.mlp_variables, mf), axis=-1)
-            if has_cnn:
-                ms = melspec_features(
-                    c, ckpt_sr, n_mels=melspec_params["N_MELS"],
-                    n_fft=melspec_params["N_FFT"],
-                    hop_length=melspec_params["HOP_LENGTH"],
-                    normalize_audio_volume=melspec_params[
-                        "NORMALIZE_AUDIO_VOLUME"])
-                cp = jax.nn.softmax(t.predictor.cnn.apply(
-                    t.predictor.cnn_variables, ms), axis=-1)
-                w = t.predictor.cnn_weight
-                probs = (1.0 - w) * probs + w * cp
-            return probs[0]
+            return ensemble(clip[None])[0]
 
         def step(carry, chunk_x):
             ring, last_emit = carry  # last_emit: global sample idx

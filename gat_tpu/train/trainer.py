@@ -338,14 +338,27 @@ class Trainer:
         return ("melspec", config_dict(MELSPEC_CONFIG),
                 config_dict(CNN_CONFIG))
 
+    def _ckpt_defaults(self):
+        """Default checkpoint dir + filename per model family. Only the
+        two reference families own the config-named paths; any other
+        model type gets its own directory so e.g. a logreg baseline never
+        overwrites the shipped CNN checkpoint."""
+        if self.model_type == "mlp":
+            return MLP_CONFIG.CHECKPOINTS_DIR, MLP_CONFIG.DEFAULT_CKPT_NAME
+        if self.model_type == "cnn":
+            return CNN_CONFIG.CHECKPOINTS_DIR, CNN_CONFIG.DEFAULT_CKPT_NAME
+        from ..config import CHECKPOINTS_ROOT
+        return (CHECKPOINTS_ROOT / self.model_type,
+                f"{self.model_type}_v{CONFIG_VERSION}.gtckpt.npz")
+
     def save(self, filename=None, root=None, target_sr: int = TARGET_SR,
              clip_length: float = CLIP_DURATION, include_opt: bool = True):
         """Self-describing checkpoint, C15 schema (ref
         mlp_trainer.py:434-480)."""
         feat_type, feat_params, model_params = self._default_cfg()
-        cfg = MLP_CONFIG if self.model_type == "mlp" else CNN_CONFIG
-        root = Path(root) if root else cfg.CHECKPOINTS_DIR
-        filename = filename or cfg.DEFAULT_CKPT_NAME
+        d_root, d_name = self._ckpt_defaults()
+        root = Path(root) if root else d_root
+        filename = filename or d_name
         ckpt = {
             "meta": {"config_version": CONFIG_VERSION,
                      "datetime": time.strftime("%d/%m/%Y %H:%M:%S"),
@@ -379,9 +392,9 @@ class Trainer:
     def load(self, filename=None, root=None):
         """Restore weights, histories, epoch counter (and optimizer state
         when present) — ref mlp_trainer.py:482-514."""
-        cfg = MLP_CONFIG if self.model_type == "mlp" else CNN_CONFIG
-        root = Path(root) if root else cfg.CHECKPOINTS_DIR
-        filename = filename or cfg.DEFAULT_CKPT_NAME
+        d_root, d_name = self._ckpt_defaults()
+        root = Path(root) if root else d_root
+        filename = filename or d_name
         ck = load_checkpoint(Path(root) / filename)
         saved_args = ck.get("model_init_args", {})
         current = dict(self.model.init_args)

@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -26,6 +27,7 @@ struct Wav {
     uint16_t channels = 0;
     uint32_t sample_rate = 0;
     uint16_t bits = 0;
+    uint64_t data_size = 0;  // probe records size without allocating
     std::vector<uint8_t> data;
 };
 
@@ -50,22 +52,41 @@ int parse(const char* path, Wav& w, bool want_data) {
         uint32_t size;
         std::memcpy(&size, chdr + 4, 4);
         if (std::memcmp(chdr, "fmt ", 4) == 0) {
+            if (size < 16) {  // a valid PCM fmt chunk is ≥ 16 bytes
+                std::fclose(f);
+                return -2;
+            }
             std::vector<uint8_t> fmt(size);
             if (std::fread(fmt.data(), 1, size, f) != size) break;
             std::memcpy(&w.format, fmt.data(), 2);
             std::memcpy(&w.channels, fmt.data() + 2, 2);
             std::memcpy(&w.sample_rate, fmt.data() + 4, 4);
             std::memcpy(&w.bits, fmt.data() + 14, 2);
-            if (w.format == kExtensible && size >= 26) {
+            if (w.format == kExtensible) {
+                if (size < 26) {
+                    std::fclose(f);
+                    return -2;
+                }
                 std::memcpy(&w.format, fmt.data() + 24, 2);
             }
             have_fmt = true;
         } else if (std::memcmp(chdr, "data", 4) == 0) {
+            w.data_size = size;
             if (want_data) {
-                w.data.resize(size);
-                if (std::fread(w.data.data(), 1, size, f) != size) break;
+                try {
+                    w.data.resize(size);
+                } catch (const std::bad_alloc&) {
+                    std::fclose(f);
+                    return -1;  // corrupt size field / out of memory
+                }
+                size_t got = std::fread(w.data.data(), 1, size, f);
+                if (got != size) {
+                    // truncated payload: keep what's there (frame count
+                    // derives from the actual bytes read)
+                    w.data.resize(got);
+                    w.data_size = got;
+                }
             } else {
-                w.data.resize(size);  // size only; skip payload
                 std::fseek(f, size, SEEK_CUR);
             }
             have_data = true;
@@ -84,7 +105,7 @@ int parse(const char* path, Wav& w, bool want_data) {
 
 long frame_count(const Wav& w) {
     long bytes_per = (w.bits / 8) * w.channels;
-    return bytes_per ? static_cast<long>(w.data.size()) / bytes_per : 0;
+    return bytes_per ? static_cast<long>(w.data_size) / bytes_per : 0;
 }
 
 }  // namespace

@@ -42,8 +42,13 @@ def test_cli_end_to_end(tmp_path, capsys):
 def test_cli_rejects_non_wav(tmp_path):
     bad = tmp_path / "x.mp3"
     bad.write_bytes(b"junk")
-    with pytest.raises(SystemExit):  # argparse error path (no dialog)
+    with pytest.raises(ValueError, match="must be a .wav"):
         cli_main(["--audio", str(bad)])
+
+
+def test_cli_missing_file_errors_directly(tmp_path):
+    with pytest.raises(FileNotFoundError, match="not found"):
+        cli_main(["--audio", str(tmp_path / "nope.wav")])
 
 
 def test_cli_save_clips(tmp_path):

@@ -65,6 +65,17 @@ def test_live_transcriber_on_array_source():
     assert set(labels) <= {"A2", "G3", "B3"}, labels
 
 
+def test_live_short_audio_flush():
+    """Audio shorter than the ring duration must still be examined at the
+    end-of-stream flush (regression: is_full() was never true)."""
+    from gat_tpu.infer import Transcriber
+    live = LiveTranscriber(Transcriber(), verbose=False)
+    note = make_pluck(196.0, 22050, 0.9, seed=2)  # < 1.5 s buffer
+    results = live.run_on_source(ArraySource(note))
+    assert len(results) >= 1
+    assert results[0]["labels"] == ["G3"]
+
+
 def test_queue_drop_oldest_backpressure():
     live = LiveTranscriber.__new__(LiveTranscriber)
     import queue

@@ -49,3 +49,20 @@ def test_onsets_match_single_device():
     ref = np.asarray(o_ref)[np.asarray(v_ref)]
     np.testing.assert_array_equal(got, ref)
     assert len(ref) == 10  # every pluck found
+
+
+def test_envelope_even_shard_tail(rng):
+    """Regression: when the frame count divides the shard count exactly,
+    the sharded body truncates real tail samples — the last shard must
+    receive them as its halo (not zeros) or the final envelope frames
+    show spurious flux."""
+    mesh = make_mesh(8)
+    # 175616 samples → t_global = 344 = 8 × 43, loud to the very end
+    n = 175616
+    t = np.arange(n) / SR
+    y = (0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    env_sp = np.asarray(onset_envelope_timesharded(jnp.asarray(y), mesh,
+                                                   SR))
+    env_ref = np.asarray(onset_strength(jnp.asarray(y), SR))
+    m = min(len(env_sp), len(env_ref))
+    np.testing.assert_allclose(env_sp[:m], env_ref[:m], atol=1e-3)
