@@ -93,12 +93,18 @@ def additive_pluck(freq_hz: float, sr: int, duration: float,
 def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                             duration: float = 0.5,
                             variants_per_class: int = 24,
-                            seed: int = 0, verbose: bool = True) -> Path:
+                            seed: int = 0, verbose: bool = True,
+                            noise_snr_db: tuple[float, float] | None = None
+                            ) -> Path:
     """Write `<out_root>/<label>/<label>_<i>.wav` for each SPN class.
 
     Per-variant augmentation: synth engine (KS vs additive), damping/
     brightness/decay draws, amplitude 0.1–0.9, ±10-cent detune, and a low
-    noise floor — so scaler/classifier see realistic spread."""
+    noise floor — so scaler/classifier see realistic spread.
+
+    noise_snr_db=(lo, hi): additionally mix white noise into a random
+    half of the variants at an SNR drawn uniformly from [lo, hi] dB —
+    noise-robustness augmentation for the classifiers."""
     out_root = Path(out_root)
     class_names = class_names or DEFAULT_CLASS_NAMES
     rng = np.random.default_rng(seed)
@@ -123,6 +129,12 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                     seed=seed * 100000 + ci * 100 + i)[0]
             amp = rng.uniform(0.1, 0.9)
             sig = sig * amp + rng.normal(0, 1e-4, len(sig))
+            if noise_snr_db is not None and rng.random() < 0.5:
+                snr = rng.uniform(*noise_snr_db)
+                sig_rms = np.sqrt(np.mean(sig ** 2)) + 1e-12
+                noise = rng.normal(0, 1.0, len(sig))
+                noise *= sig_rms / (np.sqrt(np.mean(noise ** 2)) + 1e-12)
+                sig = sig + noise * 10.0 ** (-snr / 20.0)
             write_wav(folder / f"{name.replace('#', 's')}_{i:03d}.wav",
                       sig.astype(np.float32), sr)
         if verbose and ci % 10 == 0:

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--model", default="cnn", choices=["cnn", "mlp", "all"])
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--variants", type=int, default=40)
+    ap.add_argument("--noise", action="store_true",
+                    help="noise-augment half the variants (SNR 8-40 dB)")
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--target_sr", type=int, default=11025)
     ap.add_argument("--seed", type=int, default=42)
@@ -40,11 +42,13 @@ def main():
     from gat_tpu.data.synth import synthesize_note_dataset
     from gat_tpu.train import TrainingManager
 
-    ds = DATASETS_ROOT / "synthetic" / f"ks47_v{args.variants}"
+    tag = f"ks47_v{args.variants}" + ("_noisy" if args.noise else "")
+    ds = DATASETS_ROOT / "synthetic" / tag
     if not ds.exists():
         t0 = time.time()
-        synthesize_note_dataset(ds, variants_per_class=args.variants,
-                                seed=args.seed)
+        synthesize_note_dataset(
+            ds, variants_per_class=args.variants, seed=args.seed,
+            noise_snr_db=(8.0, 40.0) if args.noise else None)
         print(f"dataset synthesis: {time.time() - t0:.1f}s")
 
     mgr = TrainingManager(target_sr=args.target_sr)
