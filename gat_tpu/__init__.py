@@ -15,3 +15,26 @@ from .config import (  # noqa: F401
     PARALLEL_CONFIG,
     MFCCConfig, MelSpecConfig, MLPConfig, CNNConfig, AudioSlicerConfig,
 )
+
+# Lazy top-level API: `from gat_tpu import Transcriber` etc. without
+# paying the jax/flax import cost for config-only users.
+_LAZY = {
+    "Transcriber": ".infer",
+    "NotePredictor": ".infer",
+    "FeatureBuilder": ".features",
+    "AudioSlicer": ".segment.slicing",
+    "AudioDatasetLoader": ".data.loader",
+    "TrainingManager": ".train",
+    "Trainer": ".train",
+    "LiveTranscriber": ".stream",
+    "MLP": ".models",
+    "CNN": ".models",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        module = importlib.import_module(_LAZY[name], __name__)
+        return getattr(module, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

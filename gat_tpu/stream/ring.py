@@ -50,6 +50,13 @@ class RingBuffer:
             self._start = (self._start + overflow) % self.maxlen
             self._size = min(self._size + n, self.maxlen)
 
+    def pop(self) -> None:
+        """Drop the newest sample (reference surface parity,
+        ref transcribe_live.py:51-52)."""
+        with self._lock:
+            if self._size:
+                self._size -= 1
+
     def get_buffer(self) -> np.ndarray:
         """Snapshot copy, oldest→newest."""
         with self._lock:

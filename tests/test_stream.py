@@ -86,3 +86,10 @@ def test_queue_drop_oldest_backpressure():
     assert live.note_q.qsize() == 2
     first = live.note_q.get_nowait()
     assert first[0] in (2.0,)
+
+
+def test_ring_pop_drops_newest():
+    r = RingBuffer(6)
+    r.push(np.arange(5, dtype=np.float32))
+    r.pop()
+    np.testing.assert_array_equal(r.get_buffer(), [0, 1, 2, 3])
