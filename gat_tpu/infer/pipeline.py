@@ -22,8 +22,10 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
                            melspec_params: dict | None,
                            in_sr: int | None = None,
                            clip_len: int | None = None,
-                           pitch_on_normalized: bool = False):
-    """Returns a jit-able fn(clips (N, L)) → probs (N, num_classes).
+                           pitch_on_normalized: bool = False,
+                           return_parts: bool = False):
+    """Returns a jit-able fn(clips (N, L)) → probs (N, num_classes)
+    (or (blended, mlp_probs, cnn_probs|None) when return_parts).
 
     clips arrive at `in_sr` (default: already at the checkpoint rate) and
     are re-rated/length-fixed on device when needed. When
@@ -49,7 +51,9 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
             pitch_on_normalized=pitch_on_normalized)
         if mean is not None:
             mf = (mf - mean) / scale
-        probs = jax.nn.softmax(predictor.mlp.apply(mlp_vars, mf), axis=-1)
+        mlp_probs = jax.nn.softmax(predictor.mlp.apply(mlp_vars, mf),
+                                   axis=-1)
+        cp = None
         if use_cnn:
             ms = melspec_features(
                 c, ckpt_sr, n_mels=melspec_params["N_MELS"],
@@ -58,7 +62,11 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
                 normalize_audio_volume=melspec_params[
                     "NORMALIZE_AUDIO_VOLUME"])
             cp = jax.nn.softmax(predictor.cnn.apply(cnn_vars, ms), axis=-1)
-            probs = (1.0 - w) * probs + w * cp
+            probs = (1.0 - w) * mlp_probs + w * cp
+        else:
+            probs = mlp_probs
+        if return_parts:
+            return probs, mlp_probs, cp
         return probs
 
     return run

@@ -20,6 +20,7 @@ from __future__ import annotations
 from datetime import datetime
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,7 @@ class Transcriber:
         repo itself ships without the CNN blob)."""
         self.feature_builder = FeatureBuilder()
         self.predictor = NotePredictor(cnn_weight=cnn_weight)
+        self._fused_cache: dict = {}
 
         mlp_root = Path(mlp_root) if mlp_root else MLP_CONFIG.CHECKPOINTS_DIR
         cnn_root = Path(cnn_root) if cnn_root else CNN_CONFIG.CHECKPOINTS_DIR
@@ -93,6 +95,44 @@ class Transcriber:
                           else None)
         return mfcc_params, melspec_params
 
+    def _fused_file_fn(self, target_sr: int, clip_duration: float,
+                       max_onsets: int):
+        """One jit program: whole (padded) waveform → masked clip probs,
+        YIN pitches, onsets, kept mask — segmentation, clip re-rating,
+        features, both model forwards, ensemble and the DSP baseline with
+        no intermediate host round trip (the north-star 'raw waveform to
+        pitch label is one traced graph'). Cached per parameter set; jit
+        re-specializes per padded audio length (lengths are bucketed to
+        whole seconds by the caller)."""
+        key = (target_sr, clip_duration, max_onsets)
+        if key in self._fused_cache:
+            return self._fused_cache[key]
+
+        mfcc_params, melspec_params = self._feature_params()
+        if "cnn" not in self.model_ckpts:
+            melspec_params = None
+        from .pipeline import build_clip_ensemble_fn
+        ensemble = build_clip_ensemble_fn(
+            self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
+            melspec_params, in_sr=target_sr,
+            clip_len=int(self.ckpt_sr * clip_duration),
+            return_parts=True)
+
+        @jax.jit
+        def run(y, n_valid):
+            clips, kept, onsets, ovalid, times = segment_waveform(
+                y, sr=target_sr, length_sec=clip_duration,
+                max_onsets=max_onsets, n_valid_samples=n_valid)
+            probs, mlp_p, cnn_p = ensemble(clips)  # masked slots → zeros
+            clips_ckpt = fix_length(
+                resample(clips, target_sr, self.ckpt_sr),
+                int(self.ckpt_sr * clip_duration))
+            pitch = yin_pitch(clips_ckpt, self.ckpt_sr)
+            return probs, mlp_p, cnn_p, pitch, kept, onsets, times
+
+        self._fused_cache[key] = run
+        return run
+
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
         """Batched core: clips already at checkpoint SR, (N, L) →
         prediction dict + batched YIN baseline. All device compute; the
@@ -117,12 +157,62 @@ class Transcriber:
                    audio_name: str = "transcribe_audio",
                    target_sr: int = TARGET_SR,
                    clip_duration: float = CLIP_DURATION,
-                   save_clips: bool = False, max_onsets: int = 64) -> dict:
+                   save_clips: bool = False, max_onsets: int = 64,
+                   fused: bool | None = None) -> dict:
         """Full transcription of one audio file (ref transcribe.py:77-144):
         slice at `target_sr`, re-rate clips to the checkpoint SR, extract
-        features with checkpoint params, ensemble-predict, YIN baseline."""
+        features with checkpoint params, ensemble-predict, YIN baseline.
+
+        fused=True: the whole chain runs as ONE device program over the
+        padded waveform (audio lengths bucket to whole seconds to bound
+        recompilation), at the cost of computing every max_onsets budget
+        slot. Measured per-file latency favors the two-stage path on both
+        CPU (28 vs 136 ms — budget-slot compute dominates) and the
+        tunneled TPU (21 vs 116 ms — extra result transfers dominate),
+        so two-stage is the default; fused remains available for
+        co-located serving where host↔device hops are microseconds.
+        save_clips always uses the two-stage path (the clips must visit
+        the host anyway)."""
+        if fused is None:
+            fused = False
         y, sr_in = read_wav(audio_path)
         y22 = jnp.asarray(np.asarray(resample(y, sr_in, target_sr)))
+
+        if fused and not save_clips:
+            n = int(y22.shape[-1])
+            bucket = max(1, -(-n // target_sr)) * target_sr
+            y_pad = fix_length(y22, bucket)
+            run = self._fused_file_fn(target_sr, clip_duration, max_onsets)
+            probs, mlp_p, cnn_p, pitch, kept, onsets, times = run(
+                y_pad, jnp.asarray(n))
+            kept_np = np.asarray(kept)
+            if not kept_np.any():
+                raise ValueError("[transcribe] No clips survived slicing.")
+            probs = np.asarray(probs)[kept_np]
+            idx = probs.argmax(axis=1)
+            rm = self.predictor.reverse_map
+            result = {
+                "indices": idx,
+                "labels": ([rm[int(i)] for i in idx] if rm
+                           else [int(i) for i in idx]),
+                "confidences": probs[np.arange(len(idx)), idx],
+                "probs": probs,
+                "per_model_probs": {
+                    "mlp": np.asarray(mlp_p)[kept_np],
+                    "cnn": (np.asarray(cnn_p)[kept_np]
+                            if cnn_p is not None else None),
+                },
+                "dsp_info": [],
+            }
+            for hz in np.asarray(pitch)[kept_np]:
+                midi, name, midi_f = estimate_note(float(hz))
+                result["dsp_info"].append((float(hz), {
+                    "midi": midi, "note_name": name,
+                    "midi_float": midi_f}))
+            result["onsets_s"] = (np.asarray(onsets)[kept_np]
+                                  / float(target_sr)).tolist()
+            result["times"] = np.asarray(times)[kept_np].tolist()
+            return result
 
         clips, kept, onsets, ovalid, times = segment_waveform(
             y22, sr=target_sr, length_sec=clip_duration,

@@ -105,3 +105,21 @@ def test_predict_debug_weight_sweep(transcriber):
     preds = transcriber.predictor.predict_debug([0.0], np.asarray(mf))
     # with cnn absent, weight 0.0 → pure MLP
     assert preds[0][1]["labels"] == ["D3"]
+
+
+def test_fused_matches_two_stage(tmp_path, transcriber):
+    """The one-graph fused file path must produce the same labels,
+    confidences, YIN notes, and onsets as the two-stage path."""
+    y = _riff()
+    p = tmp_path / "fz.wav"
+    write_wav(p, y, SR)
+    r_f = transcriber.transcribe(p, fused=True)
+    r_2 = transcriber.transcribe(p, fused=False)
+    assert r_f["labels"] == r_2["labels"]
+    np.testing.assert_allclose(r_f["confidences"], r_2["confidences"],
+                               atol=1e-5)
+    assert [i["note_name"] for _, i in r_f["dsp_info"]] == \
+        [i["note_name"] for _, i in r_2["dsp_info"]]
+    assert r_f["onsets_s"] == r_2["onsets_s"]
+    np.testing.assert_allclose(r_f["per_model_probs"]["mlp"],
+                               r_2["per_model_probs"]["mlp"], atol=1e-5)
