@@ -206,8 +206,11 @@ class LiveTranscriber:
             print("Listening to mic... Press Ctrl+C to stop.")
             try:
                 while duration is None or time.time() - t0 < duration:
-                    self.process_buffer()
-                    self.drain_queue()
+                    try:
+                        self.process_buffer()
+                        self.drain_queue()
+                    except Exception as e:  # keep the mic loop alive
+                        print(f"Exception: {e}")
                     time.sleep(0.1)
             except KeyboardInterrupt:
                 print("Stopping live mic...")

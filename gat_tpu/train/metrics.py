@@ -15,8 +15,10 @@ __all__ = ["confusion_matrix", "classification_report", "grad_norm_bar",
 
 
 def confusion_matrix(y_true, y_pred, num_classes: int | None = None,
-                     normalize: bool = False) -> np.ndarray:
-    """Row-normalizable confusion matrix (ref mlp_trainer.py:225-264)."""
+                     normalize: bool = False, plot: bool = False,
+                     classes=None, out_path=None) -> np.ndarray:
+    """Row-normalizable confusion matrix, optionally rendered as a
+    heatmap with per-cell annotations (ref mlp_trainer.py:225-264)."""
     y_true = np.asarray(y_true, int).ravel()
     y_pred = np.asarray(y_pred, int).ravel()
     n = num_classes or int(max(y_true.max(), y_pred.max())) + 1
@@ -26,7 +28,38 @@ def confusion_matrix(y_true, y_pred, num_classes: int | None = None,
         with np.errstate(all="ignore"):
             cm = cm.astype(float) / cm.sum(axis=1, keepdims=True)
             cm = np.nan_to_num(cm)
+    if plot:
+        _plot_confusion(cm, classes, normalize, out_path)
     return cm
+
+
+def _plot_confusion(cm, classes, normalize, out_path):
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(figsize=(8, 6))
+    im = ax.imshow(cm, cmap="Blues")
+    fig.colorbar(im)
+    if classes is not None:
+        ax.set_xticks(range(len(classes)), classes, rotation=45)
+        ax.set_yticks(range(len(classes)), classes)
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("True")
+    ax.set_title("Confusion Matrix")
+    if cm.shape[0] <= 20:  # annotate only when readable
+        thresh = cm.max() / 2
+        for i in range(cm.shape[0]):
+            for j in range(cm.shape[1]):
+                val = f"{cm[i, j]:.2f}" if normalize else str(int(cm[i, j]))
+                ax.text(j, i, val, ha="center", va="center",
+                        color="white" if cm[i, j] > thresh else "black")
+    fig.tight_layout()
+    if out_path is not None:
+        fig.savefig(out_path, dpi=100)
+    plt.close(fig)
 
 
 def classification_report(y_true, y_pred, target_names=None,

@@ -59,9 +59,13 @@ def main():
         print(f"CNN final: val acc {acc:.4f}, val loss {loss:.4f}")
     if args.model in ("mlp", "all"):
         tr = mgr.train_mlp(dataset=ds, epochs=args.epochs or 20,
-                           seed=args.seed)
+                           seed=args.seed, save=False)
         acc, loss = tr.evaluate(report=True)
         print(f"MLP final: val acc {acc:.4f}, val loss {loss:.4f}")
+        # never clobber the imported reference checkpoint: the synthetic-
+        # trained MLP ships under its own name
+        tr.save(filename="mlp_synth_v1.0.0.gtckpt.npz",
+                target_sr=args.target_sr)
 
 
 if __name__ == "__main__":
