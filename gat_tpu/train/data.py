@@ -11,8 +11,8 @@ import numpy as np
 
 from ..utils.scaler import FeatureScaler
 
-__all__ = ["ArrayDataLoader", "stratified_split",
-           "build_mfcc_train_val", "build_melspec_train_val"]
+__all__ = ["ArrayDataLoader", "stratified_split", "build_mfcc_train_val",
+           "build_melspec_dataloader", "build_melspec_train_val"]
 
 
 class ArrayDataLoader:
@@ -72,6 +72,20 @@ def build_mfcc_train_val(feature_builder, audio_loader, n_mfcc: int = 64,
                             drop_last=drop_last)
     dl_val = ArrayDataLoader(X_val, y_val, batch_size, shuffle=False)
     return dl_tr, dl_val, X, y, num_classes, reverse_map, scaler
+
+
+def build_melspec_dataloader(feature_builder, audio_loader,
+                             n_mels: int = 64, n_fft: int = 2048,
+                             hop_length: int = 256, batch_size: int = 32,
+                             shuffle: bool = True,
+                             normalize_audio_volume: bool = False):
+    """Single mel-spec loader without a split (ref features.py:343-365).
+    Returns (dataloader, num_classes, reverse_map)."""
+    X, y, num_classes, reverse_map = \
+        feature_builder.extract_melspec_features(
+            audio_loader, n_mels, n_fft, hop_length, normalize_audio_volume)
+    dl = ArrayDataLoader(X, y, batch_size, shuffle=shuffle)
+    return dl, num_classes, reverse_map
 
 
 def build_melspec_train_val(feature_builder, audio_loader, n_mels: int = 64,

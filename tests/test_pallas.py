@@ -47,3 +47,19 @@ def test_pallas_quiet_clip_clamp():
                                       interpret=True))
     ref = _reference_mfcc_mean(clips, sr)
     np.testing.assert_allclose(got, ref, atol=0.05)
+
+
+def test_melspec_pallas_matches_xla():
+    from gat_tpu.ops.pallas.melspec_frontend import melspec_pallas
+    from gat_tpu.features import melspec_features
+    import jax.numpy as jnp
+    sr = 11025
+    clips = np.stack([make_pluck(f, sr, 0.5, seed=i)[:5512]
+                      for i, f in enumerate([110.0, 246.94, 440.0])])
+    got = np.asarray(melspec_pallas(clips, sr, block_b=4, interpret=True))
+    ref = np.asarray(melspec_features(jnp.asarray(clips), sr,
+                                      normalize_audio_volume=False))
+    assert got.shape == ref.shape == (3, 64, 22, 1)
+    signal = ref > -60.0
+    np.testing.assert_allclose(got[signal], ref[signal], atol=0.05)
+    np.testing.assert_allclose(got, ref, atol=1.0)
