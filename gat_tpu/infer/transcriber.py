@@ -104,7 +104,13 @@ class Transcriber:
         pitch label is one traced graph'). Cached per parameter set; jit
         re-specializes per padded audio length (lengths are bucketed to
         whole seconds by the caller)."""
-        key = (target_sr, clip_duration, max_onsets)
+        # key includes mutable predictor state: a changed ensemble weight
+        # or freshly loaded variables must rebuild the closure, or the
+        # fused path would silently serve stale weights
+        key = (target_sr, clip_duration, max_onsets,
+               self.predictor.cnn_weight,
+               id(self.predictor.mlp_variables),
+               id(self.predictor.cnn_variables))
         if key in self._fused_cache:
             return self._fused_cache[key]
 
@@ -112,21 +118,21 @@ class Transcriber:
         if "cnn" not in self.model_ckpts:
             melspec_params = None
         from .pipeline import build_clip_ensemble_fn
+        # clips are re-rated ONCE below and shared by the ensemble and the
+        # YIN baseline, so the builder gets them already at checkpoint SR
         ensemble = build_clip_ensemble_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, in_sr=target_sr,
-            clip_len=int(self.ckpt_sr * clip_duration),
-            return_parts=True)
+            melspec_params, return_parts=True)
 
         @jax.jit
         def run(y, n_valid):
             clips, kept, onsets, ovalid, times = segment_waveform(
                 y, sr=target_sr, length_sec=clip_duration,
                 max_onsets=max_onsets, n_valid_samples=n_valid)
-            probs, mlp_p, cnn_p = ensemble(clips)  # masked slots → zeros
             clips_ckpt = fix_length(
                 resample(clips, target_sr, self.ckpt_sr),
                 int(self.ckpt_sr * clip_duration))
+            probs, mlp_p, cnn_p = ensemble(clips_ckpt)  # masked → zeros
             pitch = yin_pitch(clips_ckpt, self.ckpt_sr)
             return probs, mlp_p, cnn_p, pitch, kept, onsets, times
 
@@ -158,7 +164,7 @@ class Transcriber:
                    target_sr: int = TARGET_SR,
                    clip_duration: float = CLIP_DURATION,
                    save_clips: bool = False, max_onsets: int = 64,
-                   fused: bool | None = None) -> dict:
+                   fused: bool = False) -> dict:
         """Full transcription of one audio file (ref transcribe.py:77-144):
         slice at `target_sr`, re-rate clips to the checkpoint SR, extract
         features with checkpoint params, ensemble-predict, YIN baseline.
@@ -173,8 +179,6 @@ class Transcriber:
         co-located serving where host↔device hops are microseconds.
         save_clips always uses the two-stage path (the clips must visit
         the host anyway)."""
-        if fused is None:
-            fused = False
         y, sr_in = read_wav(audio_path)
         y22 = jnp.asarray(np.asarray(resample(y, sr_in, target_sr)))
 

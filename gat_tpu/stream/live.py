@@ -209,8 +209,10 @@ class LiveTranscriber:
                     try:
                         self.process_buffer()
                         self.drain_queue()
-                    except Exception as e:  # keep the mic loop alive
-                        print(f"Exception: {e}")
+                    except Exception:  # keep the mic loop alive
+                        import traceback
+                        traceback.print_exc()
+                        self.buffer.clear()  # drop state that caused it
                     time.sleep(0.1)
             except KeyboardInterrupt:
                 print("Stopping live mic...")

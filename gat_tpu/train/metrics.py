@@ -33,12 +33,21 @@ def confusion_matrix(y_true, y_pred, num_classes: int | None = None,
     return cm
 
 
-def _plot_confusion(cm, classes, normalize, out_path):
+def _get_plt():
+    """Headless matplotlib, or None when unavailable — shared by every
+    plotting entry point in this module."""
     try:
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+        return plt
     except Exception:
+        return None
+
+
+def _plot_confusion(cm, classes, normalize, out_path):
+    plt = _get_plt()
+    if plt is None:
         return
     fig, ax = plt.subplots(figsize=(8, 6))
     im = ax.imshow(cm, cmap="Blues")
@@ -100,11 +109,8 @@ def plot_curves(histories: dict[str, list[float]], title: str = "Curves",
     """Training/validation curve plot (ref mlp_trainer.py:198-223).
     Writes to out_path when given; returns the figure or None if
     matplotlib is unavailable."""
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except Exception:
+    plt = _get_plt()
+    if plt is None:
         return None
     fig, ax = plt.subplots(figsize=(8, 4))
     for label, ys in histories.items():

@@ -27,13 +27,23 @@ def parse_trace(trace_dir: str, top: int = 25):
     for f in files:
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
+        events = data.get("traceEvents", [])
+        # keep only device lanes: host Python/launch events would
+        # otherwise dominate and misattribute the time
+        device_pids = {e.get("pid") for e in events
+                       if e.get("ph") == "M"
+                       and e.get("name") == "process_name"
+                       and any(k in str(e.get("args", {}).get("name", ""))
+                               .lower() for k in ("tpu", "device", "xla"))}
         dur = collections.Counter()
-        for e in data.get("traceEvents", []):
-            if e.get("ph") == "X" and "dur" in e:
+        for e in events:
+            if e.get("ph") == "X" and "dur" in e and (
+                    not device_pids or e.get("pid") in device_pids):
                 dur[e.get("name", "?")] += e["dur"]
         rows = dur.most_common(top)
         tables.append((f, rows))
-        print(f"--- {Path(f).name}: top {top} by total us ---")
+        scope = "device lanes" if device_pids else "all lanes (no device pid found)"
+        print(f"--- {Path(f).name}: top {top} by total us ({scope}) ---")
         for name, us in rows:
             print(f"{us:>12.1f} us  {name[:90]}")
     return tables

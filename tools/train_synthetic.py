@@ -62,10 +62,15 @@ def main():
                            seed=args.seed, save=False)
         acc, loss = tr.evaluate(report=True)
         print(f"MLP final: val acc {acc:.4f}, val loss {loss:.4f}")
-        # never clobber the imported reference checkpoint: the synthetic-
-        # trained MLP ships under its own name
-        tr.save(filename="mlp_synth_v1.0.0.gtckpt.npz",
-                target_sr=args.target_sr)
+        # never clobber the imported reference checkpoint, and only reuse
+        # the canonical synth-MLP name for the exact shipped recipe —
+        # other hyperparameters get a recipe-tagged filename
+        if args.noise and args.variants == 48 and args.seed == 42:
+            fname = "mlp_synth_v1.0.0.gtckpt.npz"
+        else:
+            fname = (f"mlp_synth_{'noisy' if args.noise else 'clean'}"
+                     f"_v{args.variants}_s{args.seed}.gtckpt.npz")
+        tr.save(filename=fname, target_sr=args.target_sr)
 
 
 if __name__ == "__main__":
