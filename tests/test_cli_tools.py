@@ -118,3 +118,21 @@ def test_reports_on_loader(tmp_path):
                           print_report=False)
     assert (tmp_path / "rep.json").exists()
     assert rep2["per_class_counts"] == {"D3": 3, "E3": 3}
+
+
+def test_serve_once(tmp_path, capsys):
+    """Directory-watch serving: wavs in → JSON results out."""
+    import serve as serve_mod
+    import json
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    _riff_wav(in_dir / "a.wav")
+    write_wav(in_dir / "silence.wav", np.zeros(SR, np.float32), SR)
+    n = serve_mod.serve(in_dir, out_dir, once=True, verbose=False)
+    assert n == 2
+    a = json.loads((out_dir / "a.json").read_text())
+    assert a["labels"] == ["A2", "G3"]
+    assert len(a["yin"]) == 2 and a["yin"][0]["note_name"] == "A2"
+    s = json.loads((out_dir / "silence.json").read_text())
+    assert s["labels"] == [] and "error" in s

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Batch transcription service: watch a directory, transcribe arrivals,
+emit JSON results.
+
+The production-serving driver the reference never had (its entry points
+are a CLI and a mic loop): new `.wav` files dropped into `--in_dir` are
+transcribed with the shipped ensemble and a `<stem>.json` result (labels,
+confidences, onsets, YIN baseline) is written to `--out_dir`. Files are
+processed in arrival batches; the hot path reuses the Transcriber's
+cached jit graphs, so steady-state cost per file is one device dispatch.
+
+Usage:
+    python tools/serve.py --in_dir incoming/ --out_dir results/
+    python tools/serve.py --in_dir incoming/ --out_dir results/ --once
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def result_to_json(result: dict) -> dict:
+    return {
+        "labels": list(result["labels"]),
+        "confidences": [float(c) for c in result["confidences"]],
+        "onsets_s": [float(t) for t in result.get("onsets_s", [])],
+        "yin": [{"pitch_hz": hz, **info}
+                for hz, info in result.get("dsp_info", [])],
+    }
+
+
+def serve(in_dir: Path, out_dir: Path, once: bool = False,
+          poll_s: float = 0.5, transcriber=None, verbose: bool = True):
+    from gat_tpu.infer import Transcriber
+    t = transcriber or Transcriber()
+    in_dir.mkdir(parents=True, exist_ok=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    done: set[str] = set()
+    stop = {"flag": False}
+
+    def _sigint(_sig, _frm):
+        stop["flag"] = True
+
+    if not once:
+        signal.signal(signal.SIGINT, _sigint)
+        if verbose:
+            print(f"[serve] watching {in_dir} → {out_dir} "
+                   "(Ctrl+C to stop)")
+
+    processed = 0
+    while not stop["flag"]:
+        pending = sorted(p for p in in_dir.glob("*.wav")
+                         if p.name not in done)
+        for p in pending:
+            t0 = time.perf_counter()
+            out_path = out_dir / f"{p.stem}.json"
+            try:
+                result = t.transcribe(p)
+                out_path.write_text(json.dumps(result_to_json(result),
+                                               indent=2))
+                status = ",".join(result["labels"])
+            except ValueError as e:  # e.g. silence: no clips survived
+                out_path.write_text(json.dumps(
+                    {"labels": [], "error": str(e)}, indent=2))
+                status = "(no notes)"
+            except Exception as e:
+                out_path.write_text(json.dumps(
+                    {"labels": [], "error": f"{type(e).__name__}: {e}"},
+                    indent=2))
+                status = f"(error: {type(e).__name__})"
+            done.add(p.name)
+            processed += 1
+            if verbose:
+                print(f"[serve] {p.name} → {status} "
+                      f"({(time.perf_counter() - t0) * 1000:.0f} ms)")
+        if once:
+            break
+        time.sleep(poll_s)
+    if verbose:
+        print(f"[serve] stopped after {processed} files")
+    return processed
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in_dir", type=Path, required=True)
+    ap.add_argument("--out_dir", type=Path, required=True)
+    ap.add_argument("--once", action="store_true",
+                    help="process current contents and exit")
+    ap.add_argument("--poll_s", type=float, default=0.5)
+    args = ap.parse_args()
+    serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
