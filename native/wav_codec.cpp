@@ -38,6 +38,11 @@ constexpr uint16_t kExtensible = 0xFFFE;
 int parse(const char* path, Wav& w, bool want_data) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
+    // file length bounds every declared chunk size: a corrupt 4 GiB
+    // data-size field must not trigger a 4 GiB allocation
+    std::fseek(f, 0, SEEK_END);
+    long file_len = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
     uint8_t hdr[12];
     if (std::fread(hdr, 1, 12, f) != 12 ||
         std::memcmp(hdr, "RIFF", 4) != 0 ||
@@ -71,6 +76,12 @@ int parse(const char* path, Wav& w, bool want_data) {
             }
             have_fmt = true;
         } else if (std::memcmp(chdr, "data", 4) == 0) {
+            long pos = std::ftell(f);
+            long remaining = (pos >= 0 && file_len > pos)
+                ? file_len - pos : 0;
+            if (static_cast<long>(size) > remaining) {
+                size = static_cast<uint32_t>(remaining);
+            }
             w.data_size = size;
             if (want_data) {
                 try {

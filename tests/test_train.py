@@ -41,9 +41,9 @@ def test_mlp_trains_to_separable_data(rng):
                 num_classes=k)
     tr = Trainer(model, dl_tr, dl_val,
                  reverse_map={0: "a", 1: "b", 2: "c"}, seed=0)
-    tr.train(epochs=15, verbose=False)
+    tr.train(epochs=10, verbose=False)
     acc, loss = tr.evaluate()
-    assert acc > 0.95, f"val acc {acc}"
+    assert acc > 0.9, f"val acc {acc}"
     assert len(tr.train_loss_history) == tr.epoch
     assert tr.last_grad_norm > 0
 
@@ -103,7 +103,7 @@ def test_manager_end_to_end_tiny(tmp_path):
                           use_bf16_cnn=False)
     mlp_tr = mgr.train_mlp(dataset=ds, epochs=6, verbose=False,
                            ckpt_root=tmp_path / "ck" / "mlp")
-    cnn_tr = mgr.train_cnn(dataset=ds, epochs=25, verbose=False,
+    cnn_tr = mgr.train_cnn(dataset=ds, epochs=12, verbose=False,
                            ckpt_root=tmp_path / "ck" / "cnn")
     acc_mlp, _ = mlp_tr.evaluate()
     acc_cnn, _ = cnn_tr.evaluate()
