@@ -136,3 +136,15 @@ def test_serve_once(tmp_path, capsys):
     assert len(a["yin"]) == 2 and a["yin"][0]["note_name"] == "A2"
     s = json.loads((out_dir / "silence.json").read_text())
     assert s["labels"] == [] and "error" in s
+
+
+def test_display_helpers(tmp_path):
+    from gat_tpu.utils.display import (plot_waveform, plot_spectrogram,
+                                       plot_series)
+    y = make_pluck(196.0, 11025, 0.5, seed=0)
+    plot_waveform(y, 11025, out_path=tmp_path / "w.png")
+    plot_spectrogram(y, 11025, out_path=tmp_path / "s.png")
+    plot_series([np.arange(5), np.arange(5)[::-1]], ["up", "down"],
+                out_path=tmp_path / "c.png")
+    for f in ("w.png", "s.png", "c.png"):
+        assert (tmp_path / f).stat().st_size > 1000

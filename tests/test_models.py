@@ -124,3 +124,18 @@ def test_softmax_regression_baseline_trains(rng):
     tr.train(epochs=30, es_slope_limit=-1e9, verbose=False)
     acc, _ = tr.evaluate()
     assert acc > 0.9
+
+
+def test_cnn_on_mfcc_images(rng):
+    """The v0 history ran a CNN on MFCC 'images' (archive cnn_model.py,
+    SURVEY §2.2) — the CNN accepts that input family directly."""
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.ops.spectral import mfcc
+    clips = jnp.asarray(rng.normal(0, 0.2, (4, 5512)).astype(np.float32))
+    m = mfcc(clips, 11025, n_mfcc=32)            # (4, T=11, 32)
+    img = jnp.transpose(m, (0, 2, 1))[..., None]  # (4, 32, 11, 1)
+    model = CNN(num_classes=5, base_channels=4, num_blocks=2, hidden_dim=8)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(variables, img)
+    assert out.shape == (4, 5)
