@@ -123,3 +123,27 @@ def test_fused_matches_two_stage(tmp_path, transcriber):
     assert r_f["onsets_s"] == r_2["onsets_s"]
     np.testing.assert_allclose(r_f["per_model_probs"]["mlp"],
                                r_2["per_model_probs"]["mlp"], atol=1e-5)
+
+
+@pytest.mark.parametrize("dur", [0.04, 0.2])
+def test_ultra_short_audio_clean_error(tmp_path, transcriber, dur):
+    """Sub-clip-length files must fail with the clean no-clips error,
+    never a shape/pad crash."""
+    sr = 22050
+    y = (0.3 * np.sin(2 * np.pi * 220 * np.arange(int(dur * sr)) / sr)
+         ).astype(np.float32)
+    p = tmp_path / "short.wav"
+    write_wav(p, y, sr)
+    with pytest.raises(ValueError, match="No clips survived"):
+        transcriber.transcribe(p)
+
+
+def test_predict_debug_does_not_mutate_weights():
+    from gat_tpu.infer import Transcriber
+    t = Transcriber()
+    w0 = t.predictor.cnn_weight
+    note = make_pluck(196.0, SR, 0.5, seed=9)
+    r = t.transcribe_note(note, sr_in=SR)
+    t.predictor.predict_debug([1.0, 0.5, 0.0],
+                              np.zeros((1, 65), np.float32))
+    assert t.predictor.cnn_weight == w0

@@ -119,3 +119,19 @@ def test_manager_end_to_end_tiny(tmp_path):
     r = t.transcribe_note(note, sr_in=22050)
     assert r["labels"][0] in ("A2", "D3", "G3")
     assert r["per_model_probs"]["cnn"] is not None
+
+
+def test_load_warns_on_init_args_mismatch(tmp_path, rng, capsys):
+    X = rng.normal(size=(12, 4)).astype(np.float32)
+    y = rng.integers(0, 2, 12)
+    dl = ArrayDataLoader(X, y, 6)
+    tr = Trainer(MLP(num_features=4, hidden_dim=16, num_classes=2),
+                 dl, reverse_map={0: "a", 1: "b"}, seed=0)
+    tr.save(filename="m.gtckpt.npz", root=tmp_path)
+    # same shapes, different non-structural init arg → warning, load OK
+    tr2 = Trainer(MLP(num_features=4, hidden_dim=16, num_classes=2,
+                      dropout=0.2), dl, reverse_map={0: "a", 1: "b"},
+                  seed=1)
+    tr2.load(filename="m.gtckpt.npz", root=tmp_path)
+    out = capsys.readouterr().out
+    assert "Mismatch between saved model init args" in out
