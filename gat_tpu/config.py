@@ -13,7 +13,7 @@ are numerically comparable (ref: version_1/source/config.py:29-107).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, asdict, field
+from dataclasses import dataclass, asdict
 from pathlib import Path
 
 CONFIG_VERSION = "1.0.0"

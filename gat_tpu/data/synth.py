@@ -22,7 +22,7 @@ from pathlib import Path
 
 import numpy as np
 
-from ..ops.pitch import midi_to_hz, midi_to_note, note_to_midi
+from ..ops.pitch import midi_to_hz, note_to_midi
 from ..utils.wavio import write_wav
 
 __all__ = ["karplus_strong", "additive_pluck", "synthesize_note_dataset",

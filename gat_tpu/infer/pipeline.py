@@ -9,7 +9,6 @@ exists exactly once.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from ..features import mfcc_feature_vectors, melspec_features
 from ..ops.resample import resample, fix_length

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spectral import melspectrogram_librosa, power_to_db_librosa, n_frames
+from .spectral import melspectrogram_librosa, power_to_db_librosa
 from .filters import maximum_filter1d, uniform_filter1d
 
 __all__ = ["onset_strength", "peak_pick_mask", "backtrack_indices",

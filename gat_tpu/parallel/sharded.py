@@ -14,13 +14,11 @@ from __future__ import annotations
 import functools
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import MLP, CNN
-from .mesh import DATA, MODEL, data_sharding, replicated
+from .mesh import MODEL, data_sharding, replicated
 
 __all__ = ["make_sharded_transcribe", "mlp_tp_shardings",
            "make_sharded_train_step", "sharded_batch_pitch"]

@@ -10,10 +10,9 @@ from the right neighbor via `lax.ppermute` so frames straddling shard
 boundaries are exact. The resulting envelope (4 bytes per hop — tiny) is
 all-gathered and the sequential peak-picking logic runs replicated.
 
-`ppermute`'s missing-source-is-zero semantics give the last shard its
-zero halo for free (the global signal is padded to the sharded frame
-budget, so those frames read zeros exactly as the single-device
-computation does).
+The last shard is the one position `ppermute` leaves zeroed; it instead
+takes the replicated real tail of the signal beyond the sharded body, so
+final-frame flux matches the single-device computation exactly.
 """
 from __future__ import annotations
 
@@ -21,7 +20,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
