@@ -208,10 +208,25 @@ class Trainer:
         return jax.jit(step)
 
     def _set_lr(self, lr: float):
-        inner = self.opt_state[1]
-        hp = dict(inner.hyperparams)
-        hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-        self.opt_state = (self.opt_state[0], inner._replace(hyperparams=hp))
+        """Inject the new LR into whichever chain element carries the
+        injected `learning_rate` hyperparameter — a scan over the chain,
+        not a positional poke, so reordering the optax chain cannot
+        silently bind to the wrong state."""
+        states, found = [], False
+        for s in self.opt_state:
+            hp = getattr(s, "hyperparams", None)
+            if not found and isinstance(hp, dict) and "learning_rate" in hp:
+                hp = dict(hp)
+                hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                s = s._replace(hyperparams=hp)
+                found = True
+            states.append(s)
+        if not found:
+            raise RuntimeError(
+                "[_set_lr] optimizer chain has no injected 'learning_rate' "
+                "hyperparameter — was the optimizer built without "
+                "optax.inject_hyperparams?")
+        self.opt_state = tuple(states)
 
     # ------------------------------------------------------------------
     def train(self, epochs: int = 20, train_dl=None, es_window_len: int = 4,
@@ -224,8 +239,6 @@ class Trainer:
             print("[train] No train dataloader provided. Exiting [train].")
             return
         self._check_dims(train_dl)
-        self.train_loss_history = []
-        self.train_accuracy_history = []
         if verbose:
             print("[train] Training start.")
         t0 = time.time()
@@ -386,6 +399,8 @@ class Trainer:
                               else self.scaler)
         if include_opt:
             ckpt["opt_state"] = _opt_state_to_tree(self.opt_state)
+            ckpt["opt_state_fingerprint"] = _opt_state_fingerprint(
+                self.opt_state)
         save_checkpoint(root / filename, ckpt)
         return root / filename
 
@@ -408,6 +423,21 @@ class Trainer:
         self.params = variables.pop("params")
         self.extra = variables
         if "opt_state" in ck:
+            saved_fp = ck.get("opt_state_fingerprint")
+            current_fp = _opt_state_fingerprint(self.opt_state)
+            if saved_fp is not None and saved_fp != current_fp:
+                raise ValueError(
+                    "[load] optimizer state mismatch: the checkpoint's "
+                    f"optimizer fingerprint {saved_fp!r} does not match the "
+                    f"current optimizer's {current_fp!r}. Restoring it "
+                    "positionally would silently mis-assign moments — "
+                    "rebuild the Trainer with the optimizer the checkpoint "
+                    "was saved with, or load with a fresh optimizer by "
+                    "stripping 'opt_state' from the checkpoint.")
+            if saved_fp is None:
+                print("[load] WARNING: checkpoint has no optimizer "
+                      "fingerprint (pre-fingerprint format); restoring "
+                      "positionally against the current optimizer.")
             self.opt_state = _tree_to_opt_state(self.opt_state,
                                                 ck["opt_state"])
         self.train_loss_history = list(ck.get("train_loss_history", []))
@@ -425,6 +455,21 @@ def _opt_state_to_tree(opt_state) -> dict:
     structure itself is re-derivable from the optimizer definition)."""
     leaves = jax.tree_util.tree_leaves(opt_state)
     return {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+
+
+def _opt_state_fingerprint(opt_state) -> str:
+    """Stable hash of the optimizer state's treedef + leaf shapes/dtypes.
+
+    Positional leaf restore is only safe against the exact optimizer the
+    state was saved from; the fingerprint lets `load` fail loudly when the
+    chain (or the parameter shapes feeding it) changed."""
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    sig = str(treedef) + "|" + ";".join(
+        f"{tuple(np.shape(l))}:{getattr(l, 'dtype', type(l).__name__)}"
+        for l in leaves)
+    return hashlib.sha256(sig.encode()).hexdigest()[:16]
 
 
 def _tree_to_opt_state(template, tree: dict):

@@ -92,6 +92,73 @@ def test_trainer_checkpoint_roundtrip(tmp_path, rng):
     assert tr2.epoch == 3
 
 
+def test_resume_histories_stay_aligned(tmp_path, rng):
+    """Re-train() after a resume must append to BOTH history pairs —
+    round-1 reset train histories but kept val histories, so resumed
+    curves misaligned."""
+    X = rng.normal(size=(20, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, dl, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr.train(epochs=2, verbose=False)
+    tr.save(filename="h.gtckpt.npz", root=tmp_path)
+
+    tr2 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=1)
+    tr2.load(filename="h.gtckpt.npz", root=tmp_path)
+    tr2.train(epochs=2, verbose=False)
+    assert tr2.epoch == 4
+    assert len(tr2.train_loss_history) == 4
+    assert len(tr2.val_loss_history) == 4
+    assert len(tr2.train_accuracy_history) == len(tr2.val_accuracy_history)
+
+
+def test_load_rejects_changed_optimizer(tmp_path, rng):
+    """A checkpoint's opt state must not restore positionally into a
+    different optimizer — the fingerprint check fails loudly instead."""
+    import optax
+
+    X = rng.normal(size=(20, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, dl, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr.train(epochs=1, verbose=False)
+    tr.save(filename="o.gtckpt.npz", root=tmp_path)
+
+    tr2 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=1)
+    tr2.tx = optax.adam(1e-3)  # different chain structure
+    tr2.opt_state = tr2.tx.init(tr2.params)
+    with pytest.raises(ValueError, match="optimizer state mismatch"):
+        tr2.load(filename="o.gtckpt.npz", root=tmp_path)
+
+
+def test_set_lr_survives_chain_reorder(rng):
+    """_set_lr scans for the injected hyperparam rather than poking
+    opt_state[1], so a reordered optax chain still gets the LR update."""
+    import optax
+
+    X = rng.normal(size=(8, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 8)
+    dl = ArrayDataLoader(X, y, 8, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, None, seed=0)
+    # reversed order vs the Trainer default: inject first, clip second
+    tr.tx = optax.chain(
+        optax.inject_hyperparams(optax.adamw)(learning_rate=1e-3),
+        optax.clip_by_global_norm(1.0))
+    tr.opt_state = tr.tx.init(tr.params)
+    tr._set_lr(5e-4)
+    assert float(tr.opt_state[0].hyperparams["learning_rate"]) == pytest.approx(5e-4)
+
+    tr.tx = optax.adam(1e-3)  # no injected hyperparams at all
+    tr.opt_state = tr.tx.init(tr.params)
+    with pytest.raises(RuntimeError, match="inject_hyperparams"):
+        tr._set_lr(5e-4)
+
+
 @pytest.mark.slow
 def test_manager_end_to_end_tiny(tmp_path):
     """TrainingManager on a tiny synthetic dataset: both models train and
