@@ -10,10 +10,13 @@ ensemble forward, and emitting (probs, onset, valid) — so an arbitrarily
 long recording streams through the chip in a single traced graph with no
 host round-trips between chunks.
 
-Emission policy per step (static budget of one note per chunk): the
-earliest onset inside the commit window [0, chunk) of the ring that is
-≥ min_sep after the previously emitted onset, and early enough that a
-full clip length of audio follows it inside the ring.
+Emission policy per step (static budget of `max_notes_per_chunk` notes,
+default 8): every onset inside the commit window [0, chunk) of the ring
+that is ≥ min_sep after the previously *emitted* onset (greedy, in time
+order, carried across chunks), loud enough to pass the slice RMS gate,
+and early enough that a full clip length of audio follows it inside the
+ring. All budget slots run through the ensemble as ONE batched forward
+per chunk, so dense playing costs no extra dispatches.
 """
 from __future__ import annotations
 
@@ -37,7 +40,8 @@ class ScanStreamer:
                  context_s: float = 1.0,
                  clip_duration: float = CLIP_DURATION,
                  min_sep: float = SLICER_CONFIG.MIN_SEP,
-                 min_slice_rms_db: float = SLICER_CONFIG.MIN_SLICE_RMS_DB):
+                 min_slice_rms_db: float = SLICER_CONFIG.MIN_SLICE_RMS_DB,
+                 max_notes_per_chunk: int = 8):
         self.transcriber = transcriber
         self.sr = sr
         self.chunk = int(chunk_s * sr)
@@ -46,6 +50,7 @@ class ScanStreamer:
         self.clip_n = int(clip_duration * sr)
         self.min_sep_n = int(min_sep * sr)
         self.min_slice_rms_db = min_slice_rms_db
+        self.max_notes_per_chunk = int(max_notes_per_chunk)
         assert self.ring_n >= self.chunk + self.clip_n, \
             "context must cover a full clip beyond the commit window"
         self._scan_fn = self._build()
@@ -65,32 +70,35 @@ class ScanStreamer:
             in_sr=sr, clip_len=round(clip_n * t.ckpt_sr / sr),
             pitch_on_normalized=True)
 
-        def clip_probs(clip):
-            """(clip_n,) @ sr → (num_classes,) ensemble probs."""
-            return ensemble(clip[None])[0]
+        k_slots = self.max_notes_per_chunk
 
         def step(carry, chunk_x):
-            ring, last_emit = carry  # last_emit: global sample idx
+            ring, state = carry  # state = [last emitted onset, ring base]
             ring = jnp.concatenate([ring[chunk:], chunk_x])
-            base = last_emit[1]  # global index of ring[0]
+            base = state[1]  # global index of ring[0]
             onsets, valid = detect_onsets(ring, sr=sr, min_sep=0.0,
-                                          max_onsets=8)
-            g = base + onsets
+                                          max_onsets=k_slots)
+            # candidate clips for every budget slot (dynamic_slice clamps
+            # out-of-range starts; such slots are masked out below anyway)
+            clips = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(ring, (o,), (clip_n,)))(
+                    onsets)
+            loud = jax.vmap(slice_rms_db)(clips) > self.min_slice_rms_db
             # commit region: onset inside [0, chunk) of the ring, with a
-            # full clip of audio after it, respecting min separation
-            ok = (valid & (onsets < chunk)
-                  & (onsets + clip_n <= ring_n)
-                  & (g - last_emit[0] >= min_sep_n))
-            any_ok = jnp.any(ok)
-            first = jnp.argmax(ok)
-            onset = onsets[first]
-            clip = jax.lax.dynamic_slice(ring, (onset,), (clip_n,))
-            loud = slice_rms_db(clip) > self.min_slice_rms_db
-            emit = any_ok & loud
-            probs = clip_probs(clip)
-            new_last = jnp.where(emit, base + onset, last_emit[0])
+            # full clip of audio after it, loud enough to keep
+            eligible = (valid & loud & (onsets < chunk)
+                        & (onsets + clip_n <= ring_n))
+            # greedy min-separation against the last EMITTED onset, carried
+            # across chunks (onsets arrive sorted ascending)
+            def sel(last, oe):
+                o, e = oe
+                take = e & (base + o - last >= min_sep_n)
+                return jnp.where(take, base + o, last), take
+
+            new_last, takes = jax.lax.scan(sel, state[0], (onsets, eligible))
+            probs = ensemble(clips)  # one batched forward for all slots
             carry = (ring, jnp.stack([new_last, base + chunk]))
-            return carry, (probs, base + onset, emit)
+            return carry, (probs, base + onsets, takes)
 
         @functools.partial(jax.jit)
         def run(chunks):
@@ -107,13 +115,20 @@ class ScanStreamer:
     def transcribe_stream(self, y: np.ndarray) -> list[dict]:
         """Stream a full waveform chunk-by-chunk through the device scan;
         returns one result dict per emitted note."""
-        n_chunks = int(np.ceil(len(y) / self.chunk))
+        # flush: a note is committed only once its chunk slides past the
+        # context region, so a finite waveform needs `context` extra zeros
+        # or its tail notes never reach a commit window
+        total = len(y) + self.context
+        n_chunks = int(np.ceil(total / self.chunk))
         pad = n_chunks * self.chunk - len(y)
         chunks = np.pad(np.asarray(y, np.float32), (0, pad)) \
             .reshape(n_chunks, self.chunk)
         probs, onsets, emits = self._scan_fn(jnp.asarray(chunks))
-        probs, onsets, emits = (np.asarray(probs), np.asarray(onsets),
-                                np.asarray(emits))
+        # (n_chunks, k_slots, …) → flat note stream; slots are time-ordered
+        # within a chunk, so the flattened order is globally ascending
+        probs = np.asarray(probs).reshape(-1, probs.shape[-1])
+        onsets = np.asarray(onsets).reshape(-1)
+        emits = np.asarray(emits).reshape(-1)
         rm = self.transcriber.predictor.reverse_map
         out = []
         for p, o, e in zip(probs, onsets, emits):

@@ -49,6 +49,32 @@ def test_scan_stream_finds_and_labels_notes(streamer):
         f"got {[(r['onset_s'], r['labels']) for r in results]}"
 
 
+def test_scan_stream_dense_riff_no_dropped_notes():
+    """8 notes in 2 s — two onsets land in each 0.5 s chunk, so the
+    K-slot emission budget must fire more than once per scan step (the
+    round-1 design emitted at most one note per chunk and dropped half
+    of a dense riff)."""
+    dense = [("A2", 110.0), ("D3", 146.83), ("G3", 196.0), ("B3", 246.94),
+             ("E4", 329.63), ("A4", 440.0), ("D5", 587.33), ("G5", 784.0)]
+    y = np.zeros(int(3.0 * SR), np.float32)
+    expected = []
+    for i, (name, f) in enumerate(dense):
+        t0 = 0.3 + 0.25 * i
+        n = make_pluck(f, SR, 0.22, seed=i)
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * SR)
+        y[s:s + len(n)] += n
+        expected.append((t0, name))
+    st = ScanStreamer(Transcriber(), sr=SR, min_sep=0.2)
+    results = st.transcribe_stream(y)
+    assert len(results) == len(expected), \
+        f"dropped notes: {[(r['onset_s'], r['labels']) for r in results]}"
+    for (t0, name), r in zip(expected, results):
+        assert abs(r["onset_s"] - t0) < 0.1, (t0, r["onset_s"])
+        assert r["labels"][0] == name, (t0, name, r["labels"])
+
+
 def test_scan_stream_silence(streamer):
     out = streamer.transcribe_stream(np.zeros(3 * SR, np.float32))
     assert out == []
