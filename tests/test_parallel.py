@@ -100,6 +100,48 @@ def test_tp_mlp_forward_matches(rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("nd", [1, 2, 4, 8])
+def test_sharded_transcribe_partitions_batch(nd):
+    """Structural multi-chip verification (SURVEY §2.4 DP plan): the
+    sharded transcribe program must actually partition its batch — each
+    device holds exactly batch/nd rows of the output, for every mesh size
+    we can form on the virtual 8-device host."""
+    from gat_tpu.config import MLP_CONFIG, CNN_CONFIG
+    from gat_tpu.train.checkpoint import load_checkpoint
+    from gat_tpu.infer.predictor import NotePredictor
+    from gat_tpu.parallel import make_sharded_transcribe
+    from gat_tpu.utils.scaler import FeatureScaler
+
+    mlp_ck = load_checkpoint(MLP_CONFIG.CHECKPOINTS_DIR
+                             / MLP_CONFIG.DEFAULT_CKPT_NAME)
+    cnn_ck = load_checkpoint(CNN_CONFIG.CHECKPOINTS_DIR
+                             / CNN_CONFIG.DEFAULT_CKPT_NAME)
+    pred = NotePredictor()
+    pred.load_models(mlp_ck, cnn_ck)
+    scaler = FeatureScaler.from_dict(mlp_ck["scaler"])
+    sr = int(mlp_ck["config"]["target_sr"])
+    clip_n = int(sr * float(mlp_ck["config"]["clip_length"]))
+
+    mesh = make_mesh(nd)
+    run = make_sharded_transcribe(pred, scaler, mesh, sr,
+                                  mlp_ck["config"]["features"]["params"],
+                                  cnn_ck["config"]["features"]["params"])
+    batch = 16
+    clips = np.stack([make_pluck(110 + 20 * i, sr, clip_n / sr, seed=i)
+                      [:clip_n] for i in range(batch)])
+    probs, pitch = run(shard_batch(clips, mesh))
+
+    for out in (probs, pitch):
+        assert len(out.sharding.device_set) == nd
+        rows = sorted(s.data.shape[0] for s in out.addressable_shards)
+        assert rows == [batch // nd] * nd, \
+            f"nd={nd}: per-device rows {rows}, want {batch // nd} each"
+    # the partitioning must not change the math
+    assert np.isfinite(np.asarray(probs)).all()
+    np.testing.assert_allclose(np.asarray(probs).sum(axis=-1), 1.0,
+                               rtol=1e-3)
+
+
 def test_cnn_dp_step_runs(rng):
     mesh = make_mesh(8)
     model = CNN(num_classes=4, base_channels=4, num_blocks=2, hidden_dim=16)
