@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Generator-disjoint training/evaluation (VERDICT r1 §next-2).
+
+Trains each model family on ONE synthesizer family and scores it on the
+others (train-on-KS → eval-on-additive/FM and the reverse), so the
+accuracy claim is no longer circular in the synthesis engine. The FM
+family is never trained on by any shipped checkpoint — it is the
+unseen-timbre column everywhere.
+
+Usage: python tools/cross_family_eval.py [--variants 12] [--epochs 15]
+       [--model cnn|mlp|all] [--platform cpu|tpu] [--out report.json]
+"""
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+TRAIN_FAMILIES = ("ks", "additive")
+EVAL_FAMILIES = ("ks", "additive", "fm")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", type=int, default=12)
+    ap.add_argument("--eval_variants", type=int, default=6)
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--model", default="all", choices=["cnn", "mlp", "all"])
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--train_seed", type=int, default=42)
+    ap.add_argument("--eval_seed", type=int, default=777)
+    ap.add_argument("--target_sr", type=int, default=11025)
+    ap.add_argument("--out", type=Path, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from gat_tpu.config import MFCC_CONFIG, MELSPEC_CONFIG
+    from gat_tpu.data.synth import synthesize_note_dataset
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.features import FeatureBuilder
+    from gat_tpu.train import TrainingManager, ArrayDataLoader
+
+    tmp = Path(tempfile.mkdtemp())
+    models = ["cnn", "mlp"] if args.model == "all" else [args.model]
+    t0 = time.time()
+
+    # one eval set per family, shared across all trained models
+    eval_dirs = {}
+    for fam in EVAL_FAMILIES:
+        eval_dirs[fam] = synthesize_note_dataset(
+            tmp / f"eval_{fam}", family=fam,
+            variants_per_class=args.eval_variants, seed=args.eval_seed,
+            verbose=False)
+
+    def eval_features(trainer, model_kind, fam):
+        loader = AudioDatasetLoader([eval_dirs[fam]],
+                                    target_sr=args.target_sr,
+                                    duration=0.5)
+        builder = FeatureBuilder()
+        if model_kind == "mlp":
+            X, y, _, rmap = builder.extract_mfcc_features(
+                loader, MFCC_CONFIG.N_MFCC,
+                MFCC_CONFIG.NORMALIZE_AUDIO_VOLUME)
+            if trainer.scaler is not None:
+                X = np.asarray(trainer.scaler.transform(X))
+        else:
+            X, y, _, rmap = builder.extract_melspec_features(
+                loader, MELSPEC_CONFIG.N_MELS, MELSPEC_CONFIG.N_FFT,
+                MELSPEC_CONFIG.HOP_LENGTH,
+                MELSPEC_CONFIG.NORMALIZE_AUDIO_VOLUME)
+        assert rmap == trainer.reverse_map, \
+            "class maps diverged between train and eval datasets"
+        return ArrayDataLoader(X, y, 256, shuffle=False)
+
+    report = {"variants": args.variants, "epochs": args.epochs,
+              "eval_seed": args.eval_seed, "results": {}}
+    for model_kind in models:
+        for train_fam in TRAIN_FAMILIES:
+            ds = synthesize_note_dataset(
+                tmp / f"train_{train_fam}", family=train_fam,
+                variants_per_class=args.variants, seed=args.train_seed,
+                verbose=False)
+            mgr = TrainingManager(target_sr=args.target_sr)
+            train = (mgr.train_cnn if model_kind == "cnn"
+                     else mgr.train_mlp)
+            trainer = train(dataset=ds, epochs=args.epochs,
+                            seed=args.train_seed, save=False,
+                            verbose=False)
+            row = {}
+            for eval_fam in EVAL_FAMILIES:
+                acc, _ = trainer.evaluate(
+                    eval_features(trainer, model_kind, eval_fam))
+                row[eval_fam] = round(float(acc), 4)
+            key = f"{model_kind}_trained_on_{train_fam}"
+            report["results"][key] = row
+            print(f"[cross_family] {key}: " + "  ".join(
+                f"{f}={row[f]:.4f}" for f in EVAL_FAMILIES))
+
+    report["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(report, indent=2))
+    if args.out:
+        args.out.write_text(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

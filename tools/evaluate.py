@@ -2,13 +2,20 @@
 """Note-accuracy evaluation harness (BASELINE.md metric trio: throughput,
 latency, note accuracy).
 
-Synthesizes a held-out evaluation set (a different seed from training),
-runs the shipped ensemble AND each model alone AND the YIN DSP baseline
-over it, and reports per-system accuracy + the confusion summary the
+Synthesizes held-out evaluation sets (different seed from training), runs
+the shipped ensemble AND each model alone AND the YIN DSP baseline over
+them, and reports per-system accuracy + the confusion summary the
 reference prints after training (ref mlp_trainer.py:225-270).
 
+Two suites:
+  quick — one mixed-family set (the round-1 behavior).
+  full  — de-circularized evaluation (VERDICT r1 §next-2): per-family
+          sets including the FM family NO shipped model ever trained on,
+          plus playing-style stressor sets (vibrato, pitch bend, detune,
+          tremolo) the training pipeline never applied.
+
 Usage: python tools/evaluate.py [--variants 8] [--seed 777]
-       [--platform cpu|tpu]
+       [--suite quick|full] [--platform cpu|tpu] [--out report.json]
 """
 import argparse
 import json
@@ -19,11 +26,65 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# evaluation sets for --suite full: name → synthesize_note_dataset kwargs
+FULL_SUITE = {
+    "mixed": {},
+    "ks_only": {"family": "ks"},
+    "additive_only": {"family": "additive"},
+    "fm_unseen_family": {"family": "fm"},
+    "vibrato": {"stressor": "vibrato"},
+    "pitch_bend": {"stressor": "bend"},
+    "detune_25c": {"stressor": "detune"},
+    "tremolo": {"stressor": "tremolo"},
+    "fm_vibrato": {"family": "fm", "stressor": "vibrato"},
+}
+
+
+def evaluate_set(transcriber, root, variants: int, seed: int,
+                 **synth_kwargs) -> dict:
+    """Synthesize one eval set and score every system on it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gat_tpu.data.synth import synthesize_note_dataset
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.ops.yin import yin_pitch, estimate_note
+
+    synthesize_note_dataset(root, variants_per_class=variants, seed=seed,
+                            verbose=False, **synth_kwargs)
+    loader = AudioDatasetLoader([root], target_sr=transcriber.ckpt_sr,
+                                duration=transcriber.clip_length)
+    wavs, _, labels, _ = loader.load_audio_dataset(pad_to_max=True)
+    clips = jnp.asarray(np.stack(wavs))
+
+    result = transcriber.transcribe_clips(clips)
+    rm = transcriber.predictor.reverse_map
+    name_to_idx = {v: k for k, v in rm.items()}
+    y_map = np.asarray([name_to_idx[l] for l in labels])
+
+    def acc(p):
+        return (round(float((p.argmax(axis=1) == y_map).mean()), 4)
+                if p is not None else None)
+
+    yin_hz = np.asarray(yin_pitch(clips, transcriber.ckpt_sr))
+    yin_names = [estimate_note(h, unicode=False)[1] for h in yin_hz]
+    yin_acc = float(np.mean([a == b for a, b in zip(yin_names, labels)]))
+
+    return {
+        "n_clips": int(len(labels)),
+        "ensemble_accuracy": acc(result["probs"]),
+        "mlp_accuracy": acc(result["per_model_probs"]["mlp"]),
+        "cnn_accuracy": acc(result["per_model_probs"]["cnn"]),
+        "yin_accuracy": round(yin_acc, 4),
+        "_result": result,
+        "_labels": labels,
+    }
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", type=int, default=8)
     ap.add_argument("--seed", type=int, default=777)  # != training seed
+    ap.add_argument("--suite", default="quick", choices=["quick", "full"])
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", type=Path, default=None,
                     help="optional JSON report path")
@@ -34,56 +95,37 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
-    import jax.numpy as jnp
-    from gat_tpu.data.synth import synthesize_note_dataset, \
-        DEFAULT_CLASS_NAMES
-    from gat_tpu.data.loader import AudioDatasetLoader
+    import tempfile
     from gat_tpu.infer import Transcriber
-    from gat_tpu.ops.yin import yin_pitch, estimate_note
     from gat_tpu.train.metrics import classification_report
 
-    import tempfile
     tmp = Path(tempfile.mkdtemp())
     t0 = time.time()
-    synthesize_note_dataset(tmp / "eval", variants_per_class=args.variants,
-                            seed=args.seed, verbose=False)
     t = Transcriber()
-    loader = AudioDatasetLoader([tmp / "eval"], target_sr=t.ckpt_sr,
-                                duration=t.clip_length)
-    wavs, _, labels, _ = loader.load_audio_dataset(pad_to_max=True)
-    clips = jnp.asarray(np.stack(wavs))
+
+    sets = {"mixed": {}} if args.suite == "quick" else FULL_SUITE
+    report = {"suite": args.suite, "eval_seed": args.seed, "sets": {}}
+    base = None
+    for name, kwargs in sets.items():
+        res = evaluate_set(t, tmp / name, args.variants, args.seed,
+                           **kwargs)
+        if base is None:
+            base = res
+        report["sets"][name] = {k: v for k, v in res.items()
+                                if not k.startswith("_")}
+        print(f"[evaluate] {name:18s} ens={res['ensemble_accuracy']:.4f} "
+              f"mlp={res['mlp_accuracy']:.4f} "
+              f"cnn={res['cnn_accuracy']:.4f} "
+              f"yin={res['yin_accuracy']:.4f} (n={res['n_clips']})")
+    report["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(report, indent=2))
+
+    # confusion detail for the base (mixed) set
+    labels = base["_labels"]
     classes = sorted(set(labels))
     y_true = np.asarray([classes.index(l) for l in labels])
-
-    result = t.transcribe_clips(clips)
     rm = t.predictor.reverse_map
-    name_to_idx = {v: k for k, v in rm.items()}
-    y_map = np.asarray([name_to_idx[l] for l in labels])
-
-    probs = result["probs"]
-    mlp_p = result["per_model_probs"]["mlp"]
-    cnn_p = result["per_model_probs"]["cnn"]
-
-    def acc(p):
-        return float((p.argmax(axis=1) == y_map).mean()) if p is not None \
-            else None
-
-    yin_hz = np.asarray(yin_pitch(clips, t.ckpt_sr))
-    yin_names = [estimate_note(h, unicode=False)[1] for h in yin_hz]
-    yin_acc = float(np.mean([a == b for a, b in zip(yin_names, labels)]))
-
-    report = {
-        "n_clips": int(len(labels)),
-        "num_classes": len(classes),
-        "ensemble_accuracy": acc(probs),
-        "mlp_accuracy": acc(mlp_p),
-        "cnn_accuracy": acc(cnn_p),
-        "yin_accuracy": yin_acc,
-        "eval_seed": args.seed,
-        "wall_s": round(time.time() - t0, 1),
-    }
-    print(json.dumps(report, indent=2))
-    preds = probs.argmax(axis=1)
+    preds = base["_result"]["probs"].argmax(axis=1)
     pred_names = [rm[int(i)] for i in preds]
     y_pred = np.asarray([classes.index(n) if n in classes else -1
                          for n in pred_names])
