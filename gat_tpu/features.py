@@ -57,6 +57,55 @@ def normalize_volume(y: jax.Array, eps: float = 1e-9) -> jax.Array:
     return y / (rms + eps)
 
 
+def _fused_mfcc_mean_and_pitch(clips: jax.Array, sr: int, n_mfcc: int,
+                               normalize_audio_volume: bool,
+                               pitch_on_normalized: bool) -> jax.Array:
+    """MFCC-mean + YIN pitch from ONE shared block DFT.
+
+    The MFCC front-end windows+DFTs frames the YIN autocorrelation
+    re-DFTs unwindowed (same n_fft 2048 / hop 512 / constant center
+    pad), so both derive here from a single hop-block DFT of the RAW
+    clips: per-clip volume normalization is a scalar, so each consumer
+    scales the shared coefficients (linearity) instead of re-transforming
+    a rescaled signal — the pitch-source quirk (raw vs normalized, ref
+    features.py:201 vs 473) costs one multiply, not a second DFT."""
+    import math
+    from .ops.mel import mel_filterbank_librosa
+    from .ops.yin import _cmnd_block, _f0_from_cmnd
+
+    n_fft, hop, n_mels = 2048, 512, 128        # spectral.mfcc defaults
+    win = n_fft // 2                           # librosa yin defaults
+    fmin, fmax, trough = 50.0, 1000.0, 0.1
+
+    clips = jnp.asarray(clips, jnp.float32)
+    pad = spectral._pad_center(clips, n_fft // 2, "constant")
+    t = 1 + (pad.shape[-1] - n_fft) // hop
+    cre, cim = spectral.block_coeffs(pad, n_fft, hop, t)
+    rms = jnp.sqrt(jnp.mean(clips * clips, axis=-1, keepdims=True))
+    s = 1.0 / (rms + 1e-9)
+
+    sm = s if normalize_audio_volume else jnp.ones_like(s)
+    are, aim = spectral.combine_blocks(cre, cim, n_fft, hop, t)
+    wre, wim = spectral.hann_in_frequency(are * sm[..., None],
+                                          aim * sm[..., None])
+    spec = wre * wre + wim * wim
+    fb = jnp.asarray(mel_filterbank_librosa(sr, n_fft, n_mels))
+    mel = jnp.einsum("...tf,mf->...tm", spec, fb,
+                     preferred_element_type=jnp.float32)
+    s_db = spectral.power_to_db_librosa(mel, spec_axes=2)
+    dct = spectral.dct_ii_matrix(n_mels, n_mfcc)
+    vec = jnp.mean(jnp.einsum("...tm,mk->...tk", s_db, dct,
+                              preferred_element_type=jnp.float32), axis=-2)
+
+    sy = s if pitch_on_normalized else jnp.ones_like(s)
+    min_p = max(int(math.floor(sr / fmax)), 1)
+    max_p = min(int(math.ceil(sr / fmin)), n_fft - win - 1)
+    cmnd = _cmnd_block(pad * sy, n_fft, hop, t, win, min_p, max_p,
+                       coeffs=(cre * sy[..., None], cim * sy[..., None]))
+    hz = jnp.median(_f0_from_cmnd(cmnd, min_p, trough, sr), axis=-1)
+    return jnp.concatenate([vec, jnp.log10(hz)[..., None]], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "sr", "n_mfcc", "normalize_audio_volume", "add_pitch_features",
     "pitch_on_normalized", "use_pallas"))
@@ -68,9 +117,17 @@ def mfcc_feature_vectors(clips: jax.Array, sr: int, n_mfcc: int = 64,
     """(N, L) → (N, n_mfcc [+1]): time-pooled MFCC vector with optional
     appended log10-pitch feature. One traced graph for the whole batch.
 
+    On the matmul (TPU) backend with the pitch feature enabled, the MFCC
+    and YIN front-ends share one block DFT (_fused_mfcc_mean_and_pitch).
+
     use_pallas selects the hand-fused VMEM-resident kernel
     (ops/pallas/mfcc_frontend.py); the default XLA matmul-DFT path
     benches slightly faster on v5e, so the kernel is opt-in."""
+    if (add_pitch_features and not use_pallas
+            and spectral.stft_backend() == "matmul"):
+        return _fused_mfcc_mean_and_pitch(clips, sr, n_mfcc,
+                                          normalize_audio_volume,
+                                          pitch_on_normalized)
     y = normalize_volume(clips) if normalize_audio_volume else clips
     if use_pallas:
         from .ops.pallas.mfcc_frontend import mfcc_mean_pallas

@@ -131,6 +131,121 @@ def _pad_center(y: jax.Array, pad: int, pad_mode: str) -> jax.Array:
     return jnp.pad(y, widths, mode=pad_mode)
 
 
+# ---------------------------------------------------------------------------
+# Block-DFT spectra: the TPU-native overlapping-frame DFT.
+#
+# Framing at hop h with n_fft N > h reads every sample N/h times; a GEMM
+# over materialized frames therefore does N/h times more MACs (and HBM
+# reads) than the signal warrants. Instead, DFT the NON-overlapping
+# hop-sized blocks once — a (h × F) GEMM on the raw signal — and build
+# each frame's spectrum as a K = N/h-term twiddle-weighted sum of its
+# block spectra:
+#
+#   X_t[k] = Σ_{j<K} e^(-2πi·k·j/K) · C_{t+j}[k],
+#   C_b[k] = Σ_{n<h} y[b·h + n] · e^(-2πi·k·n/N)
+#
+# which is exact (the frame at t·h is the concatenation of blocks
+# t..t+K-1, and a block at offset j·h picks up the phase e^(-2πi·k·jh/N)).
+# The Hann window is applied afterwards IN FREQUENCY as the exact 3-tap
+# stencil of the periodic Hann transform, so one block DFT serves both
+# windowed (spectrogram) and unwindowed (YIN autocorrelation) consumers.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _block_dft_np(hop: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Block real-DFT matrices (hop, 1 + n_fft//2): blocks @ C + i·blocks
+    @ S == rfft of each zero-padded block (n=n_fft)."""
+    n = np.arange(hop)[:, None]
+    f = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * n * f / n_fft
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=8)
+def _block_twiddles_np(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-offset combine twiddles (K, F): e^(-2πi·k·j/K)."""
+    k_ratio = n_fft // hop
+    j = np.arange(k_ratio)[:, None]
+    k = np.arange(1 + n_fft // 2)[None, :]
+    ang = 2.0 * np.pi * j * k / k_ratio
+    return (np.cos(ang).astype(np.float32),
+            (-np.sin(ang)).astype(np.float32))
+
+
+def block_coeffs(y_padded: jax.Array, n_fft: int, hop_length: int,
+                 n_frames_out: int) -> tuple[jax.Array, jax.Array]:
+    """(..., P) padded signal → per-block DFT coefficients
+    (..., n_frames_out + N/hop - 1, F): the shared operand every
+    overlapping-frame spectral consumer combines from."""
+    assert n_fft % hop_length == 0
+    k_ratio = n_fft // hop_length
+    nb = n_frames_out + k_ratio - 1
+    need = nb * hop_length
+    if y_padded.shape[-1] < need:
+        y_padded = jnp.pad(
+            y_padded,
+            [(0, 0)] * (y_padded.ndim - 1)
+            + [(0, need - y_padded.shape[-1])])
+    blocks = y_padded[..., :need].reshape(
+        y_padded.shape[:-1] + (nb, hop_length)).astype(_MATMUL_DTYPE)
+    c_m, s_m = _block_dft_np(hop_length, n_fft)
+    cre = jnp.einsum("...bh,hf->...bf", blocks,
+                     jnp.asarray(c_m, _MATMUL_DTYPE),
+                     preferred_element_type=jnp.float32)
+    cim = jnp.einsum("...bh,hf->...bf", blocks,
+                     jnp.asarray(s_m, _MATMUL_DTYPE),
+                     preferred_element_type=jnp.float32)
+    return cre, cim
+
+
+def combine_blocks(cre: jax.Array, cim: jax.Array, n_fft: int,
+                   hop_length: int, n_frames_out: int,
+                   n_blocks: int | None = None
+                   ) -> tuple[jax.Array, jax.Array]:
+    """Twiddle-combine block coefficients into frame spectra: frame t over
+    blocks t..t+n_blocks-1 (default N/hop, i.e. the full n_fft frame;
+    fewer gives the DFT of the frame's first n_blocks·hop samples)."""
+    k_ratio = n_fft // hop_length
+    if n_blocks is None:
+        n_blocks = k_ratio
+    twr, twi = _block_twiddles_np(n_fft, hop_length)
+    xre = cre[..., 0:n_frames_out, :]
+    xim = cim[..., 0:n_frames_out, :]
+    for j in range(1, n_blocks):
+        rj = cre[..., j:j + n_frames_out, :]
+        ij = cim[..., j:j + n_frames_out, :]
+        tr, ti = twr[j], twi[j]
+        xre = xre + tr * rj - ti * ij
+        xim = xim + tr * ij + ti * rj
+    return xre, xim
+
+
+def block_spectra(y_padded: jax.Array, n_fft: int, hop_length: int,
+                  n_frames_out: int) -> tuple[jax.Array, jax.Array]:
+    """(..., P) padded signal → unwindowed frame spectra
+    (..., n_frames_out, F), F = 1 + n_fft//2, via the block DFT.
+    Requires hop_length | n_fft."""
+    cre, cim = block_coeffs(y_padded, n_fft, hop_length, n_frames_out)
+    return combine_blocks(cre, cim, n_fft, hop_length, n_frames_out)
+
+
+def hann_in_frequency(xre: jax.Array, xim: jax.Array
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Windowed spectrum from the unwindowed one: the periodic Hann
+    window is 0.5 - 0.25·(e^(+2πin/N) + e^(-2πin/N)), so in frequency
+    X_w[k] = 0.5·X[k] - 0.25·(X[k-1] + X[k+1]), with the wrapped
+    neighbors supplied by conjugate symmetry of a real signal's spectrum
+    (X[-1] = conj(X[1]); X[N/2+1] = conj(X[N/2-1]))."""
+    rm1 = jnp.concatenate([xre[..., 1:2], xre[..., :-1]], axis=-1)
+    im1 = jnp.concatenate([-xim[..., 1:2], xim[..., :-1]], axis=-1)
+    rp1 = jnp.concatenate([xre[..., 1:], xre[..., -2:-1]], axis=-1)
+    ip1 = jnp.concatenate([xim[..., 1:], -xim[..., -2:-1]], axis=-1)
+    return (0.5 * xre - 0.25 * (rm1 + rp1),
+            0.5 * xim - 0.25 * (im1 + ip1))
+
+
 def stft(y: jax.Array, n_fft: int = 2048, hop_length: int | None = None,
          win_length: int | None = None, center: bool = True,
          pad_mode: str = "constant") -> jax.Array:
@@ -161,15 +276,22 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
     if stft_backend() == "matmul":
         if center:
             y = _pad_center(y, n_fft // 2, pad_mode)
-        frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
-        c_m, s_m = _rdft_np(n_fft)
-        win = _hann_np(n_fft)[:, None]
-        cw = jnp.asarray(c_m * win, _MATMUL_DTYPE)
-        sw = jnp.asarray(s_m * win, _MATMUL_DTYPE)
-        re = jnp.einsum("...tn,nf->...tf", frames, cw,
-                        preferred_element_type=jnp.float32)
-        im = jnp.einsum("...tn,nf->...tf", frames, sw,
-                        preferred_element_type=jnp.float32)
+        if n_fft % hop_length == 0:
+            # block DFT (N/hop× fewer MACs, no materialized frames) +
+            # exact frequency-domain Hann
+            nf = 1 + (y.shape[-1] - n_fft) // hop_length
+            xre, xim = block_spectra(y, n_fft, hop_length, nf)
+            re, im = hann_in_frequency(xre, xim)
+        else:
+            frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
+            c_m, s_m = _rdft_np(n_fft)
+            win = _hann_np(n_fft)[:, None]
+            cw = jnp.asarray(c_m * win, _MATMUL_DTYPE)
+            sw = jnp.asarray(s_m * win, _MATMUL_DTYPE)
+            re = jnp.einsum("...tn,nf->...tf", frames, cw,
+                            preferred_element_type=jnp.float32)
+            im = jnp.einsum("...tn,nf->...tf", frames, sw,
+                            preferred_element_type=jnp.float32)
         p = re * re + im * im
         if power == 2.0:
             return p

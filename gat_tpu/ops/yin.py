@@ -24,7 +24,8 @@ import numpy as _np
 import jax
 import jax.numpy as jnp
 
-from .spectral import frame, _pad_center, _rdft_np, stft_backend
+from .spectral import (frame, _pad_center, _rdft_np, stft_backend,
+                       block_coeffs, combine_blocks)
 
 __all__ = ["yin", "yin_pitch", "estimate_note"]
 
@@ -96,6 +97,75 @@ def _cmnd(frames: jax.Array, frame_length: int, win_length: int,
     return numerator / (denominator + _TINY32)
 
 
+def _cmnd_block(y_padded: jax.Array, frame_length: int, hop_length: int,
+                n_frames: int, win_length: int, min_period: int,
+                max_period: int, coeffs=None) -> jax.Array:
+    """CMND via the shared block DFT — no frames are ever materialized.
+
+    The autocorrelation needs two spectra per frame x (length N):
+    A = rfft(x) and B = rfft of the reversed window x[W..1]. Both come
+    from the SAME hop-block DFT coefficients: A is the full K-block
+    twiddle combine; B follows from conjugation —
+
+      B[k] = e^(-2πiWk/N) · conj(G[k]),
+      G[k] = Σ_{m=1..W} x[m] e^(-2πimk/N)
+           = (first W/hop blocks combined) - x[0] + x[W]·e^(-2πiWk/N),
+
+    and with W = N/2 the phase e^(-2πiWk/N) is just (-1)^k. The sliding
+    energies come from a cumulative sum over the padded signal (no frame
+    copies there either). Requires hop | W and W == N/2 — the only
+    configuration this framework uses (librosa yin defaults).
+
+    `coeffs` lets a caller that already paid for the block DFT (the fused
+    MFCC+pitch front-end) pass it in; y_padded and coeffs must then be
+    consistently scaled."""
+    if coeffs is not None:
+        cre, cim = coeffs
+    else:
+        cre, cim = block_coeffs(y_padded, frame_length, hop_length,
+                                n_frames)
+    are, aim = combine_blocks(cre, cim, frame_length, hop_length, n_frames)
+    kb = win_length // hop_length
+    hre, him = combine_blocks(cre, cim, frame_length, hop_length, n_frames,
+                              n_blocks=kb)
+
+    last = (n_frames - 1) * hop_length
+    x0 = y_padded[..., 0:last + 1:hop_length]
+    xw = y_padded[..., win_length:win_length + last + 1:hop_length]
+    sign = jnp.asarray(_np.where(_np.arange(1 + frame_length // 2) % 2 == 0,
+                                 1.0, -1.0), jnp.float32)
+    gre = hre - x0[..., None] + xw[..., None] * sign
+    gim = him
+    bre = sign * gre
+    bim = -sign * gim
+
+    re = are * bre - aim * bim
+    im = are * bim + aim * bre
+    ic, isin = _irdft_lags_np(frame_length, win_length, max_period + 1)
+    acf = (jnp.einsum("...f,fl->...l", re, jnp.asarray(ic),
+                      preferred_element_type=jnp.float32)
+           - jnp.einsum("...f,fl->...l", im, jnp.asarray(isin),
+                        preferred_element_type=jnp.float32))
+    acf = jnp.where(jnp.abs(acf) < 1e-6, 0.0, acf)
+
+    # sliding energies from the signal-level cumulative sum:
+    # e_t(τ) = Σ_{i=τ+1..τ+W} x_t[i]² = S[t·hop + τ + W] − S[t·hop + τ]
+    csum = jnp.cumsum(y_padded.astype(jnp.float32) ** 2, axis=-1)
+    csum = jnp.concatenate(
+        [jnp.zeros(y_padded.shape[:-1] + (1,), jnp.float32), csum], axis=-1)
+    idx = (_np.arange(n_frames)[:, None] * hop_length
+           + _np.arange(max_period + 1)[None, :]) + 1
+    energy = csum[..., idx + win_length] - csum[..., idx]
+    energy = jnp.where(jnp.abs(energy) < 1e-6, 0.0, energy)
+
+    diff = energy[..., :1] + energy - 2.0 * acf
+    numerator = diff[..., min_period:max_period + 1]
+    tau = jnp.arange(1, max_period + 1, dtype=diff.dtype)
+    cum_mean = jnp.cumsum(diff[..., 1:max_period + 1], axis=-1) / tau
+    denominator = cum_mean[..., min_period - 1:max_period]
+    return numerator / (denominator + _TINY32)
+
+
 def _parabolic_shifts(x: jax.Array) -> jax.Array:
     """Sub-sample trough refinement: vertex offset of the parabola through
     each point and its neighbors; zeroed at edges and when |shift| > 1."""
@@ -123,13 +193,27 @@ def yin(y: jax.Array, fmin: float = 50.0, fmax: float = 1000.0,
 
     if center:
         y = _pad_center(y, frame_length // 2, "constant")
-    frames = frame(y, frame_length, hop_length).astype(jnp.float32)
 
     min_period = max(int(math.floor(sr / fmax)), 1)
     max_period = min(int(math.ceil(sr / fmin)),
                      frame_length - win_length - 1)
 
-    cmnd = _cmnd(frames, frame_length, win_length, min_period, max_period)
+    use_block = (stft_backend() == "matmul"
+                 and win_length == frame_length // 2
+                 and win_length % hop_length == 0)
+    if use_block:
+        n_frames = 1 + (y.shape[-1] - frame_length) // hop_length
+        cmnd = _cmnd_block(y, frame_length, hop_length, n_frames,
+                           win_length, min_period, max_period)
+    else:
+        frames = frame(y, frame_length, hop_length).astype(jnp.float32)
+        cmnd = _cmnd(frames, frame_length, win_length, min_period,
+                     max_period)
+    return _f0_from_cmnd(cmnd, min_period, trough_threshold, sr)
+
+
+def _f0_from_cmnd(cmnd: jax.Array, min_period: int,
+                  trough_threshold: float, sr: int) -> jax.Array:
     shifts = _parabolic_shifts(cmnd)
 
     # Trough mask: local minima (left-strict, right-non-strict with edge

@@ -64,3 +64,63 @@ def test_backend_auto_resolution(matmul_backend):
     spectral.set_stft_backend("auto")
     # on the CPU test platform auto must resolve to fft
     assert spectral.stft_backend() == "fft"
+
+
+def test_block_spectra_match_windowless_rfft(rng):
+    """block_spectra (hop-block DFT + twiddle combine) must equal the
+    rfft of the materialized unwindowed frames exactly."""
+    import jax.numpy as jnp
+    y = rng.normal(size=(2, 4096 + 300)).astype(np.float32)
+    n_fft, hop = 2048, 512
+    nf = 1 + (y.shape[-1] - n_fft) // hop
+    xre, xim = spectral.block_spectra(jnp.asarray(y), n_fft, hop, nf)
+    frames = np.asarray(spectral.frame(jnp.asarray(y), n_fft, hop))
+    ref = np.fft.rfft(frames, n_fft, axis=-1)
+    np.testing.assert_allclose(np.asarray(xre), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xim), ref.imag, atol=2e-3)
+
+
+def test_hann_in_frequency_matches_windowed_rfft(rng):
+    """The 3-tap frequency-domain Hann must equal windowing in time."""
+    import jax.numpy as jnp
+    y = rng.normal(size=(1, 6144)).astype(np.float32)
+    n_fft, hop = 2048, 512
+    nf = 1 + (y.shape[-1] - n_fft) // hop
+    xre, xim = spectral.block_spectra(jnp.asarray(y), n_fft, hop, nf)
+    wre, wim = spectral.hann_in_frequency(xre, xim)
+    frames = np.asarray(spectral.frame(jnp.asarray(y), n_fft, hop))
+    win = np.hanning(n_fft + 1)[:-1]  # periodic Hann
+    ref = np.fft.rfft(frames * win, n_fft, axis=-1)
+    np.testing.assert_allclose(np.asarray(wre), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(wim), ref.imag, atol=2e-3)
+
+
+def test_power_spectrogram_non_divisible_hop_falls_back(rng,
+                                                        matmul_backend):
+    """hop ∤ n_fft can't use the block path — the frame-GEMM fallback
+    must still match the fft backend."""
+    y = rng.normal(size=(2, 5512)).astype(np.float32) * 0.3
+    got = np.asarray(spectral.power_spectrogram(y, 2048, 500))
+    spectral.set_stft_backend("fft")
+    ref = np.asarray(spectral.power_spectrogram(y, 2048, 500))
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=1e-3)
+
+
+def test_fused_feature_vectors_match_fft_path(matmul_backend):
+    """The shared-block-DFT MFCC+pitch front-end must reproduce the
+    separate-pipeline fft path for every flag combination."""
+    from gat_tpu.features import mfcc_feature_vectors
+    clips = np.stack([make_pluck(f, 11025, 0.5, seed=5)
+                      for f in (110.0, 196.0, 329.63)])
+    for norm in (True, False):
+        for pon in (True, False):
+            spectral.set_stft_backend("matmul")
+            got = np.asarray(mfcc_feature_vectors(
+                clips, 11025, normalize_audio_volume=norm,
+                pitch_on_normalized=pon))
+            spectral.set_stft_backend("fft")
+            ref = np.asarray(mfcc_feature_vectors(
+                clips, 11025, normalize_audio_volume=norm,
+                pitch_on_normalized=pon))
+            np.testing.assert_allclose(got, ref, atol=5e-3,
+                                       err_msg=f"norm={norm} pon={pon}")
