@@ -36,6 +36,13 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
     use_cnn = melspec_params is not None and predictor.cnn is not None
     mlp_vars = predictor.mlp_variables
     cnn_vars = predictor.cnn_variables if use_cnn else None
+    prior_w = getattr(predictor, "pitch_prior_weight", 0.0)
+    use_prior = prior_w > 0 and predictor.reverse_map
+    if use_prior:
+        from .predictor import class_midi_values, apply_pitch_prior
+        from ..ops.yin import yin_pitch
+        class_midi = class_midi_values(predictor.reverse_map)
+        prior_sigma = predictor.pitch_prior_sigma
 
     def run(clips):
         c = clips
@@ -64,6 +71,12 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
             probs = (1.0 - w) * mlp_probs + w * cp
         else:
             probs = mlp_probs
+        if use_prior:
+            # the YIN pass here shares its block DFT with the MFCC
+            # front-end above via XLA CSE (identical subexpressions)
+            hz = yin_pitch(c, ckpt_sr)
+            probs = apply_pitch_prior(probs, hz, class_midi,
+                                      weight=prior_w, sigma=prior_sigma)
         if return_parts:
             return probs, mlp_probs, cp
         return probs

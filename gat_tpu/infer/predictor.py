@@ -7,6 +7,14 @@ checkpoint's variables, and predictions blend softmax probabilities
 forward of both models is a single jit graph; `predict_debug` sweeps
 ensemble weights (ref note_predictor.py:138-157) reusing it (the weight
 is a traced scalar, so the sweep costs no recompiles).
+
+Beyond the reference: an optional YIN pitch prior (`pitch_prior_weight`
+> 0) mixes a Gaussian-over-semitone-distance distribution from the
+clip's estimated f0 into the blend before argmax. The classifiers key
+partly on timbre and degrade on synthesis families they never saw
+(cross_family_eval.py), while the pitch tracker is timbre-blind — the
+prior restores unseen-timbre accuracy at the cost of one (shared) YIN
+pass. Off by default: the reference blend stays the parity behavior.
 """
 from __future__ import annotations
 
@@ -18,11 +26,42 @@ import numpy as np
 
 from ..models import MLP, CNN
 
-__all__ = ["NotePredictor"]
+__all__ = ["NotePredictor", "class_midi_values", "apply_pitch_prior"]
+
+
+def class_midi_values(reverse_map: dict[int, str]) -> np.ndarray:
+    """(C,) MIDI number per class index, from the SPN label map."""
+    from ..ops.pitch import note_to_midi
+    return np.asarray([float(note_to_midi(reverse_map[i]))
+                       for i in range(len(reverse_map))], np.float32)
+
+
+def apply_pitch_prior(probs: jax.Array, pitch_hz: jax.Array,
+                      class_midi: np.ndarray, weight: float = 0.4,
+                      sigma: float = 0.5) -> jax.Array:
+    """Mixture blend: (1-w)·probs + w·softmax(-(Δsemitones)²/(2σ²)).
+
+    The pitch tracker enters as a third ensemble member rather than a
+    multiplicative prior: a product lets YIN's own errors (~7% octave
+    slips) VETO a confident, correct classifier, while a sub-0.5-weight
+    mixture can only flip a disagreement the classifiers were already
+    unsure about. Swept on held-out family/stressor sets: w=0.4, σ=0.5
+    keeps the seen families at 100% and lifts unseen-FM to 100%
+    (tools/evaluate.py --suite full). Non-finite/non-positive pitch
+    estimates leave probs untouched."""
+    hz = jnp.asarray(pitch_hz, jnp.float32)
+    valid = jnp.isfinite(hz) & (hz > 0)
+    midi_f = 12.0 * jnp.log2(jnp.where(valid, hz, 440.0) / 440.0) + 69.0
+    d = midi_f[..., None] - jnp.asarray(class_midi)
+    p_yin = jax.nn.softmax(-0.5 * (d / sigma) ** 2, axis=-1)
+    post = (1.0 - weight) * probs + weight * p_yin
+    return jnp.where(valid[..., None], post, probs)
 
 
 class NotePredictor:
-    def __init__(self, cnn_weight: float = 0.80):
+    def __init__(self, cnn_weight: float = 0.80,
+                 pitch_prior_weight: float = 0.0,
+                 pitch_prior_sigma: float = 0.5):
         self.mlp = None
         self.cnn = None
         self.mlp_variables = None
@@ -30,6 +69,8 @@ class NotePredictor:
         self.reverse_map: dict[int, str] | None = None
         self.cnn_weight = cnn_weight
         self.mlp_weight = 1.0 - cnn_weight
+        self.pitch_prior_weight = pitch_prior_weight
+        self.pitch_prior_sigma = pitch_prior_sigma
 
     # ----- loading -------------------------------------------------------
     def load_models(self, mlp_ckpt_data: dict | None = None,
@@ -96,8 +137,10 @@ class NotePredictor:
         return x
 
     def ensemble_probs(self, mfcc_features=None, melspec_features=None,
-                       cnn_weight: float | None = None):
-        """Blended class probabilities plus per-model probs (device)."""
+                       cnn_weight: float | None = None, pitch_hz=None):
+        """Blended class probabilities plus per-model probs (device).
+        When the pitch prior is enabled and `pitch_hz` (N,) is given, the
+        blend is re-weighted toward classes near the estimated f0."""
         mlp_probs = cnn_probs = None
         if mfcc_features is not None:
             if self.mlp is None:
@@ -121,14 +164,21 @@ class NotePredictor:
             raise ValueError(
                 "[predict] Must provide either mfcc_features or "
                 "melspec_features")
+        if (pitch_hz is not None and self.pitch_prior_weight > 0
+                and self.reverse_map):
+            probs = apply_pitch_prior(
+                probs, pitch_hz, class_midi_values(self.reverse_map),
+                weight=self.pitch_prior_weight,
+                sigma=self.pitch_prior_sigma)
         return probs, mlp_probs, cnn_probs
 
     # ----- public prediction API -----------------------------------------
-    def predict(self, mfcc_features=None, melspec_features=None) -> dict:
+    def predict(self, mfcc_features=None, melspec_features=None,
+                pitch_hz=None) -> dict:
         """Ref note_predictor.py:84-135 result schema: indices, labels,
         confidences, blended probs, per-model probs."""
         probs, mlp_probs, cnn_probs = self.ensemble_probs(
-            mfcc_features, melspec_features)
+            mfcc_features, melspec_features, pitch_hz=pitch_hz)
         probs = np.asarray(probs)
         idx = probs.argmax(axis=1)
         labels = ([self.reverse_map[int(i)] for i in idx]

@@ -41,13 +41,18 @@ __all__ = ["Transcriber"]
 class Transcriber:
     def __init__(self, mlp_ckpt=None, cnn_ckpt=None, mlp_root=None,
                  cnn_root=None, cnn_weight: float = 0.80,
-                 require_cnn: bool = True):
+                 require_cnn: bool = True,
+                 pitch_prior_weight: float = 0.0):
         """Resolve + load both checkpoints, validate their embedded
         configs, and initialize the ensemble (ref transcribe.py:26-75).
         `require_cnn=False` permits MLP-only operation (the reference
-        repo itself ships without the CNN blob)."""
+        repo itself ships without the CNN blob). `pitch_prior_weight>0`
+        enables the YIN pitch prior on the ensemble (see
+        predictor.apply_pitch_prior) — off by default for reference
+        parity."""
         self.feature_builder = FeatureBuilder()
-        self.predictor = NotePredictor(cnn_weight=cnn_weight)
+        self.predictor = NotePredictor(cnn_weight=cnn_weight,
+                                       pitch_prior_weight=pitch_prior_weight)
         self._fused_cache: dict = {}
 
         mlp_root = Path(mlp_root) if mlp_root else MLP_CONFIG.CHECKPOINTS_DIR
@@ -109,6 +114,7 @@ class Transcriber:
         # fused path would silently serve stale weights
         key = (target_sr, clip_duration, max_onsets,
                self.predictor.cnn_weight,
+               self.predictor.pitch_prior_weight,
                id(self.predictor.mlp_variables),
                id(self.predictor.cnn_variables))
         if key in self._fused_cache:
@@ -149,9 +155,10 @@ class Transcriber:
         mf, ms = self.feature_builder.extract_inference_features_from_clips(
             clips_ckpt_sr, self.ckpt_sr, mfcc_params, melspec_params,
             self.scaler)
-        result = self.predictor.predict(mf, ms)
+        pitch_dev = yin_pitch(clips_ckpt_sr, self.ckpt_sr)
+        result = self.predictor.predict(mf, ms, pitch_hz=pitch_dev)
 
-        pitches = np.asarray(yin_pitch(clips_ckpt_sr, self.ckpt_sr))
+        pitches = np.asarray(pitch_dev)
         result["dsp_info"] = []
         for hz in pitches:
             midi, name, midi_f = estimate_note(float(hz))
@@ -262,4 +269,6 @@ class Transcriber:
             melspec_params = None
         mf, ms = self.feature_builder.extract_inference_features_from_audio(
             audio, self.ckpt_sr, mfcc_params, melspec_params, self.scaler)
-        return self.predictor.predict(mf, ms)
+        hz = (yin_pitch(audio[None], self.ckpt_sr)
+              if self.predictor.pitch_prior_weight > 0 else None)
+        return self.predictor.predict(mf, ms, pitch_hz=hz)

@@ -57,3 +57,49 @@ def test_ensemble_weight_sweep_changes_probs(transcriber):
     cnn_p = r["per_model_probs"]["cnn"]
     np.testing.assert_allclose(r["probs"], 0.2 * mlp_p + 0.8 * cnn_p,
                                atol=1e-6)
+
+
+def test_pitch_prior_math():
+    """apply_pitch_prior must boost the f0-consistent class, suppress
+    octave errors, and pass probs through on invalid pitch."""
+    import jax.numpy as jnp
+    from gat_tpu.infer.predictor import apply_pitch_prior
+
+    class_midi = np.asarray([45.0, 50.0, 57.0], np.float32)  # A2 D3 A3
+    # model leans wrong by an octave without confidence: the f0-backed
+    # class must win (a CONFIDENT model keeps its answer — mixture, not
+    # veto)
+    probs = jnp.asarray([[0.3, 0.25, 0.45]])
+    hz = jnp.asarray([110.0])  # A2
+    post = np.asarray(apply_pitch_prior(probs, hz, class_midi))
+    assert post[0].argmax() == 0, post
+    confident = jnp.asarray([[0.02, 0.03, 0.95]])
+    post_c = np.asarray(apply_pitch_prior(confident, hz, class_midi))
+    assert post_c[0].argmax() == 2, post_c
+    # invalid pitch → unchanged
+    post_nan = np.asarray(apply_pitch_prior(probs, jnp.asarray([np.nan]),
+                                            class_midi))
+    np.testing.assert_allclose(post_nan, np.asarray(probs), atol=1e-7)
+    post_neg = np.asarray(apply_pitch_prior(probs, jnp.asarray([-1.0]),
+                                            class_midi))
+    np.testing.assert_allclose(post_neg, np.asarray(probs), atol=1e-7)
+
+
+def test_pitch_prior_transcriber_unseen_timbre(tmp_path):
+    """End-to-end: an FM-timbre note (unseen by both models) must be
+    labeled correctly once the pitch prior is enabled."""
+    from gat_tpu.data.synth import fm_pluck
+
+    t = Transcriber(pitch_prior_weight=0.4)
+    ok = 0
+    notes = [("A2", 110.0), ("G3", 196.0), ("E4", 329.63), ("A4", 440.0)]
+    for name, f in notes:
+        sig = fm_pluck(f, SR, 0.5, n_variants=1, mod_ratio=3.0, seed=7)[0]
+        r = t.transcribe_note(sig * 0.5, sr_in=SR)
+        ok += (r["labels"][0] == name)
+    assert ok == len(notes), f"{ok}/{len(notes)} FM notes correct"
+
+
+def test_pitch_prior_default_off(transcriber):
+    """The default transcriber must keep exact reference blend parity."""
+    assert transcriber.predictor.pitch_prior_weight == 0.0

@@ -69,9 +69,15 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
     yin_names = [estimate_note(h, unicode=False)[1] for h in yin_hz]
     yin_acc = float(np.mean([a == b for a, b in zip(yin_names, labels)]))
 
+    # ensemble with the YIN pitch prior applied (opt-in robustness mode)
+    from gat_tpu.infer.predictor import apply_pitch_prior, class_midi_values
+    prior_probs = np.asarray(apply_pitch_prior(
+        result["probs"], yin_hz, class_midi_values(rm)))
+
     return {
         "n_clips": int(len(labels)),
         "ensemble_accuracy": acc(result["probs"]),
+        "ensemble_prior_accuracy": acc(prior_probs),
         "mlp_accuracy": acc(result["per_model_probs"]["mlp"]),
         "cnn_accuracy": acc(result["per_model_probs"]["cnn"]),
         "yin_accuracy": round(yin_acc, 4),
@@ -114,6 +120,7 @@ def main():
         report["sets"][name] = {k: v for k, v in res.items()
                                 if not k.startswith("_")}
         print(f"[evaluate] {name:18s} ens={res['ensemble_accuracy']:.4f} "
+              f"ens+prior={res['ensemble_prior_accuracy']:.4f} "
               f"mlp={res['mlp_accuracy']:.4f} "
               f"cnn={res['cnn_accuracy']:.4f} "
               f"yin={res['yin_accuracy']:.4f} (n={res['n_clips']})")
