@@ -51,7 +51,24 @@ def _make_clips(batch: int, clip_len: int, sr: int):
     return clips.astype(np.float32)
 
 
-def measure(batch: int, iters: int, warmup: int = 2) -> float:
+# v5e peak: 197 TFLOP/s bf16 (MXU); fp32 operands run through bf16
+# passes, so this is the conservative denominator for MFU.
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
+
+
+def _compiled_flops(compiled) -> float | None:
+    """XLA's own per-execution FLOP estimate for a compiled executable."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def measure(batch: int, iters: int, warmup: int = 2,
+            return_details: bool = False):
     """audio-seconds/sec of the fused graph at the given batch size.
 
     Iterations are dispatched back-to-back with one synchronization at the
@@ -64,18 +81,74 @@ def measure(batch: int, iters: int, warmup: int = 2) -> float:
     clip_len = example.shape[1]
     sr = _ckpt_sr()
     clips = _make_clips(batch, clip_len, sr)
-    jfn = jax.jit(fn)
+    compiled = jax.jit(fn).lower(clips).compile()
     x = jax.device_put(clips)
     for _ in range(warmup):
-        out = jfn(x)
+        out = compiled(x)
         jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jfn(x)
+        out = compiled(x)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     audio_seconds = batch * (clip_len / float(sr)) * iters
-    return audio_seconds / dt
+    value = audio_seconds / dt
+    if not return_details:
+        return value
+    flops = _compiled_flops(compiled)
+    mfu = (flops * iters / dt / PEAK_FLOPS) if flops else None
+    return value, {
+        "step_ms": round(dt / iters * 1000, 3),
+        "xla_flops_per_step": flops,
+        "mfu": round(mfu, 6) if mfu is not None else None,
+    }
+
+
+def measure_stages(batch: int, iters: int = 20) -> dict:
+    """Per-stage device timings of the fused pipeline's components, each
+    jitted and timed alone (cross-stage fusion means the parts can sum to
+    more than the fused whole — this locates the bottleneck, it does not
+    partition the total)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _shipped_predictor_and_scaler
+    from gat_tpu.features import mfcc_feature_vectors, melspec_features
+    from gat_tpu.ops.yin import yin_pitch
+
+    pred, scaler, mlp_ck, cnn_ck = _shipped_predictor_and_scaler()
+    sr = int(mlp_ck["config"]["target_sr"])
+    clip_len = int(sr * float(mlp_ck["config"]["clip_length"]))
+    mel_p = cnn_ck["config"]["features"]["params"]
+    clips = jax.device_put(_make_clips(batch, clip_len, sr))
+
+    def timed(fn, *args):
+        c = jax.jit(fn).lower(*args).compile()
+        out = c(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = c(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / iters
+        return round(dt * 1000, 3), _compiled_flops(c), c(*args)
+
+    stages = {}
+    stages["mfcc_pitch_frontend"], f1, mf = timed(
+        lambda c: mfcc_feature_vectors(c, sr), clips)
+    stages["melspec_frontend"], f2, ms = timed(
+        lambda c: melspec_features(
+            c, sr, n_mels=mel_p["N_MELS"], n_fft=mel_p["N_FFT"],
+            hop_length=mel_p["HOP_LENGTH"],
+            normalize_audio_volume=mel_p["NORMALIZE_AUDIO_VOLUME"]), clips)
+    stages["yin_baseline"], f3, _ = timed(
+        lambda c: yin_pitch(c, sr), clips)
+    if scaler is not None:
+        mf = jnp.asarray(scaler.transform(mf))
+    stages["mlp_forward"], f4, _ = timed(
+        lambda v, x: pred.mlp.apply(v, x), pred.mlp_variables, mf)
+    stages["cnn_forward"], f5, _ = timed(
+        lambda v, x: pred.cnn.apply(v, x), pred.cnn_variables, ms)
+    return stages
 
 
 def _read_cache() -> dict:
@@ -164,15 +237,25 @@ def main():
             "vs_baseline": 1.0,
         }))
         return
+    if os.environ.get("BENCH_MODE") == "stages":
+        print(json.dumps({
+            "metric": "stage_times",
+            "value": measure_stages(BATCH),
+            "unit": "ms_per_step",
+            "vs_baseline": 1.0,
+        }))
+        return
     baseline = cpu_baseline()
     np_base = numpy_baseline()
-    value = measure(BATCH, ITERS)
+    value, details = measure(BATCH, ITERS, return_details=True)
     print(json.dumps({
         "metric": "audio_seconds_transcribed_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(value / baseline, 2),
         "vs_baseline_numpy": round(value / np_base, 2),
+        "mfu": details["mfu"],
+        "step_ms": details["step_ms"],
     }))
 
 

@@ -149,13 +149,21 @@ def _cmnd_block(y_padded: jax.Array, frame_length: int, hop_length: int,
     acf = jnp.where(jnp.abs(acf) < 1e-6, 0.0, acf)
 
     # sliding energies from the signal-level cumulative sum:
-    # e_t(τ) = Σ_{i=τ+1..τ+W} x_t[i]² = S[t·hop + τ + W] − S[t·hop + τ]
+    # e_t(τ) = Σ_{i=τ+1..τ+W} x_t[i]² = g[t·hop + τ + 1] with
+    # g[m] = S[m+W] − S[m]. With max_period+1 ≤ hop (every framework
+    # config) the (t, τ) table is a hop-strided reshape of g — no gather,
+    # which TPUs serialize badly.
     csum = jnp.cumsum(y_padded.astype(jnp.float32) ** 2, axis=-1)
     csum = jnp.concatenate(
         [jnp.zeros(y_padded.shape[:-1] + (1,), jnp.float32), csum], axis=-1)
-    idx = (_np.arange(n_frames)[:, None] * hop_length
-           + _np.arange(max_period + 1)[None, :]) + 1
-    energy = csum[..., idx + win_length] - csum[..., idx]
+    g = csum[..., win_length:] - csum[..., :-win_length]
+    if max_period + 1 <= hop_length:
+        energy = g[..., 1:1 + n_frames * hop_length].reshape(
+            g.shape[:-1] + (n_frames, hop_length))[..., :max_period + 1]
+    else:
+        idx = (_np.arange(n_frames)[:, None] * hop_length
+               + _np.arange(max_period + 1)[None, :]) + 1
+        energy = g[..., idx]
     energy = jnp.where(jnp.abs(energy) < 1e-6, 0.0, energy)
 
     diff = energy[..., :1] + energy - 2.0 * acf
