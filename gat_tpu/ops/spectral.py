@@ -276,9 +276,13 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
     if stft_backend() == "matmul":
         if center:
             y = _pad_center(y, n_fft // 2, pad_mode)
-        if n_fft % hop_length == 0:
+        if n_fft % hop_length == 0 and n_fft // hop_length <= 4:
             # block DFT (N/hop× fewer MACs, no materialized frames) +
-            # exact frequency-domain Hann
+            # exact frequency-domain Hann. Only taken at small overlap
+            # ratios: the K-term combine re-reads the coefficient arrays
+            # K times from HBM, and the graph is memory-bound — measured
+            # on v5e, K=8 (hop 256) is ~3× slower than the plain
+            # windowed-frame GEMM below, while K=4 (hop 512) wins.
             nf = 1 + (y.shape[-1] - n_fft) // hop_length
             xre, xim = block_spectra(y, n_fft, hop_length, nf)
             re, im = hann_in_frequency(xre, xim)

@@ -148,19 +148,38 @@ def _cmnd_block(y_padded: jax.Array, frame_length: int, hop_length: int,
                         preferred_element_type=jnp.float32))
     acf = jnp.where(jnp.abs(acf) < 1e-6, 0.0, acf)
 
-    # sliding energies from the signal-level cumulative sum:
-    # e_t(τ) = Σ_{i=τ+1..τ+W} x_t[i]² = g[t·hop + τ + 1] with
-    # g[m] = S[m+W] − S[m]. With max_period+1 ≤ hop (every framework
-    # config) the (t, τ) table is a hop-strided reshape of g — no gather,
-    # which TPUs serialize badly.
-    csum = jnp.cumsum(y_padded.astype(jnp.float32) ** 2, axis=-1)
-    csum = jnp.concatenate(
-        [jnp.zeros(y_padded.shape[:-1] + (1,), jnp.float32), csum], axis=-1)
-    g = csum[..., win_length:] - csum[..., :-win_length]
-    if max_period + 1 <= hop_length:
-        energy = g[..., 1:1 + n_frames * hop_length].reshape(
-            g.shape[:-1] + (n_frames, hop_length))[..., :max_period + 1]
-    else:
+    # sliding energies e_t(τ) = Σ_{i=τ+1..τ+W} x_t[i]², τ = 0..max_p,
+    # WITHOUT a full-signal cumulative sum (XLA lowers that to a
+    # reduce_window over all P samples — measured ~1 ms/batch, the
+    # single costliest op of this branch). Instead:
+    #   e_t(0)  from hop-block sums (the τ window spans exactly W/hop
+    #           blocks, shifted one sample: − x_t[0]² + x_t[W]²),
+    #   e_t(τ) = e_t(0) + cum(x_t[W+1..W+τ]²) − cum(x_t[1..τ]²),
+    # where both cumulative sums run over max_p ≤ hop samples per frame
+    # (hop-strided reshapes of y², no gathers).
+    y2 = y_padded.astype(jnp.float32) ** 2
+    if max_period <= hop_length:
+        kb = win_length // hop_length
+        nb = n_frames + kb - 1
+        bsum = y2[..., :nb * hop_length].reshape(
+            y2.shape[:-1] + (nb, hop_length)).sum(-1)
+        e0 = sum(bsum[..., j:j + n_frames] for j in range(kb))
+        last = (n_frames - 1) * hop_length
+        e0 = (e0 - y2[..., 0:last + 1:hop_length]
+              + y2[..., win_length:win_length + last + 1:hop_length])
+        rows1 = y2[..., 1:1 + n_frames * hop_length].reshape(
+            y2.shape[:-1] + (n_frames, hop_length))[..., :max_period]
+        rows2 = y2[..., win_length + 1:
+                   win_length + 1 + n_frames * hop_length].reshape(
+            y2.shape[:-1] + (n_frames, hop_length))[..., :max_period]
+        delta = jnp.cumsum(rows2 - rows1, axis=-1)
+        energy = jnp.concatenate([e0[..., None], e0[..., None] + delta],
+                                 axis=-1)
+    else:  # e.g. very low fmin at high sr: fall back to the global cumsum
+        csum = jnp.cumsum(y2, axis=-1)
+        csum = jnp.concatenate(
+            [jnp.zeros(y2.shape[:-1] + (1,), jnp.float32), csum], axis=-1)
+        g = csum[..., win_length:] - csum[..., :-win_length]
         idx = (_np.arange(n_frames)[:, None] * hop_length
                + _np.arange(max_period + 1)[None, :]) + 1
         energy = g[..., idx]
