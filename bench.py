@@ -41,14 +41,25 @@ def _ckpt_sr() -> int:
     return int(ck["config"]["target_sr"])
 
 
-def _make_clips(batch: int, clip_len: int, sr: int):
+def _make_clips(batch: int, clip_len: int, sr: int, seed: int = 0):
     import numpy as np
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     t = np.arange(clip_len) / float(sr)
     freqs = rng.uniform(80.0, 700.0, batch)
     clips = 0.3 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
     clips += rng.normal(0, 0.01, clips.shape)
     return clips.astype(np.float32)
+
+
+def _input_pool(batch: int, clip_len: int, sr: int, n: int = 4):
+    """Distinct device-resident input batches. Timing loops MUST cycle
+    distinct inputs: repeated execution on the SAME buffers measures
+    ~0.02 ms/iter regardless of the program (verified — some layer of
+    the tunneled-TPU stack elides duplicate executions), which silently
+    inflated earlier throughput numbers."""
+    import jax
+    return [jax.device_put(_make_clips(batch, clip_len, sr, seed=i))
+            for i in range(n)]
 
 
 # v5e peak: 197 TFLOP/s bf16 (MXU); fp32 operands run through bf16
@@ -80,15 +91,14 @@ def measure(batch: int, iters: int, warmup: int = 2,
     fn, (example,) = entry(batch=batch)
     clip_len = example.shape[1]
     sr = _ckpt_sr()
-    clips = _make_clips(batch, clip_len, sr)
-    compiled = jax.jit(fn).lower(clips).compile()
-    x = jax.device_put(clips)
+    pool = _input_pool(batch, clip_len, sr)
+    compiled = jax.jit(fn).lower(pool[0]).compile()
     for _ in range(warmup):
-        out = compiled(x)
+        out = compiled(pool[0])
         jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(x)
+    for i in range(iters):
+        out = compiled(pool[i % len(pool)])
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     audio_seconds = batch * (clip_len / float(sr)) * iters
@@ -119,15 +129,19 @@ def measure_stages(batch: int, iters: int = 20) -> dict:
     sr = int(mlp_ck["config"]["target_sr"])
     clip_len = int(sr * float(mlp_ck["config"]["clip_length"]))
     mel_p = cnn_ck["config"]["features"]["params"]
-    clips = jax.device_put(_make_clips(batch, clip_len, sr))
+    pool = _input_pool(batch, clip_len, sr)
+    clips = pool[0]
 
     def timed(fn, *args):
+        """Times fn over args, cycling the clip pool when the first arg
+        is the clip batch (distinct inputs — see _input_pool)."""
         c = jax.jit(fn).lower(*args).compile()
         out = c(*args)
         jax.block_until_ready(out)
+        cycle = args[0] is clips and len(args) == 1
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = c(*args)
+        for i in range(iters):
+            out = c(pool[i % len(pool)]) if cycle else c(*args)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         return round(dt * 1000, 3), _compiled_flops(c), c(*args)
@@ -213,13 +227,13 @@ def measure_latency(iters: int = 50) -> float:
     from __graft_entry__ import entry
     fn, (example,) = entry(batch=1)
     jfn = jax.jit(fn)
-    x = jax.device_put(_make_clips(1, example.shape[1], _ckpt_sr()))
+    pool = _input_pool(1, example.shape[1], _ckpt_sr(), n=8)
     for _ in range(3):
-        jax.block_until_ready(jfn(x))
+        jax.block_until_ready(jfn(pool[0]))
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(jfn(x))
+        jax.block_until_ready(jfn(pool[i % len(pool)]))
         times.append(time.perf_counter() - t0)
     return float(np.percentile(times, 50))
 

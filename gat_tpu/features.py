@@ -108,33 +108,23 @@ def _fused_mfcc_mean_and_pitch(clips: jax.Array, sr: int, n_mfcc: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "sr", "n_mfcc", "normalize_audio_volume", "add_pitch_features",
-    "pitch_on_normalized", "use_pallas"))
+    "pitch_on_normalized"))
 def mfcc_feature_vectors(clips: jax.Array, sr: int, n_mfcc: int = 64,
                          normalize_audio_volume: bool = True,
                          add_pitch_features: bool = True,
-                         pitch_on_normalized: bool = False,
-                         use_pallas: bool = False) -> jax.Array:
+                         pitch_on_normalized: bool = False) -> jax.Array:
     """(N, L) → (N, n_mfcc [+1]): time-pooled MFCC vector with optional
     appended log10-pitch feature. One traced graph for the whole batch.
 
     On the matmul (TPU) backend with the pitch feature enabled, the MFCC
-    and YIN front-ends share one block DFT (_fused_mfcc_mean_and_pitch).
-
-    use_pallas selects the hand-fused VMEM-resident kernel
-    (ops/pallas/mfcc_frontend.py); the default XLA matmul-DFT path
-    benches slightly faster on v5e, so the kernel is opt-in."""
-    if (add_pitch_features and not use_pallas
-            and spectral.stft_backend() == "matmul"):
+    and YIN front-ends share one block DFT (_fused_mfcc_mean_and_pitch)."""
+    if add_pitch_features and spectral.stft_backend() == "matmul":
         return _fused_mfcc_mean_and_pitch(clips, sr, n_mfcc,
                                           normalize_audio_volume,
                                           pitch_on_normalized)
     y = normalize_volume(clips) if normalize_audio_volume else clips
-    if use_pallas:
-        from .ops.pallas.mfcc_frontend import mfcc_mean_pallas
-        vec = mfcc_mean_pallas(y, sr, n_mfcc=n_mfcc, block_b=128)
-    else:
-        m = spectral.mfcc(y, sr, n_mfcc=n_mfcc)    # (N, T, n_mfcc)
-        vec = jnp.mean(m, axis=-2)                 # (N, n_mfcc)
+    m = spectral.mfcc(y, sr, n_mfcc=n_mfcc)    # (N, T, n_mfcc)
+    vec = jnp.mean(m, axis=-2)                 # (N, n_mfcc)
     if add_pitch_features:
         pitch_src = y if pitch_on_normalized else clips
         hz = yin_pitch(pitch_src, sr)              # (N,)
@@ -149,7 +139,15 @@ def melspec_features(clips: jax.Array, sr: int, n_mels: int = 64,
                      n_fft: int = 2048, hop_length: int = 256,
                      normalize_audio_volume: bool = True,
                      to_db: bool = True) -> jax.Array:
-    """(N, L) → (N, n_mels, T, 1) NHWC mel-spectrogram 'images'."""
+    """(N, L) → (N, n_mels, T, 1) NHWC mel-spectrogram 'images'.
+
+    Deliberately XLA: three hand-fused Pallas front-ends were built and
+    measured over rounds 1-2 (windowed-frame, and block-DFT+twiddle-
+    combine with the Hann applied in frequency); the best was roofline-
+    fast in isolation but made the FULL fused transcription graph ~40%
+    slower (7.7 vs 5.4 ms/step at batch 1024 on v5e) — the custom call
+    blocks the fusion/overlap XLA builds around this op. See README
+    'Pallas decision note'."""
     y = normalize_volume(clips) if normalize_audio_volume else clips
     S = spectral.melspectrogram_torchaudio(y, sr, n_fft=n_fft,
                                            hop_length=hop_length,

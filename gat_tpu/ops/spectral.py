@@ -13,8 +13,9 @@ batched over leading axes and time-major internally: spectrograms are
     reflect padding, HTK mel, no norm, AmplitudeToDB without top_db.
 
 On TPU the mel projection and DCT become MXU GEMMs and XLA fuses the
-windowing/|·|²/log elementwise stages around them; a further hand-fused
-Pallas front-end lives in gat_tpu/ops/pallas/.
+windowing/|·|²/log elementwise stages around them. (Hand-fused Pallas
+front-ends were measured and removed — see README 'Pallas decision
+note'.)
 """
 from __future__ import annotations
 
