@@ -114,55 +114,51 @@ def measure(batch: int, iters: int, warmup: int = 2,
     }
 
 
-def measure_stages(batch: int, iters: int = 20) -> dict:
-    """Per-stage device timings of the fused pipeline's components, each
-    jitted and timed alone (cross-stage fusion means the parts can sum to
-    more than the fused whole — this locates the bottleneck, it does not
-    partition the total)."""
+# v5e TensorCore clock, for converting XLA's estimated cycles to ms
+_TPU_CLOCK_HZ = float(os.environ.get("BENCH_TPU_CLOCK_HZ", 940e6))
+
+_STAGE_TAGS = (
+    ("melspec_frontend", "melspec_features"),
+    ("mfcc_pitch_frontend", "mfcc_feature_vectors"),
+    ("yin_baseline", "yin_pitch"),
+    ("cnn_forward", "CNN"),
+    ("mlp_forward", "MLP"),
+)
+
+
+def measure_stages(batch: int) -> dict:
+    """Per-stage cost partition of the FULL fused graph, from XLA's own
+    per-op cycle estimates in the compiled HLO, grouped by the op_name
+    metadata each op carries. (Wall-clock timing of isolated sub-graphs
+    is not usable through this TPU tunnel: repeat executions of small
+    programs are elided/pipelined into meaninglessly small numbers, while
+    the cycle estimates match the real profiler trace — see CLAUDE.md.)"""
+    import re
     import jax
-    import jax.numpy as jnp
-    from __graft_entry__ import _shipped_predictor_and_scaler
-    from gat_tpu.features import mfcc_feature_vectors, melspec_features
-    from gat_tpu.ops.yin import yin_pitch
+    from __graft_entry__ import entry
 
-    pred, scaler, mlp_ck, cnn_ck = _shipped_predictor_and_scaler()
-    sr = int(mlp_ck["config"]["target_sr"])
-    clip_len = int(sr * float(mlp_ck["config"]["clip_length"]))
-    mel_p = cnn_ck["config"]["features"]["params"]
-    pool = _input_pool(batch, clip_len, sr)
-    clips = pool[0]
-
-    def timed(fn, *args):
-        """Times fn over args, cycling the clip pool when the first arg
-        is the clip batch (distinct inputs — see _input_pool)."""
-        c = jax.jit(fn).lower(*args).compile()
-        out = c(*args)
-        jax.block_until_ready(out)
-        cycle = args[0] is clips and len(args) == 1
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = c(pool[i % len(pool)]) if cycle else c(*args)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / iters
-        return round(dt * 1000, 3), _compiled_flops(c), c(*args)
-
-    stages = {}
-    stages["mfcc_pitch_frontend"], f1, mf = timed(
-        lambda c: mfcc_feature_vectors(c, sr), clips)
-    stages["melspec_frontend"], f2, ms = timed(
-        lambda c: melspec_features(
-            c, sr, n_mels=mel_p["N_MELS"], n_fft=mel_p["N_FFT"],
-            hop_length=mel_p["HOP_LENGTH"],
-            normalize_audio_volume=mel_p["NORMALIZE_AUDIO_VOLUME"]), clips)
-    stages["yin_baseline"], f3, _ = timed(
-        lambda c: yin_pitch(c, sr), clips)
-    if scaler is not None:
-        mf = jnp.asarray(scaler.transform(mf))
-    stages["mlp_forward"], f4, _ = timed(
-        lambda v, x: pred.mlp.apply(v, x), pred.mlp_variables, mf)
-    stages["cnn_forward"], f5, _ = timed(
-        lambda v, x: pred.cnn.apply(v, x), pred.cnn_variables, ms)
-    return stages
+    fn, (example,) = entry(batch=batch)
+    compiled = jax.jit(fn).lower(example).compile()
+    txt = compiled.as_text()
+    stages = {name: 0 for name, _ in _STAGE_TAGS}
+    stages["other"] = 0
+    for m in re.finditer(
+            r'"estimated_cycles":"(\d+)"', txt):
+        # walk back to this op's op_name metadata on the same line
+        line_start = txt.rfind("\n", 0, m.start()) + 1
+        line = txt[line_start:m.end()]
+        mm = re.search(r'op_name="([^"]*)"', line)
+        op = mm.group(1) if mm else ""
+        for name, tag in _STAGE_TAGS:
+            if tag in op:
+                stages[name] += int(m.group(1))
+                break
+        else:
+            stages["other"] += int(m.group(1))
+    total = sum(stages.values())
+    out = {k: round(v / _TPU_CLOCK_HZ * 1000, 3) for k, v in stages.items()}
+    out["total_estimated_ms"] = round(total / _TPU_CLOCK_HZ * 1000, 3)
+    return out
 
 
 def _read_cache() -> dict:
@@ -238,10 +234,43 @@ def measure_latency(iters: int = 50) -> float:
     return float(np.percentile(times, 50))
 
 
+def measure_stream_chunk(iters: int = 40) -> float:
+    """p50 per-chunk latency (ms) of the device-side streaming engine:
+    one 0.5 s chunk through the ScanStreamer scan step (ring slide +
+    onset detect + K-slot ensemble), synced per chunk as a live session
+    would be."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.infer import Transcriber
+    from gat_tpu.stream.scan import ScanStreamer
+
+    st = ScanStreamer(Transcriber(), sr=22050)
+    rng = np.random.default_rng(0)
+    chunks = [jnp.asarray(rng.normal(0, 0.1, (1, st.chunk))
+                          .astype(np.float32)) for i in range(8)]
+    jax.block_until_ready(st._scan_fn(chunks[0]))
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(st._scan_fn(chunks[i % len(chunks)]))
+        times.append(time.perf_counter() - t0)
+    return float(np.percentile(times, 50))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
+    if os.environ.get("BENCH_MODE") == "stream":
+        p50 = measure_stream_chunk()
+        print(json.dumps({
+            "metric": "p50_stream_chunk_latency",
+            "value": round(p50 * 1000, 3),
+            "unit": "ms",
+            "vs_baseline": 1.0,
+        }))
+        return
     if os.environ.get("BENCH_MODE") == "latency":
         p50 = measure_latency()
         print(json.dumps({
