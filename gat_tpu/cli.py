@@ -54,13 +54,18 @@ def main(argv=None):
                              "(the v0 CLI's model choice)")
     parser.add_argument("--live", action="store_true",
                         help="Stream from the microphone instead of a file")
+    parser.add_argument("--pitch_prior", type=float, default=0.0,
+                        help="YIN pitch-prior mixture weight (0 disables;"
+                             " 0.4 recommended for unseen-timbre "
+                             "robustness)")
     args = parser.parse_args(argv)
 
     from .infer import Transcriber
     transcriber = Transcriber(mlp_ckpt=args.mlp_ckpt,
                               cnn_ckpt=args.cnn_ckpt,
                               cnn_weight=args.cnn_weight,
-                              require_cnn=(args.model == "ensemble"))
+                              require_cnn=(args.model == "ensemble"),
+                              pitch_prior_weight=args.pitch_prior)
     if args.model == "mlp":
         transcriber.model_ckpts.pop("cnn", None)
 

@@ -95,8 +95,15 @@ def main():
     ap.add_argument("--once", action="store_true",
                     help="process current contents and exit")
     ap.add_argument("--poll_s", type=float, default=0.5)
+    ap.add_argument("--pitch_prior", type=float, default=0.0,
+                    help="YIN pitch-prior mixture weight (0 disables)")
     args = ap.parse_args()
-    serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s)
+    t = None
+    if args.pitch_prior > 0:
+        from gat_tpu.infer import Transcriber
+        t = Transcriber(pitch_prior_weight=args.pitch_prior)
+    serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
+          transcriber=t)
     return 0
 
 
