@@ -92,9 +92,12 @@ def measure(batch: int, iters: int, warmup: int = 2,
     clip_len = example.shape[1]
     sr = _ckpt_sr()
     pool = _input_pool(batch, clip_len, sr)
-    compiled = jax.jit(fn).lower(pool[0]).compile()
+    # warm up on a buffer OUTSIDE the pool, or the timed loop's first
+    # iteration would repeat the warmup's input and get elided
+    warm = jax.device_put(_make_clips(batch, clip_len, sr, seed=997))
+    compiled = jax.jit(fn).lower(warm).compile()
     for _ in range(warmup):
-        out = compiled(pool[0])
+        out = compiled(warm)
         jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(iters):
@@ -224,8 +227,10 @@ def measure_latency(iters: int = 50) -> float:
     fn, (example,) = entry(batch=1)
     jfn = jax.jit(fn)
     pool = _input_pool(1, example.shape[1], _ckpt_sr(), n=8)
+    warm = jax.device_put(_make_clips(1, example.shape[1], _ckpt_sr(),
+                                      seed=997))
     for _ in range(3):
-        jax.block_until_ready(jfn(pool[0]))
+        jax.block_until_ready(jfn(warm))
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
@@ -248,8 +253,8 @@ def measure_stream_chunk(iters: int = 40) -> float:
     st = ScanStreamer(Transcriber(), sr=22050)
     rng = np.random.default_rng(0)
     chunks = [jnp.asarray(rng.normal(0, 0.1, (1, st.chunk))
-                          .astype(np.float32)) for i in range(8)]
-    jax.block_until_ready(st._scan_fn(chunks[0]))
+                          .astype(np.float32)) for i in range(9)]
+    jax.block_until_ready(st._scan_fn(chunks.pop()))  # warm, not reused
     times = []
     for i in range(iters):
         t0 = time.perf_counter()

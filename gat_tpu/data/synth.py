@@ -222,10 +222,14 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
         n_ks = (variants_per_class // 2 if family == "mixed"
                 else variants_per_class if family == "ks" else 0)
         detune = 2.0 ** (rng.uniform(-10, 10, variants_per_class) / 1200.0)
-        ks = karplus_strong(f0, sr, duration, n_variants=max(n_ks, 1),
-                            damping=float(rng.uniform(0.992, 0.999)),
-                            blend=float(rng.uniform(0.45, 0.55)),
-                            seed=seed * 1000 + ci)
+        # draw KS params unconditionally (keeps the rng stream identical
+        # across families), but only pay the delay-line loop when used
+        damping = float(rng.uniform(0.992, 0.999))
+        blend = float(rng.uniform(0.45, 0.55))
+        ks = (karplus_strong(f0, sr, duration, n_variants=n_ks,
+                             damping=damping, blend=blend,
+                             seed=seed * 1000 + ci)
+              if n_ks > 0 else None)
         for i in range(variants_per_class):
             if i < n_ks:
                 sig = ks[i]

@@ -97,7 +97,10 @@ def _fused_mfcc_mean_and_pitch(clips: jax.Array, sr: int, n_mfcc: int,
     vec = jnp.mean(jnp.einsum("...tm,mk->...tk", s_db, dct,
                               preferred_element_type=jnp.float32), axis=-2)
 
-    sy = s if pitch_on_normalized else jnp.ones_like(s)
+    # pitch source matches the non-fused path: the NORMALIZED signal only
+    # when both flags ask for it (normalize off ⇒ y IS the raw clip)
+    sy = (s if (pitch_on_normalized and normalize_audio_volume)
+          else jnp.ones_like(s))
     min_p = max(int(math.floor(sr / fmax)), 1)
     max_p = min(int(math.ceil(sr / fmin)), n_fft - win - 1)
     cmnd = _cmnd_block(pad * sy, n_fft, hop, t, win, min_p, max_p,

@@ -115,6 +115,7 @@ class Transcriber:
         key = (target_sr, clip_duration, max_onsets,
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
+               self.predictor.pitch_prior_sigma,
                id(self.predictor.mlp_variables),
                id(self.predictor.cnn_variables))
         if key in self._fused_cache:

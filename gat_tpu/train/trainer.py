@@ -207,19 +207,34 @@ class Trainer:
             return loss, jnp.sum(preds == yb), preds
         return jax.jit(step)
 
+    @staticmethod
+    def _with_lr(state, lr: float):
+        """Return `state` with its injected learning_rate replaced, or
+        None if this state doesn't carry one."""
+        hp = getattr(state, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            hp = dict(hp)
+            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+            return state._replace(hyperparams=hp)
+        return None
+
     def _set_lr(self, lr: float):
-        """Inject the new LR into whichever chain element carries the
-        injected `learning_rate` hyperparameter — a scan over the chain,
+        """Inject the new LR into whichever state carries the injected
+        `learning_rate` hyperparameter — the state itself (bare
+        inject_hyperparams optimizer) or a scan over the chain elements,
         not a positional poke, so reordering the optax chain cannot
         silently bind to the wrong state."""
+        direct = self._with_lr(self.opt_state, lr)
+        if direct is not None:
+            self.opt_state = direct
+            return
         states, found = [], False
         for s in self.opt_state:
-            hp = getattr(s, "hyperparams", None)
-            if not found and isinstance(hp, dict) and "learning_rate" in hp:
-                hp = dict(hp)
-                hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-                s = s._replace(hyperparams=hp)
-                found = True
+            if not found:
+                replaced = self._with_lr(s, lr)
+                if replaced is not None:
+                    s = replaced
+                    found = True
             states.append(s)
         if not found:
             raise RuntimeError(
@@ -411,17 +426,8 @@ class Trainer:
         root = Path(root) if root else d_root
         filename = filename or d_name
         ck = load_checkpoint(Path(root) / filename)
-        saved_args = ck.get("model_init_args", {})
-        current = dict(self.model.init_args)
-        if saved_args and {k: tuple(v) if isinstance(v, list) else v
-                           for k, v in saved_args.items()} != current:
-            print("[load] WARNING: Mismatch between saved model init args "
-                  "and current model init args!")
-            print("Saved:", saved_args)
-            print("Current:", current)
-        variables = jax.tree_util.tree_map(jnp.asarray, ck["variables"])
-        self.params = variables.pop("params")
-        self.extra = variables
+        # validate BEFORE mutating any trainer state, so a caller that
+        # catches the mismatch still holds a consistent Trainer
         if "opt_state" in ck:
             saved_fp = ck.get("opt_state_fingerprint")
             current_fp = _opt_state_fingerprint(self.opt_state)
@@ -438,6 +444,18 @@ class Trainer:
                 print("[load] WARNING: checkpoint has no optimizer "
                       "fingerprint (pre-fingerprint format); restoring "
                       "positionally against the current optimizer.")
+        saved_args = ck.get("model_init_args", {})
+        current = dict(self.model.init_args)
+        if saved_args and {k: tuple(v) if isinstance(v, list) else v
+                           for k, v in saved_args.items()} != current:
+            print("[load] WARNING: Mismatch between saved model init args "
+                  "and current model init args!")
+            print("Saved:", saved_args)
+            print("Current:", current)
+        variables = jax.tree_util.tree_map(jnp.asarray, ck["variables"])
+        self.params = variables.pop("params")
+        self.extra = variables
+        if "opt_state" in ck:
             self.opt_state = _tree_to_opt_state(self.opt_state,
                                                 ck["opt_state"])
         self.train_loss_history = list(ck.get("train_loss_history", []))

@@ -60,34 +60,45 @@ def main():
             variants_per_class=args.eval_variants, seed=args.eval_seed,
             verbose=False)
 
+    _raw_feats: dict = {}  # (model_kind, fam) → (X_raw, y, reverse_map)
+
     def eval_features(trainer, model_kind, fam):
-        loader = AudioDatasetLoader([eval_dirs[fam]],
-                                    target_sr=args.target_sr,
-                                    duration=0.5)
-        builder = FeatureBuilder()
-        if model_kind == "mlp":
-            X, y, _, rmap = builder.extract_mfcc_features(
-                loader, MFCC_CONFIG.N_MFCC,
-                MFCC_CONFIG.NORMALIZE_AUDIO_VOLUME)
-            if trainer.scaler is not None:
-                X = np.asarray(trainer.scaler.transform(X))
-        else:
-            X, y, _, rmap = builder.extract_melspec_features(
-                loader, MELSPEC_CONFIG.N_MELS, MELSPEC_CONFIG.N_FFT,
-                MELSPEC_CONFIG.HOP_LENGTH,
-                MELSPEC_CONFIG.NORMALIZE_AUDIO_VOLUME)
+        """Raw features are extracted once per (model kind, family) and
+        cached — only the MLP's scaler transform is trainer-specific."""
+        key = (model_kind, fam)
+        if key not in _raw_feats:
+            loader = AudioDatasetLoader([eval_dirs[fam]],
+                                        target_sr=args.target_sr,
+                                        duration=0.5)
+            builder = FeatureBuilder()
+            if model_kind == "mlp":
+                X, y, _, rmap = builder.extract_mfcc_features(
+                    loader, MFCC_CONFIG.N_MFCC,
+                    MFCC_CONFIG.NORMALIZE_AUDIO_VOLUME)
+            else:
+                X, y, _, rmap = builder.extract_melspec_features(
+                    loader, MELSPEC_CONFIG.N_MELS, MELSPEC_CONFIG.N_FFT,
+                    MELSPEC_CONFIG.HOP_LENGTH,
+                    MELSPEC_CONFIG.NORMALIZE_AUDIO_VOLUME)
+            _raw_feats[key] = (X, y, rmap)
+        X, y, rmap = _raw_feats[key]
         assert rmap == trainer.reverse_map, \
             "class maps diverged between train and eval datasets"
+        if model_kind == "mlp" and trainer.scaler is not None:
+            X = np.asarray(trainer.scaler.transform(X))
         return ArrayDataLoader(X, y, 256, shuffle=False)
+
+    # one training set per family, shared by both model kinds
+    train_dirs = {fam: synthesize_note_dataset(
+        tmp / f"train_{fam}", family=fam,
+        variants_per_class=args.variants, seed=args.train_seed,
+        verbose=False) for fam in TRAIN_FAMILIES}
 
     report = {"variants": args.variants, "epochs": args.epochs,
               "eval_seed": args.eval_seed, "results": {}}
     for model_kind in models:
         for train_fam in TRAIN_FAMILIES:
-            ds = synthesize_note_dataset(
-                tmp / f"train_{train_fam}", family=train_fam,
-                variants_per_class=args.variants, seed=args.train_seed,
-                verbose=False)
+            ds = train_dirs[train_fam]
             mgr = TrainingManager(target_sr=args.target_sr)
             train = (mgr.train_cnn if model_kind == "cnn"
                      else mgr.train_mlp)

@@ -23,27 +23,16 @@ sys.path.insert(0, str(REPO))
 
 from gat_tpu.ops.mel import (mel_filterbank_librosa,        # numpy-pure
                              mel_filterbank_torchaudio)
-
-
-def _hann(n: int) -> np.ndarray:
-    k = np.arange(n)
-    return (0.5 - 0.5 * np.cos(2.0 * np.pi * k / n)).astype(np.float32)
+# the window/DCT constants are plain-numpy in spectral.py — reuse them so
+# the baseline cannot drift from the pipeline it mirrors (only their
+# CONSTRUCTION is shared; all per-clip compute here stays numpy)
+from gat_tpu.ops.spectral import _hann_np as _hann, _dct_ii_np as _dct_ii
 
 
 def _frame(y: np.ndarray, frame_length: int, hop: int) -> np.ndarray:
     nf = 1 + (len(y) - frame_length) // hop
     idx = np.arange(nf)[:, None] * hop + np.arange(frame_length)[None, :]
     return y[idx]
-
-
-def _dct_ii(n_in: int, n_out: int) -> np.ndarray:
-    n = np.arange(n_in, dtype=np.float64)
-    k = np.arange(n_out, dtype=np.float64)
-    d = 2.0 * np.cos(np.pi * k[None, :] * (2.0 * n[:, None] + 1.0)
-                     / (2.0 * n_in))
-    scale = np.full(n_out, np.sqrt(1.0 / (2.0 * n_in)))
-    scale[0] = np.sqrt(1.0 / (4.0 * n_in))
-    return (d * scale[None, :]).astype(np.float32)
 
 
 def yin_numpy(y: np.ndarray, sr: int, fmin: float = 50.0,
