@@ -83,7 +83,7 @@ class CNN(nn.Module):
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  dtype=self.dtype, name=f"bn_{b}")(x)
-            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = jnp.maximum(x, 0.01 * x)  # leaky_relu w/o the pred-mask select
             if self.use_maxpool:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             if self.dropout > 0:
@@ -95,7 +95,7 @@ class CNN(nn.Module):
 
         if self.hidden_dim is not None and self.hidden_dim > 0:
             x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc")(x)
-            x = nn.leaky_relu(x, negative_slope=0.01)
+            x = jnp.maximum(x, 0.01 * x)  # leaky_relu w/o the pred-mask select
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, dtype=self.dtype,

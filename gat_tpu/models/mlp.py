@@ -51,7 +51,7 @@ class MLP(nn.Module):
                                            self.num_hidden_layers)):
             x = nn.Dense(width, name=f"dense_{i}")(x)
             x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
-            x = nn.leaky_relu(x, negative_slope=0.1)
+            x = jnp.maximum(x, 0.1 * x)  # leaky_relu w/o the pred-mask select
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.num_classes, name="out")(x)
