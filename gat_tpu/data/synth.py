@@ -186,7 +186,8 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                             seed: int = 0, verbose: bool = True,
                             noise_snr_db: tuple[float, float] | None = None,
                             family: str = "mixed",
-                            stressor: str | None = None) -> Path:
+                            stressor: str | None = None,
+                            stressor_prob: float = 1.0) -> Path:
     """Write `<out_root>/<label>/<label>_<i>.wav` for each SPN class.
 
     Per-variant augmentation: synth engine, damping/brightness/decay
@@ -203,8 +204,9 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
     splits (VERDICT r1 §next-2).
 
     stressor: None, a key of {vibrato, bend, detune, tremolo}, or 'mix'
-    (random stressor per variant) — playing-style perturbations the
-    training pipeline never applied, for off-distribution evaluation."""
+    (random stressor per variant) — playing-style perturbations for
+    off-distribution evaluation, or (with stressor_prob < 1) training
+    augmentation that keeps a clean fraction of the variants."""
     out_root = Path(out_root)
     class_names = class_names or DEFAULT_CLASS_NAMES
     if family not in _FAMILIES + ("mixed",):
@@ -244,7 +246,10 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                     brightness=float(rng.uniform(0.55, 0.9)),
                     decay=float(rng.uniform(1.5, 5.0)),
                     seed=seed * 100000 + ci * 100 + i)[0]
-            if stressor is not None:
+            # short-circuit: prob=1.0 must not consume an rng draw, so
+            # seeded stressor eval sets reproduce across versions
+            if stressor is not None and (stressor_prob >= 1.0
+                                         or rng.random() < stressor_prob):
                 which = (stressor if stressor != "mix" else
                          list(_STRESSORS)[int(rng.integers(len(_STRESSORS)))])
                 sig = _STRESSORS[which](sig, sr, rng)

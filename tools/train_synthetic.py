@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--variants", type=int, default=40)
     ap.add_argument("--noise", action="store_true",
                     help="noise-augment half the variants (SNR 8-40 dB)")
+    ap.add_argument("--stressor_prob", type=float, default=0.0,
+                    help="apply a random playing-style stressor (vibrato/"
+                         "bend/detune/tremolo) to this fraction of "
+                         "variants")
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--target_sr", type=int, default=11025)
     ap.add_argument("--seed", type=int, default=42)
@@ -42,21 +46,38 @@ def main():
     from gat_tpu.data.synth import synthesize_note_dataset
     from gat_tpu.train import TrainingManager
 
-    tag = f"ks47_v{args.variants}" + ("_noisy" if args.noise else "")
+    tag = (f"ks47_v{args.variants}" + ("_noisy" if args.noise else "")
+           + (f"_str{args.stressor_prob:g}" if args.stressor_prob > 0
+              else ""))
     ds = DATASETS_ROOT / "synthetic" / tag
     if not ds.exists():
         t0 = time.time()
         synthesize_note_dataset(
             ds, variants_per_class=args.variants, seed=args.seed,
-            noise_snr_db=(8.0, 40.0) if args.noise else None)
+            noise_snr_db=(8.0, 40.0) if args.noise else None,
+            stressor="mix" if args.stressor_prob > 0 else None,
+            stressor_prob=args.stressor_prob)
         print(f"dataset synthesis: {time.time() - t0:.1f}s")
 
     mgr = TrainingManager(target_sr=args.target_sr)
     if args.model in ("cnn", "all"):
         tr = mgr.train_cnn(dataset=ds, epochs=args.epochs or 40,
-                           seed=args.seed)
+                           seed=args.seed, save=False)
         acc, loss = tr.evaluate(report=True)
         print(f"CNN final: val acc {acc:.4f}, val loss {loss:.4f}")
+        # only the exact shipped recipe may own the config-named path;
+        # other hyperparameters get a recipe-tagged filename
+        if args.noise and args.variants == 48 and args.seed == 42 \
+                and args.stressor_prob == 0:
+            cnn_fname = None  # canonical checkpoint name
+        else:
+            cnn_fname = (
+                f"cnn_{'noisy' if args.noise else 'clean'}"
+                f"_v{args.variants}_s{args.seed}"
+                + (f"_str{args.stressor_prob:g}"
+                   if args.stressor_prob > 0 else "")
+                + ".gtckpt.npz")
+        tr.save(filename=cnn_fname, target_sr=args.target_sr)
     if args.model in ("mlp", "all"):
         tr = mgr.train_mlp(dataset=ds, epochs=args.epochs or 20,
                            seed=args.seed, save=False)
