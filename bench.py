@@ -62,6 +62,13 @@ def _input_pool(batch: int, clip_len: int, sr: int, n: int = 4):
             for i in range(n)]
 
 
+def _warm_clip(batch: int, clip_len: int, sr: int):
+    """Warmup buffer OUTSIDE the timing pool's seeds, so the first timed
+    iteration never repeats the warmup input (and gets elided)."""
+    import jax
+    return jax.device_put(_make_clips(batch, clip_len, sr, seed=997))
+
+
 # v5e peak: 197 TFLOP/s bf16 (MXU); fp32 operands run through bf16
 # passes, so this is the conservative denominator for MFU.
 PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))
@@ -92,9 +99,7 @@ def measure(batch: int, iters: int, warmup: int = 2,
     clip_len = example.shape[1]
     sr = _ckpt_sr()
     pool = _input_pool(batch, clip_len, sr)
-    # warm up on a buffer OUTSIDE the pool, or the timed loop's first
-    # iteration would repeat the warmup's input and get elided
-    warm = jax.device_put(_make_clips(batch, clip_len, sr, seed=997))
+    warm = _warm_clip(batch, clip_len, sr)
     compiled = jax.jit(fn).lower(warm).compile()
     for _ in range(warmup):
         out = compiled(warm)
@@ -226,9 +231,9 @@ def measure_latency(iters: int = 50) -> float:
     from __graft_entry__ import entry
     fn, (example,) = entry(batch=1)
     jfn = jax.jit(fn)
-    pool = _input_pool(1, example.shape[1], _ckpt_sr(), n=8)
-    warm = jax.device_put(_make_clips(1, example.shape[1], _ckpt_sr(),
-                                      seed=997))
+    sr = _ckpt_sr()
+    pool = _input_pool(1, example.shape[1], sr, n=8)
+    warm = _warm_clip(1, example.shape[1], sr)
     for _ in range(3):
         jax.block_until_ready(jfn(warm))
     times = []

@@ -216,6 +216,11 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
             and stressor not in _STRESSORS:
         raise ValueError(f"unknown stressor {stressor!r}; choose from "
                          f"{tuple(_STRESSORS)} or 'mix'")
+    if not 0.0 <= stressor_prob <= 1.0:
+        raise ValueError(f"stressor_prob must be in [0, 1], "
+                         f"got {stressor_prob}")
+    if stressor_prob == 0.0:
+        stressor = None  # identical output AND rng stream to no-stressor
     rng = np.random.default_rng(seed)
     for ci, name in enumerate(class_names):
         f0 = float(midi_to_hz(note_to_midi(name)))

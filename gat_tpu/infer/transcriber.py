@@ -109,17 +109,21 @@ class Transcriber:
         pitch label is one traced graph'). Cached per parameter set; jit
         re-specializes per padded audio length (lengths are bucketed to
         whole seconds by the caller)."""
-        # key includes mutable predictor state: a changed ensemble weight
-        # or freshly loaded variables must rebuild the closure, or the
-        # fused path would silently serve stale weights
+        # key includes mutable predictor state: a changed ensemble weight,
+        # label map, or freshly loaded variables must rebuild the closure,
+        # or the fused path would silently serve stale weights. The cache
+        # value pins the keyed variables dicts, so a freed dict's id()
+        # can never alias an old entry.
+        rm = self.predictor.reverse_map
         key = (target_sr, clip_duration, max_onsets,
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
                self.predictor.pitch_prior_sigma,
+               tuple(sorted(rm.items())) if rm else None,
                id(self.predictor.mlp_variables),
                id(self.predictor.cnn_variables))
         if key in self._fused_cache:
-            return self._fused_cache[key]
+            return self._fused_cache[key][0]
 
         mfcc_params, melspec_params = self._feature_params()
         if "cnn" not in self.model_ckpts:
@@ -143,7 +147,8 @@ class Transcriber:
             pitch = yin_pitch(clips_ckpt, self.ckpt_sr)
             return probs, mlp_p, cnn_p, pitch, kept, onsets, times
 
-        self._fused_cache[key] = run
+        self._fused_cache[key] = (run, self.predictor.mlp_variables,
+                                  self.predictor.cnn_variables)
         return run
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:

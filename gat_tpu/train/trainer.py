@@ -444,6 +444,11 @@ class Trainer:
                 print("[load] WARNING: checkpoint has no optimizer "
                       "fingerprint (pre-fingerprint format); restoring "
                       "positionally against the current optimizer.")
+        # restore the optimizer state BEFORE touching params/extra, so a
+        # structural mismatch (legacy checkpoints have no fingerprint and
+        # fail only at unflatten) cannot leave a half-loaded Trainer
+        restored_opt = (_tree_to_opt_state(self.opt_state, ck["opt_state"])
+                        if "opt_state" in ck else None)
         saved_args = ck.get("model_init_args", {})
         current = dict(self.model.init_args)
         if saved_args and {k: tuple(v) if isinstance(v, list) else v
@@ -455,9 +460,8 @@ class Trainer:
         variables = jax.tree_util.tree_map(jnp.asarray, ck["variables"])
         self.params = variables.pop("params")
         self.extra = variables
-        if "opt_state" in ck:
-            self.opt_state = _tree_to_opt_state(self.opt_state,
-                                                ck["opt_state"])
+        if restored_opt is not None:
+            self.opt_state = restored_opt
         self.train_loss_history = list(ck.get("train_loss_history", []))
         self.train_accuracy_history = list(
             ck.get("train_accuracy_history", []))

@@ -59,38 +59,39 @@ def main():
             stressor_prob=args.stressor_prob)
         print(f"dataset synthesis: {time.time() - t0:.1f}s")
 
+    # the exact shipped recipe (and only it) may own the config-named
+    # checkpoint paths; any deviation gets a recipe-tagged filename
+    canonical = (args.noise and args.variants == 48 and args.seed == 42
+                 and args.stressor_prob == 0 and args.epochs is None
+                 and args.target_sr == 11025)
+
+    def recipe_tag(prefix: str) -> str:
+        return (f"{prefix}_{'noisy' if args.noise else 'clean'}"
+                f"_v{args.variants}_s{args.seed}"
+                + (f"_e{args.epochs}" if args.epochs is not None else "")
+                + (f"_sr{args.target_sr}" if args.target_sr != 11025
+                   else "")
+                + (f"_str{args.stressor_prob:g}"
+                   if args.stressor_prob > 0 else "")
+                + ".gtckpt.npz")
+
     mgr = TrainingManager(target_sr=args.target_sr)
     if args.model in ("cnn", "all"):
         tr = mgr.train_cnn(dataset=ds, epochs=args.epochs or 40,
                            seed=args.seed, save=False)
         acc, loss = tr.evaluate(report=True)
         print(f"CNN final: val acc {acc:.4f}, val loss {loss:.4f}")
-        # only the exact shipped recipe may own the config-named path;
-        # other hyperparameters get a recipe-tagged filename
-        if args.noise and args.variants == 48 and args.seed == 42 \
-                and args.stressor_prob == 0:
-            cnn_fname = None  # canonical checkpoint name
-        else:
-            cnn_fname = (
-                f"cnn_{'noisy' if args.noise else 'clean'}"
-                f"_v{args.variants}_s{args.seed}"
-                + (f"_str{args.stressor_prob:g}"
-                   if args.stressor_prob > 0 else "")
-                + ".gtckpt.npz")
-        tr.save(filename=cnn_fname, target_sr=args.target_sr)
+        tr.save(filename=None if canonical else recipe_tag("cnn"),
+                target_sr=args.target_sr)
     if args.model in ("mlp", "all"):
         tr = mgr.train_mlp(dataset=ds, epochs=args.epochs or 20,
                            seed=args.seed, save=False)
         acc, loss = tr.evaluate(report=True)
         print(f"MLP final: val acc {acc:.4f}, val loss {loss:.4f}")
-        # never clobber the imported reference checkpoint, and only reuse
-        # the canonical synth-MLP name for the exact shipped recipe —
-        # other hyperparameters get a recipe-tagged filename
-        if args.noise and args.variants == 48 and args.seed == 42:
-            fname = "mlp_synth_v1.0.0.gtckpt.npz"
-        else:
-            fname = (f"mlp_synth_{'noisy' if args.noise else 'clean'}"
-                     f"_v{args.variants}_s{args.seed}.gtckpt.npz")
+        # never clobber the imported reference checkpoint: the canonical
+        # name is mlp_synth_*, and only the exact shipped recipe owns it
+        fname = ("mlp_synth_v1.0.0.gtckpt.npz" if canonical
+                 else recipe_tag("mlp_synth"))
         tr.save(filename=fname, target_sr=args.target_sr)
 
 
