@@ -148,3 +148,24 @@ def test_display_helpers(tmp_path):
                 out_path=tmp_path / "c.png")
     for f in ("w.png", "s.png", "c.png"):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_evaluate_set_smoke(tmp_path):
+    """The eval harness end-to-end on a tiny family/stressor set: every
+    accuracy field populated and in range, the pitch-prior column
+    computed (tools/evaluate.py --suite full building block)."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "tools"))
+    from evaluate import evaluate_set
+    from gat_tpu.infer import Transcriber
+
+    t = Transcriber()
+    res = evaluate_set(t, tmp_path / "ev", 2, 9, family="fm",
+                       stressor="vibrato")
+    for k in ("ensemble_accuracy", "ensemble_prior_accuracy",
+              "mlp_accuracy", "cnn_accuracy", "yin_accuracy"):
+        assert 0.0 <= res[k] <= 1.0, (k, res[k])
+    assert res["n_clips"] == 2 * 47
+    # the prior must help (or tie) on the unseen FM family
+    assert res["ensemble_prior_accuracy"] >= res["ensemble_accuracy"]
