@@ -1,6 +1,6 @@
 """gat_tpu — TPU-native guitar audio transcription framework.
 
-A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+A ground-up JAX/XLA rebuild of the capabilities of
 gkotti4/guitar-audio-transcriber-ai: raw waveform → noise gating → onset
 slicing → MFCC + mel-spectrogram front-ends → MLP + CNN ensemble →
 Scientific Pitch Notation labels, with a batched YIN DSP baseline — all as
