@@ -124,3 +124,20 @@ def test_fused_feature_vectors_match_fft_path(matmul_backend):
                 pitch_on_normalized=pon))
             np.testing.assert_allclose(got, ref, atol=5e-3,
                                        err_msg=f"norm={norm} pon={pon}")
+
+
+def test_block_paths_randomized_configs(rng, matmul_backend):
+    """Randomized (n_fft, hop, length) sweep: every divisible-hop config
+    must route through the block/full-GEMM selector and still match the
+    fft backend (guards the K<=4 routing and padding arithmetic)."""
+    for n_fft, hop in ((1024, 256), (1024, 512), (2048, 512),
+                       (2048, 1024), (512, 128)):
+        n = int(rng.integers(3 * n_fft, 5 * n_fft))
+        y = (rng.normal(size=(2, n)) * 0.3).astype(np.float32)
+        spectral.set_stft_backend("matmul")
+        got = np.asarray(spectral.power_spectrogram(y, n_fft, hop))
+        spectral.set_stft_backend("fft")
+        ref = np.asarray(spectral.power_spectrogram(y, n_fft, hop))
+        np.testing.assert_allclose(
+            got, ref, atol=2e-2, rtol=1e-3,
+            err_msg=f"n_fft={n_fft} hop={hop} n={n}")

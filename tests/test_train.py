@@ -202,3 +202,41 @@ def test_load_warns_on_init_args_mismatch(tmp_path, rng, capsys):
     tr2.load(filename="m.gtckpt.npz", root=tmp_path)
     out = capsys.readouterr().out
     assert "Mismatch between saved model init args" in out
+
+
+def test_load_legacy_checkpoint_without_fingerprint(tmp_path, rng, capsys):
+    """Pre-fingerprint checkpoints restore positionally with a warning;
+    a structural mismatch must raise BEFORE any trainer state mutates."""
+    import jax
+    import numpy as onp
+    from gat_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+
+    X = rng.normal(size=(20, 6)).astype(onp.float32)
+    y = rng.integers(0, 2, 20)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, dl, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr.train(epochs=1, verbose=False)
+    p = tr.save(filename="legacy.gtckpt.npz", root=tmp_path)
+    # strip the fingerprint to simulate a round-1 checkpoint
+    ck = load_checkpoint(p)
+    ck.pop("opt_state_fingerprint", None)
+    save_checkpoint(p, ck)
+
+    tr2 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=1)
+    tr2.load(filename="legacy.gtckpt.npz", root=tmp_path)
+    assert "no optimizer fingerprint" in capsys.readouterr().out
+    assert tr2.epoch == 1
+
+    # structural mismatch on a legacy checkpoint: fails atomically
+    import optax
+    tr3 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=2)
+    tr3.tx = optax.sgd(1e-3)  # far fewer opt-state leaves
+    tr3.opt_state = tr3.tx.init(tr3.params)
+    before = jax.tree_util.tree_leaves(tr3.params)[0]
+    with pytest.raises(Exception):
+        tr3.load(filename="legacy.gtckpt.npz", root=tmp_path)
+    after = jax.tree_util.tree_leaves(tr3.params)[0]
+    onp.testing.assert_array_equal(onp.asarray(before), onp.asarray(after))
