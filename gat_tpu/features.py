@@ -39,6 +39,9 @@ __all__ = ["encode_labels", "normalize_volume", "mfcc_feature_vectors",
 # None, which means "skip the mel branch" (MLP-only operation)
 _USE_CONFIG = object()
 
+# measured-faster default on v5e (see docs/PERF.md); flip for A/B runs
+SHARED_BLOCK_FRONTEND = True
+
 
 def encode_labels(labels):
     """Sorted-unique string labels → int codes
@@ -120,8 +123,11 @@ def mfcc_feature_vectors(clips: jax.Array, sr: int, n_mfcc: int = 64,
     appended log10-pitch feature. One traced graph for the whole batch.
 
     On the matmul (TPU) backend with the pitch feature enabled, the MFCC
-    and YIN front-ends share one block DFT (_fused_mfcc_mean_and_pitch)."""
-    if add_pitch_features and spectral.stft_backend() == "matmul":
+    and YIN front-ends share one block DFT (_fused_mfcc_mean_and_pitch);
+    set gat_tpu.features.SHARED_BLOCK_FRONTEND = False (then
+    jax.clear_caches()) to A/B against the separate-pipeline form."""
+    if (SHARED_BLOCK_FRONTEND and add_pitch_features
+            and spectral.stft_backend() == "matmul"):
         return _fused_mfcc_mean_and_pitch(clips, sr, n_mfcc,
                                           normalize_audio_volume,
                                           pitch_on_normalized)
