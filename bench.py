@@ -27,7 +27,11 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
-ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+# the single end-of-loop sync pays one ~30 ms tunnel round trip; at 20
+# iterations that inflated per-step time by ~1.5 ms (~20%). 100
+# iterations amortize it to ~0.3 ms — closer to the sustained
+# throughput a serving loop (which never syncs) actually gets.
+ITERS = int(os.environ.get("BENCH_ITERS", "100"))
 _CACHE = REPO / ".bench_cpu_baseline.json"
 
 
