@@ -44,11 +44,6 @@ __all__ = [
 _STFT_BACKEND = "auto"
 _MATMUL_DTYPE = jnp.float32  # bfloat16 doubles MXU rate; fp32 accumulate
 
-# route small-hop (n_fft/hop > 4) spectrograms through the multi-grid
-# block DFT instead of the windowed-frame GEMM (A/B flag; see
-# power_spectrogram and docs/PERF.md)
-MULTIGRID_BLOCK_DFT = True
-
 
 def set_matmul_dtype(dtype) -> None:
     """GEMM input dtype for the matmul backend (float32 or bfloat16);
@@ -237,40 +232,6 @@ def block_spectra(y_padded: jax.Array, n_fft: int, hop_length: int,
     return combine_blocks(cre, cim, n_fft, hop_length, n_frames_out)
 
 
-def multigrid_spectra(y_padded: jax.Array, n_fft: int, hop_length: int,
-                      n_frames_out: int, block: int | None = None
-                      ) -> tuple[jax.Array, jax.Array]:
-    """Unwindowed frame spectra at SMALL hop (n_fft/hop > 4) via G offset
-    grids of `block`-sized hop-block DFTs.
-
-    block_spectra at hop 256 needs a K = 8 combine, which is memory-bound
-    on v5e (the combine re-reads the coefficient arrays K times) and loses
-    3× to the plain windowed-frame GEMM. But a frame starting at
-    t·hop = (m·G + g)·hop is also m·block + g·hop for block = G·hop —
-    i.e. frames with t ≡ g (mod G) lie on an ordinary block grid shifted
-    by g·hop. So: DFT G shifted grids of `block`-sized blocks (same GEMM
-    MACs as one hop-sized grid, n_fft/block× fewer than framewise) and
-    combine each with only K = n_fft/block ≤ 4 taps, then interleave the
-    per-grid frame spectra along time. Exact, like block_spectra."""
-    if block is None:
-        block = n_fft // 4
-    assert n_fft % block == 0 and block % hop_length == 0
-    grids = block // hop_length
-    nf_g = -(-n_frames_out // grids)  # frames per grid (ceil)
-    res, ims = [], []
-    for g in range(grids):
-        cre, cim = block_coeffs(y_padded[..., g * hop_length:],
-                                n_fft, block, nf_g)
-        xre, xim = combine_blocks(cre, cim, n_fft, block, nf_g)
-        res.append(xre)
-        ims.append(xim)
-    # interleave: frame m·G + g ← grid g, slot m
-    shp = res[0].shape[:-2] + (nf_g * grids, res[0].shape[-1])
-    xre = jnp.stack(res, axis=-2).reshape(shp)[..., :n_frames_out, :]
-    xim = jnp.stack(ims, axis=-2).reshape(shp)[..., :n_frames_out, :]
-    return xre, xim
-
-
 def hann_in_frequency(xre: jax.Array, xim: jax.Array
                       ) -> tuple[jax.Array, jax.Array]:
     """Windowed spectrum from the unwindowed one: the periodic Hann
@@ -316,22 +277,18 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
     if stft_backend() == "matmul":
         if center:
             y = _pad_center(y, n_fft // 2, pad_mode)
-        if n_fft % hop_length == 0 and (
-                n_fft // hop_length <= 4
-                or (MULTIGRID_BLOCK_DFT
-                    and (n_fft // 4) % hop_length == 0)):
+        if n_fft % hop_length == 0 and n_fft // hop_length <= 4:
             # block DFT (N/hop× fewer MACs, no materialized frames) +
-            # exact frequency-domain Hann. The K-term combine re-reads
-            # the coefficient arrays K times from HBM, so it is only
-            # taken with K ≤ 4 taps: directly when n_fft/hop ≤ 4
-            # (measured win at hop 512 on v5e; K=8 at hop 256 lost 3×),
-            # and at smaller hops via G shifted grids of n_fft/4-sized
-            # blocks (multigrid_spectra) — same 4× MAC cut, K stays 4.
+            # exact frequency-domain Hann. Only taken at small overlap
+            # ratios: the K-term combine re-reads the coefficient arrays
+            # K times from HBM, and the graph is memory-bound there —
+            # measured on v5e, K=8 (hop 256) is ~3× slower than the
+            # plain windowed-frame GEMM below, and even two shifted K=4
+            # grids (multi-grid, half the FLOPs end-to-end) lose at
+            # every batch size on combine traffic (docs/PERF.md; the
+            # implementation lives in history at ea32c79).
             nf = 1 + (y.shape[-1] - n_fft) // hop_length
-            if n_fft // hop_length <= 4:
-                xre, xim = block_spectra(y, n_fft, hop_length, nf)
-            else:
-                xre, xim = multigrid_spectra(y, n_fft, hop_length, nf)
+            xre, xim = block_spectra(y, n_fft, hop_length, nf)
             re, im = hann_in_frequency(xre, xim)
         else:
             frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)

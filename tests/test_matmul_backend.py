@@ -66,36 +66,6 @@ def test_backend_auto_resolution(matmul_backend):
     assert spectral.stft_backend() == "fft"
 
 
-def test_multigrid_spectra_match_windowless_rfft(rng):
-    """multigrid_spectra (G shifted K=4 block grids, interleaved) must
-    equal the rfft of the materialized unwindowed frames at hop 256."""
-    import jax.numpy as jnp
-    y = rng.normal(size=(2, 4096 + 300)).astype(np.float32)
-    n_fft, hop = 2048, 256
-    nf = 1 + (y.shape[-1] - n_fft) // hop
-    xre, xim = spectral.multigrid_spectra(jnp.asarray(y), n_fft, hop, nf)
-    assert xre.shape == (2, nf, 1 + n_fft // 2)
-    frames = np.asarray(spectral.frame(jnp.asarray(y), n_fft, hop))
-    ref = np.fft.rfft(frames, n_fft, axis=-1)
-    np.testing.assert_allclose(np.asarray(xre), ref.real, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(xim), ref.imag, atol=2e-3)
-
-
-def test_multigrid_spectra_odd_frame_count(rng):
-    """n_frames_out not divisible by the grid count: the tail slice must
-    drop the over-computed slots, not wrap them."""
-    import jax.numpy as jnp
-    y = rng.normal(size=(1, 2048 + 256 * 6 + 10)).astype(np.float32)
-    n_fft, hop = 2048, 256
-    nf = 1 + (y.shape[-1] - n_fft) // hop
-    assert nf % 2 == 1  # odd on purpose
-    xre, xim = spectral.multigrid_spectra(jnp.asarray(y), n_fft, hop, nf)
-    frames = np.asarray(spectral.frame(jnp.asarray(y), n_fft, hop))
-    ref = np.fft.rfft(frames, n_fft, axis=-1)
-    np.testing.assert_allclose(np.asarray(xre), ref.real, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(xim), ref.imag, atol=2e-3)
-
-
 def test_block_spectra_match_windowless_rfft(rng):
     """block_spectra (hop-block DFT + twiddle combine) must equal the
     rfft of the materialized unwindowed frames exactly."""
