@@ -280,10 +280,78 @@ def measure_stream_chunk(iters: int = 40) -> float:
     return float(np.percentile(times, 50))
 
 
+def measure_train(model_name: str, batch: int, iters: int = 60,
+                  bf16: bool = True) -> dict:
+    """Training-step throughput (clips/s) for one model: forward + CE +
+    backward + global-norm clip + AdamW update, the jit step the Trainer
+    runs per batch. Inputs are pre-extracted features (the reference
+    trains on precomputed features too — DataLoaders of tensors, SURVEY
+    C12/C13), so this isolates the training loop itself. Same honest
+    protocol as `measure`: distinct device-resident batches, pipelined
+    dispatch, one end sync."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.models import CNN, MLP
+    from gat_tpu.train.data import ArrayDataLoader
+    from gat_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    n_classes = 47
+    if model_name == "mlp":
+        model = MLP(num_features=65)
+        shape = (batch, 65)
+    else:
+        model = CNN(dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        shape = (batch, 64, 22, 1)  # n_mels × T(hop 256, 0.5 s @ 11025)
+
+    def make_x(seed):
+        return rng.normal(0, 1, shape).astype(np.float32)
+
+    X0 = make_x(0)
+    y0 = rng.integers(0, n_classes, batch).astype(np.int32)
+    dl = ArrayDataLoader(X0, y0, batch_size=batch, shuffle=False)
+    tr = Trainer(model, dl, reverse_map={i: f"c{i}" for i in range(n_classes)})
+
+    pool = [jax.device_put(make_x(i + 1)) for i in range(4)]
+    yb = jax.device_put(y0)
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(pool)
+    warm = jax.device_put(make_x(997))
+    params, extra, opt = tr.params, tr.extra, tr.opt_state
+    for _ in range(2):
+        params, extra, opt, *_ = tr._train_step(params, extra, opt,
+                                                warm, yb, key)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, extra, opt, loss, correct, gnorm = tr._train_step(
+            params, extra, opt, pool[i % len(pool)], yb, key)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    return {
+        "model": model_name,
+        "clips_per_s": round(batch * iters / dt, 1),
+        "step_ms": round(dt / iters * 1000, 3),
+        "batch": batch,
+        "loss_final": round(float(loss), 4),
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
+    if os.environ.get("BENCH_MODE") == "train":
+        batch = int(os.environ.get("BENCH_BATCH", "1024"))
+        out = {m: measure_train(m, batch) for m in ("mlp", "cnn")}
+        print(json.dumps({
+            "metric": "train_step_throughput",
+            "value": out,
+            "unit": "clips/s",
+            "vs_baseline": 1.0,
+        }))
+        return
     if os.environ.get("BENCH_MODE") == "stream":
         p50 = measure_stream_chunk()
         print(json.dumps({

@@ -291,6 +291,14 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
             xre, xim = block_spectra(y, n_fft, hop_length, nf)
             re, im = hann_in_frequency(xre, xim)
         else:
+            # two einsums over once-materialized frames is the measured
+            # winner for this formulation: a single GEMM against the
+            # concatenated [cos|sin] matrix (frames nominally read once)
+            # is ~6% slower (XLA already keeps the frame tiles resident
+            # across the two GEMMs; doubling the output width tiles
+            # worse), and an un-framed strided lax.conv is ~2× slower
+            # (poor TPU lowering for kernel 2048 / stride 256). Both
+            # measured on v5e in the full fused graph — docs/PERF.md.
             frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
             c_m, s_m = _rdft_np(n_fft)
             win = _hann_np(n_fft)[:, None]
