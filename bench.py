@@ -380,7 +380,13 @@ def main():
         return
     baseline = cpu_baseline()
     np_base = numpy_baseline()
-    value, details = measure(BATCH, ITERS, return_details=True)
+    # median of N runs: throughput through the shared tunnel swings
+    # run-to-run (~±8% observed), and the compile is cached after the
+    # first run so repeats are cheap
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    runs = sorted((measure(BATCH, ITERS, return_details=True)
+                   for _ in range(repeats)), key=lambda r: r[0])
+    value, details = runs[len(runs) // 2]
     print(json.dumps({
         "metric": "audio_seconds_transcribed_per_sec_per_chip",
         "value": round(value, 2),

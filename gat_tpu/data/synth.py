@@ -23,7 +23,7 @@ from pathlib import Path
 import numpy as np
 
 from ..ops.pitch import midi_to_hz, note_to_midi
-from ..utils.wavio import write_wav
+from ..utils.native_wav import write_wav_batch
 
 __all__ = ["karplus_strong", "additive_pluck", "fm_pluck",
            "apply_vibrato", "apply_pitch_bend", "apply_tremolo",
@@ -222,6 +222,7 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
     if stressor_prob == 0.0:
         stressor = None  # identical output AND rng stream to no-stressor
     rng = np.random.default_rng(seed)
+    pending = []  # (path, sig, sr) per class, batch-encoded
     for ci, name in enumerate(class_names):
         f0 = float(midi_to_hz(note_to_midi(name)))
         folder = out_root / name
@@ -266,8 +267,10 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                 noise = rng.normal(0, 1.0, len(sig))
                 noise *= sig_rms / (np.sqrt(np.mean(noise ** 2)) + 1e-12)
                 sig = sig + noise * 10.0 ** (-snr / 20.0)
-            write_wav(folder / f"{name.replace('#', 's')}_{i:03d}.wav",
-                      sig.astype(np.float32), sr)
+            pending.append((folder / f"{name.replace('#', 's')}_{i:03d}.wav",
+                            sig.astype(np.float32), sr))
+        write_wav_batch(pending)
+        pending.clear()
         if verbose and ci % 10 == 0:
             print(f"[synthesize_note_dataset] {ci + 1}/{len(class_names)} "
                   f"classes done")

@@ -61,7 +61,8 @@ def apply_pitch_prior(probs: jax.Array, pitch_hz: jax.Array,
 class NotePredictor:
     def __init__(self, cnn_weight: float = 0.80,
                  pitch_prior_weight: float = 0.0,
-                 pitch_prior_sigma: float = 0.5):
+                 pitch_prior_sigma: float = 0.5,
+                 cnn_dtype=None):
         self.mlp = None
         self.cnn = None
         self.mlp_variables = None
@@ -71,6 +72,10 @@ class NotePredictor:
         self.mlp_weight = 1.0 - cnn_weight
         self.pitch_prior_weight = pitch_prior_weight
         self.pitch_prior_sigma = pitch_prior_sigma
+        # CNN inference compute dtype override (weights stay f32 in the
+        # checkpoint; flax casts per-op). bfloat16 is the AMP-style
+        # inference analog — A/B'd on v5e in docs/PERF.md.
+        self.cnn_dtype = cnn_dtype
 
     # ----- loading -------------------------------------------------------
     def load_models(self, mlp_ckpt_data: dict | None = None,
@@ -99,6 +104,8 @@ class NotePredictor:
             args = dict(cnn_ckpt_data["model_init_args"])
             if "adaptive_pool" in args:
                 args["adaptive_pool"] = tuple(args["adaptive_pool"])
+            if self.cnn_dtype is not None:
+                args["dtype"] = self.cnn_dtype
             self.cnn = CNN(**args)
             self.cnn_variables = jax.tree_util.tree_map(
                 jnp.asarray, cnn_ckpt_data["variables"])

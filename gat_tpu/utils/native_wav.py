@@ -18,7 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["native_available", "read_wav_native", "read_wav_batch"]
+__all__ = ["native_available", "read_wav_native", "read_wav_batch",
+           "write_wav_native", "write_wav_batch"]
 
 _REPO = Path(__file__).resolve().parent.parent.parent
 _SRC = _REPO / "native" / "wav_codec.cpp"
@@ -54,6 +55,10 @@ def _load():
                 ctypes.c_long, ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_long)]
             lib.wav_decode.restype = ctypes.c_int
+            lib.wav_encode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int]
+            lib.wav_encode.restype = ctypes.c_int
             _lib = lib
         except Exception:
             _lib = None
@@ -88,6 +93,60 @@ def read_wav_native(path) -> tuple[np.ndarray, int]:
     if rc:
         raise ValueError(f"[read_wav_native] decode failed ({rc}): {path}")
     return out[:got.value], sr.value
+
+
+def write_wav_native(path, audio: np.ndarray, sr: int,
+                     subtype: str = "PCM_16") -> None:
+    """Encode one mono float32 array via the native codec (PCM_16 or
+    FLOAT); raises on failure (callers fall back to the Python
+    encoder). Matches utils/wavio.write_wav's PCM16 quantization
+    (×32768, round-half-even, clipped)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("[write_wav_native] native codec unavailable")
+    bits = {"PCM_16": 16, "FLOAT": 32}.get(subtype)
+    if bits is None:
+        raise ValueError(f"[write_wav_native] unsupported subtype "
+                         f"{subtype!r} (native: PCM_16, FLOAT)")
+    audio = np.ascontiguousarray(np.asarray(audio), dtype=np.float32)
+    if audio.ndim != 1:
+        raise ValueError("[write_wav_native] mono (1-D) audio only")
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    rc = lib.wav_encode(
+        str(path).encode(),
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        audio.size, int(sr), bits)
+    if rc:
+        raise ValueError(f"[write_wav_native] encode failed ({rc}): {path}")
+
+
+def write_wav_batch(items, max_workers: int | None = None,
+                    subtype: str = "PCM_16") -> None:
+    """Encode many (path, audio, sr) mono clips in parallel (native
+    codec + thread pool, GIL released in C); per-item fallback to the
+    Python encoder — the dataset-creator/slicer write stage the
+    reference runs file-by-file through soundfile (ref slicing.py:144)."""
+    from .wavio import write_wav
+
+    def one(item):
+        path, audio, sr = item
+        if native_available() and np.asarray(audio).ndim == 1 \
+                and subtype in ("PCM_16", "FLOAT"):
+            try:
+                write_wav_native(path, audio, sr, subtype)
+                return
+            except ValueError:
+                pass
+        write_wav(path, audio, sr, subtype)
+
+    items = list(items)
+    workers = max_workers or min(16, (os.cpu_count() or 4))
+    if len(items) <= 1 or workers == 1:
+        for it in items:
+            one(it)
+        return
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(one, items))
 
 
 def read_wav_batch(paths, max_workers: int | None = None):

@@ -11,9 +11,15 @@
 //   wav_probe(path, &sr, &channels, &frames)      → 0 on success
 //   wav_decode(path, out, capacity, &sr, &frames) → 0 on success, mono
 //
+// Encode (the reference's soundfile.write analog, ref slicing.py:144):
+//   wav_encode(path, samples, frames, sr, bits)   → 0 on success
+// bits = 16 (PCM16, clamped) or 32 (IEEE float32). Mono only — every
+// writer in this framework emits mono clips.
+//
 // Error codes: -1 open/read failure, -2 not RIFF/WAVE, -3 unsupported
-// format, -4 capacity too small.
+// format, -4 capacity too small, -5 bad encode argument.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -202,6 +208,71 @@ int wav_decode(const char* path, float* out, long capacity, int* sr,
     *sr = static_cast<int>(w.sample_rate);
     *frames_out = frames;
     return 0;
+}
+
+// Encodes mono float32 samples as RIFF/WAVE: PCM16 (bits=16, values
+// clamped to [-1, 1]) or IEEE float32 (bits=32, values written as-is).
+int wav_encode(const char* path, const float* samples, long frames,
+               int sr, int bits) {
+    if (frames < 0 || sr <= 0 || !(bits == 16 || bits == 32)) return -5;
+    const uint32_t bytes_per = bits / 8;
+    const uint64_t data_size64 = static_cast<uint64_t>(frames) * bytes_per;
+    if (data_size64 > 0xFFFFFFFFu - 36u) return -5;
+    const uint32_t data_size = static_cast<uint32_t>(data_size64);
+
+    FILE* f = std::fopen(path, "wb");
+    if (!f) return -1;
+    uint8_t hdr[44];
+    std::memcpy(hdr, "RIFF", 4);
+    const uint32_t riff_size = 36 + data_size;
+    std::memcpy(hdr + 4, &riff_size, 4);
+    std::memcpy(hdr + 8, "WAVEfmt ", 8);
+    const uint32_t fmt_size = 16;
+    std::memcpy(hdr + 16, &fmt_size, 4);
+    const uint16_t format = (bits == 16) ? kPcm : kFloat;
+    const uint16_t channels = 1;
+    std::memcpy(hdr + 20, &format, 2);
+    std::memcpy(hdr + 22, &channels, 2);
+    const uint32_t rate = static_cast<uint32_t>(sr);
+    std::memcpy(hdr + 24, &rate, 4);
+    const uint32_t byte_rate = rate * bytes_per;
+    std::memcpy(hdr + 28, &byte_rate, 4);
+    const uint16_t block_align = static_cast<uint16_t>(bytes_per);
+    std::memcpy(hdr + 32, &block_align, 2);
+    const uint16_t bits16 = static_cast<uint16_t>(bits);
+    std::memcpy(hdr + 34, &bits16, 2);
+    std::memcpy(hdr + 36, "data", 4);
+    std::memcpy(hdr + 40, &data_size, 4);
+    if (std::fwrite(hdr, 1, 44, f) != 44) { std::fclose(f); return -1; }
+
+    bool ok = true;
+    if (bits == 32) {
+        ok = std::fwrite(samples, sizeof(float),
+                         static_cast<size_t>(frames), f)
+             == static_cast<size_t>(frames);
+    } else {
+        constexpr size_t kChunk = 1 << 16;
+        std::vector<int16_t> buf(kChunk);
+        for (long off = 0; ok && off < frames;
+             off += static_cast<long>(kChunk)) {
+            const size_t n = static_cast<size_t>(
+                frames - off < static_cast<long>(kChunk)
+                    ? frames - off : static_cast<long>(kChunk));
+            for (size_t i = 0; i < n; ++i) {
+                // scale by 32768 with round-half-even then clamp —
+                // matches the Python encoder (wavio.py: np.round of
+                // audio*32768, clipped to [-32768, 32767])
+                long v = std::lrint(
+                    static_cast<double>(samples[off + i]) * 32768.0);
+                if (v > 32767) v = 32767;
+                if (v < -32768) v = -32768;
+                buf[i] = static_cast<int16_t>(v);
+            }
+            ok = std::fwrite(buf.data(), sizeof(int16_t), n, f) == n;
+        }
+    }
+    if (std::fclose(f) != 0) ok = false;
+    return ok ? 0 : -1;
 }
 
 }  // extern "C"

@@ -69,3 +69,61 @@ def test_loader_uses_batch_decode(tmp_path, rng):
     assert len(wavs) == 6
     assert set(labels) == {"A2", "E3"}
     assert all(len(w) == int(11025 * 0.25) for w in wavs)
+
+
+@needs_native
+@pytest.mark.parametrize("subtype", ["PCM_16", "FLOAT"])
+def test_native_encode_bit_identical_to_python(tmp_path, rng, subtype):
+    """write_wav_native must produce byte-compatible samples with the
+    Python encoder (same ×32768 round-half-even PCM16 quantization)."""
+    x = rng.uniform(-1.2, 1.2, 4321).astype(np.float32)  # incl. clipping
+    pn, pp = tmp_path / "n.wav", tmp_path / "p.wav"
+    native_wav.write_wav_native(pn, x, 22050, subtype=subtype)
+    write_wav(pp, x, 22050, subtype=subtype)
+    a, sr_a = read_wav(pn)
+    b, sr_b = read_wav(pp)
+    assert sr_a == sr_b == 22050
+    np.testing.assert_array_equal(a, b)
+    # and the native decoder agrees with itself
+    c, _ = native_wav.read_wav_native(pn)
+    np.testing.assert_array_equal(c, a)
+
+
+@needs_native
+def test_native_encode_float_roundtrip_exact(tmp_path, rng):
+    x = rng.normal(0, 0.3, 999).astype(np.float32)
+    p = tmp_path / "f.wav"
+    native_wav.write_wav_native(p, x, 8000, subtype="FLOAT")
+    got, sr = native_wav.read_wav_native(p)
+    assert sr == 8000
+    np.testing.assert_array_equal(got, x)
+
+
+@needs_native
+def test_native_encode_rejects_bad_args(tmp_path):
+    with pytest.raises(ValueError):
+        native_wav.write_wav_native(tmp_path / "x.wav",
+                                    np.zeros(10, np.float32), 22050,
+                                    subtype="PCM_24")
+    with pytest.raises(ValueError):
+        native_wav.write_wav_native(tmp_path / "y.wav",
+                                    np.zeros((10, 2), np.float32), 22050)
+
+
+def test_write_wav_batch_mixed_subtypes(tmp_path, rng):
+    """Batch write (native or fallback) round-trips every clip; stereo
+    and PCM_24 fall back to the Python encoder transparently."""
+    items = [(tmp_path / f"c{i}.wav",
+              rng.uniform(-0.5, 0.5, 200 + i).astype(np.float32), 11025)
+             for i in range(8)]
+    native_wav.write_wav_batch(items)
+    for pth, src, sr in items:
+        got, s = read_wav(pth)
+        assert s == sr
+        np.testing.assert_allclose(got, src, atol=1.0 / 32768)
+    p24 = tmp_path / "p24.wav"
+    native_wav.write_wav_batch([(p24, items[0][1], 44100)],
+                               subtype="PCM_24")
+    got, s = read_wav(p24)
+    assert s == 44100
+    np.testing.assert_allclose(got, items[0][1], atol=1.0 / (1 << 23))
