@@ -42,17 +42,22 @@ class Transcriber:
     def __init__(self, mlp_ckpt=None, cnn_ckpt=None, mlp_root=None,
                  cnn_root=None, cnn_weight: float = 0.80,
                  require_cnn: bool = True,
-                 pitch_prior_weight: float = 0.0):
+                 pitch_prior_weight: float = 0.0,
+                 cnn_dtype=None):
         """Resolve + load both checkpoints, validate their embedded
         configs, and initialize the ensemble (ref transcribe.py:26-75).
         `require_cnn=False` permits MLP-only operation (the reference
         repo itself ships without the CNN blob). `pitch_prior_weight>0`
         enables the YIN pitch prior on the ensemble (see
         predictor.apply_pitch_prior) — off by default for reference
-        parity."""
+        parity. `cnn_dtype=jnp.bfloat16` runs the CNN forward in bf16
+        (weights stay f32): measured +10% throughput at batch ≥1024 on
+        v5e with 100% label agreement, but −5% at the batch-256 sweet
+        spot, so f32 stays the default — docs/PERF.md."""
         self.feature_builder = FeatureBuilder()
         self.predictor = NotePredictor(cnn_weight=cnn_weight,
-                                       pitch_prior_weight=pitch_prior_weight)
+                                       pitch_prior_weight=pitch_prior_weight,
+                                       cnn_dtype=cnn_dtype)
         self._fused_cache: dict = {}
 
         mlp_root = Path(mlp_root) if mlp_root else MLP_CONFIG.CHECKPOINTS_DIR

@@ -147,3 +147,19 @@ def test_predict_debug_does_not_mutate_weights():
     t.predictor.predict_debug([1.0, 0.5, 0.0],
                               np.zeros((1, 65), np.float32))
     assert t.predictor.cnn_weight == w0
+
+
+def test_cnn_bf16_inference_label_parity():
+    """cnn_dtype=bfloat16 (the large-batch serving option, docs/PERF.md)
+    must plumb through to the CNN module and agree with f32 labels."""
+    import jax.numpy as jnp
+    from gat_tpu.infer import Transcriber
+    t32 = Transcriber()
+    t16 = Transcriber(cnn_dtype=jnp.bfloat16)
+    assert t16.predictor.cnn.dtype == jnp.bfloat16
+    assert t32.predictor.cnn.dtype == jnp.float32
+    for f, note in ((110.0, "A2"), (196.0, "G3"), (329.63, "E4")):
+        clip = make_pluck(f, SR, 0.5, seed=11)
+        a = t32.transcribe_note(clip, sr_in=SR)["labels"]
+        b = t16.transcribe_note(clip, sr_in=SR)["labels"]
+        assert a == b == [note]
