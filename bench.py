@@ -338,10 +338,75 @@ def measure_train(model_name: str, batch: int, iters: int = 60,
     }
 
 
+def measure_file(duration_s: float = 60.0, iters: int = 30,
+                 max_onsets: int = 128) -> dict:
+    """Sustained FILE-path throughput (audio-s/s): whole recordings
+    through the fused one-graph file program — gating, onset detection,
+    static-budget slicing, clip re-rating, features, both forwards,
+    ensemble, YIN — pipelined over distinct waveforms, one end sync.
+    This is the path `Transcriber.transcribe(fused=True)` runs; the
+    default clip-batch metric (measure) excludes segmentation."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.config import TARGET_SR, CLIP_DURATION
+    from gat_tpu.infer import Transcriber
+
+    t = Transcriber()
+    run = t._fused_file_fn(TARGET_SR, CLIP_DURATION, max_onsets)
+    n = int(duration_s * TARGET_SR)
+    bucket = -(-n // TARGET_SR) * TARGET_SR
+
+    def riff(seed):
+        rng = np.random.default_rng(seed)
+        y = np.zeros(bucket, np.float32)
+        pos = int(0.3 * TARGET_SR)
+        while pos + TARGET_SR // 2 < n:
+            f = rng.uniform(82.0, 660.0)
+            dur = int(0.45 * TARGET_SR)
+            tt = np.arange(dur) / TARGET_SR
+            note = (np.sin(2 * np.pi * f * tt)
+                    * np.exp(-3.0 * tt)).astype(np.float32)
+            y[pos:pos + dur] += 0.5 * note
+            pos += int(rng.uniform(0.55, 0.75) * TARGET_SR)
+        return y + rng.normal(0, 1e-3, bucket).astype(np.float32)
+
+    pool = [jax.device_put(riff(i)) for i in range(4)]
+    nvalid = jax.device_put(jnp.asarray(n))
+    jax.block_until_ready(pool)
+    warm = jax.device_put(riff(997))
+    for _ in range(2):
+        out = run(warm, nvalid)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(pool[i % len(pool)], nvalid)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    kept = int(np.asarray(out[4]).sum())
+    return {
+        "audio_s_per_s": round(duration_s * iters / dt, 1),
+        "file_ms": round(dt / iters * 1000, 2),
+        "file_s": duration_s,
+        "clips_kept_last": kept,
+        "max_onsets": max_onsets,
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
+    if os.environ.get("BENCH_MODE") == "file":
+        out = measure_file()
+        print(json.dumps({
+            "metric": "file_path_throughput",
+            "value": out["audio_s_per_s"],
+            "unit": "audio_s/s",
+            "vs_baseline": 1.0,
+            "detail": out,
+        }))
+        return
     if os.environ.get("BENCH_MODE") == "train":
         batch = int(os.environ.get("BENCH_BATCH", "1024"))
         out = {m: measure_train(m, batch) for m in ("mlp", "cnn")}
