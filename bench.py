@@ -393,10 +393,78 @@ def measure_file(duration_s: float = 60.0, iters: int = 30,
     }
 
 
+def measure_files(n_files: int = 8, duration_s: float = 60.0,
+                  iters: int = 30, max_onsets: int = 128) -> dict:
+    """Sustained MULTI-file throughput (audio-s/s): B whole recordings
+    per dispatch through the batched fused file program
+    (`Transcriber.transcribe_files` compute path) — per-file segmentation
+    under vmap (the greedy onset scans advance all B lanes per step),
+    then one flat (B·K) clip batch through the ensemble."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.config import TARGET_SR, CLIP_DURATION
+    from gat_tpu.infer import Transcriber
+
+    t = Transcriber()
+    run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets, n_files)
+    n = int(duration_s * TARGET_SR)
+    bucket = -(-n // TARGET_SR) * TARGET_SR
+
+    def riff(seed):
+        rng = np.random.default_rng(seed)
+        y = np.zeros(bucket, np.float32)
+        pos = int(0.3 * TARGET_SR)
+        while pos + TARGET_SR // 2 < n:
+            f = rng.uniform(82.0, 660.0)
+            dur = int(0.45 * TARGET_SR)
+            tt = np.arange(dur) / TARGET_SR
+            note = (np.sin(2 * np.pi * f * tt)
+                    * np.exp(-3.0 * tt)).astype(np.float32)
+            y[pos:pos + dur] += 0.5 * note
+            pos += int(rng.uniform(0.55, 0.75) * TARGET_SR)
+        return y + rng.normal(0, 1e-3, bucket).astype(np.float32)
+
+    def batch(seed0):
+        return np.stack([riff(seed0 + i) for i in range(n_files)])
+
+    pool = [jax.device_put(batch(100 * i)) for i in range(4)]
+    nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
+    jax.block_until_ready(pool)
+    warm = jax.device_put(batch(9900))
+    for _ in range(2):
+        out = run(warm, nv)
+        jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = run(pool[i % len(pool)], nv)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    kept = int(np.asarray(out[4]).sum())
+    return {
+        "audio_s_per_s": round(duration_s * n_files * iters / dt, 1),
+        "dispatch_ms": round(dt / iters * 1000, 2),
+        "n_files": n_files,
+        "file_s": duration_s,
+        "clips_kept_last": kept,
+        "max_onsets": max_onsets,
+    }
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
+    if os.environ.get("BENCH_MODE") == "files":
+        out = measure_files(n_files=int(os.environ.get("BENCH_FILES", "8")))
+        print(json.dumps({
+            "metric": "batched_file_throughput",
+            "value": out["audio_s_per_s"],
+            "unit": "audio_s/s",
+            "vs_baseline": 1.0,
+            "detail": out,
+        }))
+        return
     if os.environ.get("BENCH_MODE") == "file":
         out = measure_file()
         print(json.dumps({

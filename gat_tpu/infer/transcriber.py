@@ -156,6 +156,141 @@ class Transcriber:
                                   self.predictor.cnn_variables)
         return run
 
+    def _fused_files_fn(self, target_sr: int, clip_duration: float,
+                        max_onsets: int, n_files: int):
+        """One jit program over a BATCH of padded waveforms (B, n):
+        per-file segmentation under vmap (the greedy onset scans advance
+        all B lanes per step, amortizing the sequential frame walk), then
+        ONE flat (B·K, L) clip batch through re-rating, features, both
+        forwards, the ensemble, and the YIN baseline — the clip-batch
+        sweet-spot regime instead of per-file small batches. Returns
+        per-file (B, K, ...) outputs. Cached like _fused_file_fn."""
+        rm = self.predictor.reverse_map
+        key = ("files", n_files, target_sr, clip_duration, max_onsets,
+               self.predictor.cnn_weight,
+               self.predictor.pitch_prior_weight,
+               self.predictor.pitch_prior_sigma,
+               tuple(sorted(rm.items())) if rm else None,
+               id(self.predictor.mlp_variables),
+               id(self.predictor.cnn_variables))
+        if key in self._fused_cache:
+            return self._fused_cache[key][0]
+
+        mfcc_params, melspec_params = self._feature_params()
+        if "cnn" not in self.model_ckpts:
+            melspec_params = None
+        from .pipeline import build_clip_ensemble_fn
+        ensemble = build_clip_ensemble_fn(
+            self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
+            melspec_params, return_parts=True)
+
+        def _segment(y, n_valid):
+            return segment_waveform(
+                y, sr=target_sr, length_sec=clip_duration,
+                max_onsets=max_onsets, n_valid_samples=n_valid)
+
+        @jax.jit
+        def run(ys, n_valids):
+            clips, kept, onsets, ovalid, times = jax.vmap(_segment)(
+                ys, n_valids)
+            b, k, length = clips.shape
+            flat = clips.reshape(b * k, length)
+            flat = fix_length(resample(flat, target_sr, self.ckpt_sr),
+                              int(self.ckpt_sr * clip_duration))
+            probs, mlp_p, cnn_p = ensemble(flat)
+            pitch = yin_pitch(flat, self.ckpt_sr)
+
+            def perfile(a):
+                return (a.reshape((b, k) + a.shape[1:])
+                        if a is not None else None)
+            return (perfile(probs), perfile(mlp_p), perfile(cnn_p),
+                    perfile(pitch), kept, onsets, times)
+
+        self._fused_cache[key] = (run, self.predictor.mlp_variables,
+                                  self.predictor.cnn_variables)
+        return run
+
+    def _build_result(self, probs, mlp_p, cnn_p, pitch, kept, onsets,
+                      times, target_sr: int, empty_ok: bool = False) -> dict:
+        """Assemble the per-file result dict from fused-graph outputs
+        (budget-slot arrays + kept mask), mirroring transcribe_clips'
+        schema."""
+        kept_np = np.asarray(kept)
+        if not kept_np.any():
+            if not empty_ok:
+                raise ValueError("[transcribe] No clips survived slicing.")
+            return {"indices": np.zeros(0, np.int64), "labels": [],
+                    "confidences": np.zeros(0, np.float32),
+                    "probs": np.zeros((0,) + np.asarray(probs).shape[1:],
+                                      np.float32),
+                    "per_model_probs": {"mlp": None, "cnn": None},
+                    "dsp_info": [], "onsets_s": [], "times": []}
+        probs = np.asarray(probs)[kept_np]
+        idx = probs.argmax(axis=1)
+        rm = self.predictor.reverse_map
+        result = {
+            "indices": idx,
+            "labels": ([rm[int(i)] for i in idx] if rm
+                       else [int(i) for i in idx]),
+            "confidences": probs[np.arange(len(idx)), idx],
+            "probs": probs,
+            "per_model_probs": {
+                "mlp": np.asarray(mlp_p)[kept_np],
+                "cnn": (np.asarray(cnn_p)[kept_np]
+                        if cnn_p is not None else None),
+            },
+            "dsp_info": [],
+        }
+        for hz in np.asarray(pitch)[kept_np]:
+            midi, name, midi_f = estimate_note(float(hz))
+            result["dsp_info"].append((float(hz), {
+                "midi": midi, "note_name": name, "midi_float": midi_f}))
+        result["onsets_s"] = (np.asarray(onsets)[kept_np]
+                              / float(target_sr)).tolist()
+        result["times"] = np.asarray(times)[kept_np].tolist()
+        return result
+
+    def transcribe_files(self, paths, target_sr: int = TARGET_SR,
+                         clip_duration: float = CLIP_DURATION,
+                         max_onsets: int = 64) -> list[dict]:
+        """Batch transcription of MANY files as one device program
+        (the serving path; `tools/serve.py --batch`). Every file is
+        bucketed to whole seconds at its native rate (exact: the
+        polyphase filter zero-extends edges either way), resampled to
+        `target_sr`, padded to the longest file, and stacked; B is
+        bucketed to the next power of two (dummy rows carry
+        n_valid=0 → no onsets). Files with no surviving clips yield a
+        result with empty labels instead of raising (batch semantics).
+        Returns one result dict per input path, in order."""
+        paths = list(paths)
+        if not paths:
+            return []
+        ys, n_valids = [], []
+        for p in paths:
+            y_raw, sr_in = read_wav(p)
+            n_raw = int(np.asarray(y_raw).shape[-1])
+            sec = max(1, -(-n_raw // sr_in))  # whole seconds (ceil)
+            y = fix_length(jnp.asarray(y_raw, jnp.float32), sec * sr_in)
+            y = resample(y, sr_in, target_sr)  # length = sec · target_sr
+            ys.append(y)
+            n_valids.append(-(-n_raw * target_sr // sr_in))
+        n_bucket = max(int(y.shape[-1]) for y in ys)
+        b = 1 << (len(ys) - 1).bit_length()  # next power of two
+        batch = jnp.stack(
+            [fix_length(y, n_bucket) for y in ys]
+            + [jnp.zeros((n_bucket,), jnp.float32)] * (b - len(ys)))
+        nv = jnp.asarray(n_valids + [0] * (b - len(ys)), jnp.int32)
+
+        run = self._fused_files_fn(target_sr, clip_duration, max_onsets, b)
+        probs, mlp_p, cnn_p, pitch, kept, onsets, times = run(batch, nv)
+        return [
+            self._build_result(
+                probs[i], mlp_p[i], cnn_p[i] if cnn_p is not None else None,
+                pitch[i], kept[i], onsets[i], times[i], target_sr,
+                empty_ok=True)
+            for i in range(len(paths))
+        ]
+
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
         """Batched core: clips already at checkpoint SR, (N, L) →
         prediction dict + batched YIN baseline. All device compute; the
@@ -207,34 +342,8 @@ class Transcriber:
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets)
             probs, mlp_p, cnn_p, pitch, kept, onsets, times = run(
                 y_pad, jnp.asarray(n))
-            kept_np = np.asarray(kept)
-            if not kept_np.any():
-                raise ValueError("[transcribe] No clips survived slicing.")
-            probs = np.asarray(probs)[kept_np]
-            idx = probs.argmax(axis=1)
-            rm = self.predictor.reverse_map
-            result = {
-                "indices": idx,
-                "labels": ([rm[int(i)] for i in idx] if rm
-                           else [int(i) for i in idx]),
-                "confidences": probs[np.arange(len(idx)), idx],
-                "probs": probs,
-                "per_model_probs": {
-                    "mlp": np.asarray(mlp_p)[kept_np],
-                    "cnn": (np.asarray(cnn_p)[kept_np]
-                            if cnn_p is not None else None),
-                },
-                "dsp_info": [],
-            }
-            for hz in np.asarray(pitch)[kept_np]:
-                midi, name, midi_f = estimate_note(float(hz))
-                result["dsp_info"].append((float(hz), {
-                    "midi": midi, "note_name": name,
-                    "midi_float": midi_f}))
-            result["onsets_s"] = (np.asarray(onsets)[kept_np]
-                                  / float(target_sr)).tolist()
-            result["times"] = np.asarray(times)[kept_np].tolist()
-            return result
+            return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
+                                      onsets, times, target_sr)
 
         clips, kept, onsets, ovalid, times = segment_waveform(
             y22, sr=target_sr, length_sec=clip_duration,

@@ -75,7 +75,17 @@ def resample(y: jax.Array, orig_sr: int, target_sr: int,
              zeros: int = 24, beta: float = 9.58) -> jax.Array:
     """Resample along the last axis. Accepts (..., n); returns (..., m) with
     m = ceil(n * target_sr / orig_sr) (librosa.resample fix=True length).
-    No-op when rates match."""
+    No-op when rates match.
+
+    Gather-free: for output j = t·up + s the phase delta_j and the tap
+    position pos_j satisfy delta_{j+up} = delta_j and pos_{j+up} =
+    pos_j + down (u advances by up·down, so i0 advances by down with the
+    remainder unchanged) — so the per-output advanced-indexing gather
+    (TPUs serialize gathers) collapses to `up` strided slices of the
+    phase-correlation tensor. Pure decimation (up == 1, e.g. the hot
+    22050→11025 clip re-rate) skips the slicing too: the conv itself
+    strides by `down`, computing only the kept outputs (profiled 2.3 ms →
+    sub-ms on the 128-clip fused file graph, v5e HLO estimates)."""
     if orig_sr == target_sr:
         return y
     g = math.gcd(int(orig_sr), int(target_sr))
@@ -86,16 +96,39 @@ def resample(y: jax.Array, orig_sr: int, target_sr: int,
     hp, delta, pos, lpad, rpad, m = _polyphase_plan(n, up, down, zeros, beta)
 
     x = y.reshape((-1, 1, n)).astype(jnp.float32)
-    x = jnp.pad(x, ((0, 0), (0, 0), (lpad, rpad)))
+
+    if up == 1:
+        # y[j] = sum_k x[j·down - half + k]·h[k]: one strided conv.
+        need = (m - 1) * down + hp.shape[1]  # last window's end
+        x = jnp.pad(x, ((0, 0), (0, 0), (lpad, max(rpad, need - n - lpad))))
+        z = jax.lax.conv_general_dilated(
+            x, jnp.asarray(hp)[:, None, :],
+            window_strides=(down,), padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )
+        return z[:, 0, :m].reshape(batch_shape + (m,))
+
+    t_len = -(-m // up)          # outputs per phase (ceil)
+    phases = min(up, m)          # m < up ⇒ t_len == 1, later phases unused
+    # every phase's strided slice must fit: its start + (t_len-1)·down + 1
+    need_z = max(int(pos[s]) for s in range(phases)) + \
+        (t_len - 1) * down + 1
+    need = need_z + hp.shape[1] - 1  # VALID conv: L = len(x) - taps + 1
+    x = jnp.pad(x, ((0, 0), (0, 0), (lpad, max(rpad, need - n - lpad))))
     # z: (N, up, L) — all phase correlations in one conv (VALID padding)
     z = jax.lax.conv_general_dilated(
         x, jnp.asarray(hp)[:, None, :],
         window_strides=(1,), padding="VALID",
         dimension_numbers=("NCW", "OIW", "NCW"),
     )
-    out = z[:, jnp.asarray(delta), jnp.asarray(pos)] if up > 1 \
-        else z[:, 0, jnp.asarray(pos)]
-    return out.reshape(batch_shape + (m,))
+    cols = [
+        jax.lax.slice_in_dim(
+            z[:, int(delta[s]), :], int(pos[s]),
+            int(pos[s]) + (t_len - 1) * down + 1, down, axis=1)
+        for s in range(phases)
+    ]
+    out = jnp.stack(cols, axis=-1).reshape((z.shape[0], t_len * phases))
+    return out[:, :m].reshape(batch_shape + (m,))
 
 
 def fix_length(y: jax.Array, size: int) -> jax.Array:

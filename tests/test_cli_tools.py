@@ -138,6 +138,31 @@ def test_serve_once(tmp_path, capsys):
     assert s["labels"] == [] and "error" in s
 
 
+def test_serve_batched(tmp_path):
+    """--batch routes arrival waves through the batched fused multi-file
+    program: same JSON results as the per-file path, garbage file falls
+    back to a per-file error entry without poisoning the batch."""
+    import serve as serve_mod
+    import json
+    in_dir = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    in_dir.mkdir()
+    _riff_wav(in_dir / "a.wav")
+    _riff_wav(in_dir / "b.wav")
+    write_wav(in_dir / "silence.wav", np.zeros(SR, np.float32), SR)
+    (in_dir / "garbage.wav").write_bytes(b"not a wav" * 9)
+    n = serve_mod.serve(in_dir, out_dir, once=True, verbose=False, batch=4)
+    assert n == 4
+    for stem in ("a", "b"):
+        r = json.loads((out_dir / f"{stem}.json").read_text())
+        assert r["labels"] == ["A2", "G3"]
+        assert r["yin"][0]["note_name"] == "A2"
+    s = json.loads((out_dir / "silence.json").read_text())
+    assert s["labels"] == [] and "error" in s
+    g = json.loads((out_dir / "garbage.json").read_text())
+    assert g["labels"] == [] and "error" in g
+
+
 def test_display_helpers(tmp_path):
     from gat_tpu.utils.display import (plot_waveform, plot_spectrogram,
                                        plot_series)

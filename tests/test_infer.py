@@ -125,6 +125,32 @@ def test_fused_matches_two_stage(tmp_path, transcriber):
                                r_2["per_model_probs"]["mlp"], atol=1e-5)
 
 
+def test_transcribe_files_matches_single(tmp_path, transcriber):
+    """Batched multi-file transcription must agree with the single-file
+    path per file — mixed lengths, a silent file (empty result, no
+    raise), order preserved, and a non-power-of-two batch size."""
+    paths = []
+    riffs = [_riff(NOTES[:3]), _riff(), np.zeros(int(1.3 * SR), np.float32)]
+    for i, y in enumerate(riffs):
+        p = tmp_path / f"f{i}.wav"
+        write_wav(p, y, SR)
+        paths.append(p)
+    batch = transcriber.transcribe_files(paths)
+    assert len(batch) == 3
+    for p, rb in zip(paths[:2], batch[:2]):
+        r1 = transcriber.transcribe(p)
+        assert rb["labels"] == r1["labels"], (p, rb["labels"], r1["labels"])
+        np.testing.assert_allclose(rb["confidences"], r1["confidences"],
+                                   atol=1e-5)
+        assert rb["onsets_s"] == r1["onsets_s"]
+        assert [i_["note_name"] for _, i_ in rb["dsp_info"]] == \
+            [i_["note_name"] for _, i_ in r1["dsp_info"]]
+    # silent file: empty result, not an exception
+    assert batch[2]["labels"] == []
+    assert batch[2]["probs"].shape[0] == 0
+    assert transcriber.transcribe_files([]) == []
+
+
 @pytest.mark.parametrize("dur", [0.04, 0.2])
 def test_ultra_short_audio_clean_error(tmp_path, transcriber, dur):
     """Sub-clip-length files must fail with the clean no-clips error,

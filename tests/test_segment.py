@@ -55,6 +55,39 @@ def test_peak_pick_matches_direct(rng):
         np.testing.assert_array_equal(np.flatnonzero(keep), ref)
 
 
+def test_compacted_scan_matches_full_scan(rng):
+    """The compacted-candidate fused greedy scan (default) must agree
+    exactly with a full-length-scan run (cand_budget=0) — on clean songs
+    AND on dense noisy audio where candidates are plentiful."""
+    songs = [_song([0.5, 1.2, 1.9], [110.0, 220.0, 330.0])]
+    # dense, noisy: 10 notes in 4 s + broadband noise → many raw candidates
+    times = list(np.arange(0.3, 3.9, 0.36))
+    freqs = list(rng.uniform(90, 600, len(times)))
+    dense = _song(times, freqs, dur=4.2, note_len=0.3)
+    dense = dense + rng.normal(0, 0.01, len(dense)).astype(np.float32)
+    songs.append(dense)
+    for y in songs:
+        o_c, v_c = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
+                                 max_onsets=64)
+        o_f, v_f = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
+                                 max_onsets=64, cand_budget=0)
+        np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_f))
+        np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
+
+
+def test_compacted_scan_tiny_budget_keeps_earliest():
+    """Candidate-budget overflow drops the LATEST candidates (mirrors the
+    earliest-first max_onsets truncation): with a budget of 2 raw
+    candidates, the detected onsets are a prefix of the full result."""
+    y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
+    o_f, v_f = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=0)
+    o_t, v_t = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
+    full = np.asarray(o_f)[np.asarray(v_f)]
+    tiny = np.asarray(o_t)[np.asarray(v_t)]
+    assert len(tiny) <= 2
+    np.testing.assert_array_equal(tiny, full[:len(tiny)])
+
+
 def test_detect_onsets_finds_notes():
     onset_times = [0.5, 1.2, 1.9]
     y = _song(onset_times, [110.0, 220.0, 330.0])

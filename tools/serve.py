@@ -37,7 +37,8 @@ def result_to_json(result: dict) -> dict:
 
 
 def serve(in_dir: Path, out_dir: Path, once: bool = False,
-          poll_s: float = 0.5, transcriber=None, verbose: bool = True):
+          poll_s: float = 0.5, transcriber=None, verbose: bool = True,
+          batch: int = 1):
     from gat_tpu.infer import Transcriber
     t = transcriber or Transcriber()
     in_dir.mkdir(parents=True, exist_ok=True)
@@ -54,10 +55,41 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             print(f"[serve] watching {in_dir} → {out_dir} "
                    "(Ctrl+C to stop)")
 
+    def _write(p: Path, result: dict, t0: float):
+        out_path = out_dir / f"{p.stem}.json"
+        if result.get("labels"):
+            out_path.write_text(json.dumps(result_to_json(result),
+                                           indent=2))
+            status = ",".join(result["labels"])
+        else:
+            out_path.write_text(json.dumps(
+                {"labels": [], "error": result.get(
+                    "error", "no clips survived slicing")}, indent=2))
+            status = "(no notes)"
+        if verbose:
+            print(f"[serve] {p.name} → {status} "
+                  f"({(time.perf_counter() - t0) * 1000:.0f} ms)")
+
     processed = 0
     while not stop["flag"]:
         pending = sorted(p for p in in_dir.glob("*.wav")
                          if p.name not in done)
+        # batch >1: whole arrival waves go through the batched fused
+        # multi-file program (one device dispatch per `batch` files)
+        while batch > 1 and len(pending) > 1:
+            wave, pending = pending[:batch], pending[batch:]
+            t0 = time.perf_counter()
+            try:
+                results = t.transcribe_files(wave)
+            except Exception:
+                # one bad file fails the whole batched read — fall back
+                # to the per-file path for this wave (per-file errors)
+                pending = wave + pending
+                break
+            for p, r in zip(wave, results):
+                _write(p, r, t0)
+                done.add(p.name)
+                processed += 1
         for p in pending:
             t0 = time.perf_counter()
             out_path = out_dir / f"{p.stem}.json"
@@ -97,13 +129,17 @@ def main():
     ap.add_argument("--poll_s", type=float, default=0.5)
     ap.add_argument("--pitch_prior", type=float, default=0.0,
                     help="YIN pitch-prior mixture weight (0 disables)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="files per device dispatch (>1 routes arrival "
+                         "waves through the batched fused multi-file "
+                         "program)")
     args = ap.parse_args()
     t = None
     if args.pitch_prior > 0:
         from gat_tpu.infer import Transcriber
         t = Transcriber(pitch_prior_weight=args.pitch_prior)
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
-          transcriber=t)
+          transcriber=t, batch=args.batch)
     return 0
 
 
