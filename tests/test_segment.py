@@ -141,6 +141,29 @@ def test_segment_waveform_end_to_end():
     assert int(np.asarray(kept2).sum()) == n_onsets
 
 
+def test_block_slicing_matches_general_gather():
+    """The hop-aligned row-gather slicing (onset_hop=512) must reproduce
+    the general per-element-gather path bit-for-bit, including edge
+    windows, the final-onset quirk, and padded tails."""
+    from gat_tpu.segment.slicing import slice_at_onsets
+    from gat_tpu.ops.onset import detect_onsets
+    y = _song([0.4, 1.1, 1.8, 2.4], [110.0, 146.83, 196.0, 246.94],
+              dur=2.95)
+    ypad = np.concatenate([y, np.zeros(1000, np.float32)])
+    onsets, valid = detect_onsets(jnp.asarray(ypad), sr=SR,
+                                  n_valid_samples=jnp.asarray(len(y)))
+    for strict in (True, False):
+        a = slice_at_onsets(jnp.asarray(ypad), onsets, valid, sr=SR,
+                            strict_reference_compat=strict,
+                            n_valid_samples=jnp.asarray(len(y)))
+        b = slice_at_onsets(jnp.asarray(ypad), onsets, valid, sr=SR,
+                            strict_reference_compat=strict,
+                            n_valid_samples=jnp.asarray(len(y)),
+                            onset_hop=512)
+        for xa, xb in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
 def test_gating_silences_noise_floor(rng):
     y = _song([0.5], [220.0], dur=1.5)
     noise = (rng.normal(size=len(y)) * 1e-4).astype(np.float32)
