@@ -13,7 +13,7 @@ import jax
 from ..features import mfcc_feature_vectors, melspec_features
 from ..ops.resample import resample, fix_length
 
-__all__ = ["build_clip_ensemble_fn"]
+__all__ = ["build_clip_ensemble_fn", "build_files_fn"]
 
 
 def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
@@ -80,5 +80,46 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
         if return_parts:
             return probs, mlp_probs, cp
         return probs
+
+    return run
+
+
+def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
+                   melspec_params: dict | None, target_sr: int,
+                   clip_duration: float, max_onsets: int):
+    """The multi-file fused program body, shared by
+    Transcriber._fused_files_fn (plain jit) and the mesh-sharded
+    variant (parallel.sharded.make_sharded_transcribe_files):
+    fn(ys (B, n), n_valids (B,)) → per-file (B, K, ...) outputs.
+    Per-file segmentation runs under vmap (the greedy onset scan
+    advances all B lanes per step); the budget slots then run the
+    ensemble + YIN baseline as ONE flat (B·K, L) clip batch."""
+    from ..segment.slicing import segment_waveform
+    from ..ops.yin import yin_pitch
+
+    ensemble = build_clip_ensemble_fn(predictor, scaler, ckpt_sr,
+                                      mfcc_params, melspec_params,
+                                      return_parts=True)
+
+    def _segment(y, n_valid):
+        return segment_waveform(y, sr=target_sr, length_sec=clip_duration,
+                                max_onsets=max_onsets,
+                                n_valid_samples=n_valid)
+
+    def run(ys, n_valids):
+        clips, kept, onsets, ovalid, times = jax.vmap(_segment)(ys,
+                                                                n_valids)
+        b, k, length = clips.shape
+        flat = clips.reshape(b * k, length)
+        flat = fix_length(resample(flat, target_sr, ckpt_sr),
+                          int(ckpt_sr * clip_duration))
+        probs, mlp_p, cnn_p = ensemble(flat)
+        pitch = yin_pitch(flat, ckpt_sr)
+
+        def perfile(a):
+            return (a.reshape((b, k) + a.shape[1:])
+                    if a is not None else None)
+        return (perfile(probs), perfile(mlp_p), perfile(cnn_p),
+                perfile(pitch), kept, onsets, times)
 
     return run

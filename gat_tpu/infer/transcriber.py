@@ -179,32 +179,10 @@ class Transcriber:
         mfcc_params, melspec_params = self._feature_params()
         if "cnn" not in self.model_ckpts:
             melspec_params = None
-        from .pipeline import build_clip_ensemble_fn
-        ensemble = build_clip_ensemble_fn(
+        from .pipeline import build_files_fn
+        run = jax.jit(build_files_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, return_parts=True)
-
-        def _segment(y, n_valid):
-            return segment_waveform(
-                y, sr=target_sr, length_sec=clip_duration,
-                max_onsets=max_onsets, n_valid_samples=n_valid)
-
-        @jax.jit
-        def run(ys, n_valids):
-            clips, kept, onsets, ovalid, times = jax.vmap(_segment)(
-                ys, n_valids)
-            b, k, length = clips.shape
-            flat = clips.reshape(b * k, length)
-            flat = fix_length(resample(flat, target_sr, self.ckpt_sr),
-                              int(self.ckpt_sr * clip_duration))
-            probs, mlp_p, cnn_p = ensemble(flat)
-            pitch = yin_pitch(flat, self.ckpt_sr)
-
-            def perfile(a):
-                return (a.reshape((b, k) + a.shape[1:])
-                        if a is not None else None)
-            return (perfile(probs), perfile(mlp_p), perfile(cnn_p),
-                    perfile(pitch), kept, onsets, times)
+            melspec_params, target_sr, clip_duration, max_onsets))
 
         self._fused_cache[key] = (run, self.predictor.mlp_variables,
                                   self.predictor.cnn_variables)

@@ -20,8 +20,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import MLP, CNN
 from .mesh import MODEL, data_sharding, replicated
 
-__all__ = ["make_sharded_transcribe", "mlp_tp_shardings",
-           "make_sharded_train_step", "sharded_batch_pitch"]
+__all__ = ["make_sharded_transcribe", "make_sharded_transcribe_files",
+           "mlp_tp_shardings", "make_sharded_train_step",
+           "sharded_batch_pitch"]
 
 
 def mlp_tp_shardings(params: dict, mesh: Mesh) -> dict:
@@ -71,6 +72,32 @@ def make_sharded_transcribe(predictor, scaler, mesh: Mesh, sr: int,
         return ensemble(clips), yin_pitch(clips, sr)
 
     return run
+
+
+def make_sharded_transcribe_files(transcriber, mesh: Mesh,
+                                  target_sr: int, clip_duration: float,
+                                  max_onsets: int):
+    """The whole-FILE fused program (gating → onsets → slicing →
+    re-rate → ensemble → YIN) data-parallel over the mesh: the file
+    batch shards over `data`, so each device segments and transcribes
+    its own recordings end-to-end with no cross-device traffic (weights
+    replicated; vmap'd greedy onset scans advance each device's lanes
+    locally). fn(ys (B, n), n_valids (B,)) → per-file (B, K, ...)."""
+    from ..infer.pipeline import build_files_fn
+    pred = transcriber.predictor
+    pred.mlp_variables = jax.device_put(pred.mlp_variables,
+                                        replicated(mesh))
+    if pred.cnn_variables is not None:
+        pred.cnn_variables = jax.device_put(pred.cnn_variables,
+                                            replicated(mesh))
+    mfcc_params, melspec_params = transcriber._feature_params()
+    if "cnn" not in transcriber.model_ckpts:
+        melspec_params = None
+    body = build_files_fn(pred, transcriber.scaler, transcriber.ckpt_sr,
+                          mfcc_params, melspec_params, target_sr,
+                          clip_duration, max_onsets)
+    return jax.jit(body, in_shardings=(data_sharding(mesh, 2),
+                                       data_sharding(mesh, 1)))
 
 
 def sharded_batch_pitch(mesh: Mesh, sr: int):

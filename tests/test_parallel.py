@@ -142,6 +142,47 @@ def test_sharded_transcribe_partitions_batch(nd):
                                rtol=1e-3)
 
 
+@pytest.mark.parametrize("nd", [2, 8])
+def test_sharded_file_transcribe_partitions_and_matches(nd):
+    """The whole-FILE fused program (segmentation included) data-parallel
+    over the mesh: the file batch partitions across devices AND the
+    results agree with the single-device Transcriber per file."""
+    from gat_tpu.infer import Transcriber
+    from gat_tpu.parallel import make_sharded_transcribe_files
+
+    sr = 22050
+    t = Transcriber()
+    b = 8
+    sec = 3
+    ys, riffs = [], []
+    for i in range(b):
+        y = np.zeros(sec * sr, np.float32)
+        for j, f in enumerate([110.0 * (1 + i % 3), 196.0, 246.94]):
+            note = make_pluck(f, sr, 0.45, seed=i * 10 + j)
+            fade = int(0.3 * len(note))
+            note[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+            s = int((0.4 + 0.8 * j) * sr)
+            y[s:s + len(note)] += note
+        ys.append(y)
+    batch = np.stack(ys)
+    nv = np.full((b,), sec * sr, np.int32)
+
+    mesh = make_mesh(nd)
+    run = make_sharded_transcribe_files(t, mesh, sr, 0.5, 16)
+    out = run(shard_batch(batch, mesh), shard_batch(nv, mesh))
+    probs, kept = out[0], out[4]
+    assert len(probs.sharding.device_set) == nd
+    rows = sorted(s.data.shape[0] for s in probs.addressable_shards)
+    assert rows == [b // nd] * nd, rows
+
+    # per-file agreement with the single-device fused path
+    ref = t._fused_files_fn(sr, 0.5, 16, b)(jnp.asarray(batch),
+                                            jnp.asarray(nv))
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(ref[4]))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[0]),
+                               atol=1e-5)
+
+
 def test_cnn_dp_step_runs(rng):
     mesh = make_mesh(8)
     model = CNN(num_classes=4, base_channels=4, num_blocks=2, hidden_dim=16)
