@@ -185,7 +185,12 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
 
     init = (jnp.asarray(-(10 ** 9), jnp.int32),
             jnp.asarray(-999999, jnp.int32))
-    _, keep = jax.lax.scan(step, init, (cand_i, samples, cand_v))
+    # unroll: each TPU while-loop iteration costs ~3 µs of loop overhead
+    # regardless of body size (traced: the 512-step scan was 1.5 ms, 73%
+    # of the whole single-file graph) — 8 greedy steps per iteration
+    # amortize it without changing the sequential semantics
+    _, keep = jax.lax.scan(step, init, (cand_i, samples, cand_v),
+                           unroll=8)
 
     order = jnp.sort(jnp.where(keep, samples, big))[:max_onsets]
     valid = order < big

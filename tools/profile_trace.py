@@ -49,10 +49,56 @@ def parse_trace(trace_dir: str, top: int = 25):
     return tables
 
 
+def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int):
+    """(jit fn, list of distinct device-resident input tuples) for the
+    chosen graph. Inputs MUST be distinct per iteration: repeat
+    executions on the same buffers are elided by a layer of the
+    tunneled-TPU stack and vanish from the trace (CLAUDE.md)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+
+    if graph == "clip":
+        from __graft_entry__ import entry
+        fn, (ex,) = entry(batch=batch)
+        pool = [(jax.device_put(
+            rng.normal(0, 0.1, (batch, ex.shape[1])).astype(np.float32)),)
+            for _ in range(4)]
+        return jax.jit(fn), pool
+
+    from gat_tpu.config import TARGET_SR, CLIP_DURATION
+    from gat_tpu.infer import Transcriber
+    t = Transcriber()
+    n = int(file_s * TARGET_SR)
+    if graph == "file":
+        run = t._fused_file_fn(TARGET_SR, CLIP_DURATION, 128)
+        nv = jax.device_put(jnp.asarray(n))
+        pool = [(jax.device_put(
+            rng.normal(0, 0.05, n).astype(np.float32)), nv)
+            for _ in range(4)]
+        return run, pool
+    if graph == "files":
+        run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, 128, n_files)
+        nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
+        pool = [(jax.device_put(
+            rng.normal(0, 0.05, (n_files, n)).astype(np.float32)), nv)
+            for _ in range(4)]
+        return run, pool
+    raise SystemExit(f"unknown --graph {graph!r}")
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--graph", choices=("clip", "file", "files"),
+                    default="clip",
+                    help="which fused program to trace: the flagship "
+                         "clip batch, the single-file path, or the "
+                         "batched multi-file path")
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--file_s", type=float, default=60.0)
+    ap.add_argument("--n_files", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--trace_dir", default="/tmp/gat_trace")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--parse_only", action="store_true",
@@ -60,22 +106,18 @@ def main():
     args = ap.parse_args()
 
     if not args.parse_only:
-        import numpy as np
         import jax
         jax.config.update("jax_compilation_cache_dir",
                           str(REPO / ".jax_cache"))
-        from __graft_entry__ import entry
-        fn, (ex,) = entry(batch=args.batch)
-        jfn = jax.jit(fn)
-        rng = np.random.default_rng(0)
-        x = jax.device_put(
-            rng.normal(0, 0.1, (args.batch, ex.shape[1]))
-            .astype(np.float32))
-        out = jfn(x)
-        jax.block_until_ready(out)
+        jfn, pool = _trace_inputs(args.graph, args.batch, args.file_s,
+                                  args.n_files)
+        jax.block_until_ready([p[0] for p in pool])
+        for _ in range(2):
+            out = jfn(*pool[0])
+            jax.block_until_ready(out)
         jax.profiler.start_trace(args.trace_dir)
-        for _ in range(args.iters):
-            out = jfn(x)
+        for i in range(args.iters):
+            out = jfn(*pool[i % len(pool)])
         jax.block_until_ready(out)
         jax.profiler.stop_trace()
 
