@@ -551,9 +551,12 @@ def main():
     # median of N runs: throughput through the shared tunnel swings
     # run-to-run (~±8% observed), and the compile is cached after the
     # first run so repeats are cheap.
-    # BENCH_SCAN (default 32) scans K micro-batches per dispatch — the
+    # BENCH_SCAN (default 128) scans K micro-batches per dispatch — the
     # throughput-serving pattern; BENCH_SCAN=1 is one batch per dispatch.
-    scan_k = int(os.environ.get("BENCH_SCAN", "32"))
+    # K sweep on v5e: 1→148k, 8→171k, 32→188-199k, 64→204k, 128→215k
+    # audio-s/s (per-step 0.86→0.60 ms against the 0.574 ms traced
+    # on-chip floor; input pools 4×722 MB at K=128 — well inside HBM).
+    scan_k = int(os.environ.get("BENCH_SCAN", "128"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     iters = ITERS if scan_k == 1 else max(8, ITERS // scan_k)
     runs = sorted((measure(BATCH, iters, return_details=True,
