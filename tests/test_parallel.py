@@ -198,3 +198,50 @@ def test_cnn_dp_step_runs(rng):
                              shard_batch(yb, mesh), jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert "batch_stats" in mut
+
+
+class TestPipelineParallel:
+    """GPipe-style PP over the model axis (parallel/pipeline.py) —
+    beyond SURVEY §2.4's planned scope, exactness-tested."""
+
+    def _setup(self, n_stages, m=6, batch=4, feat=16):
+        from gat_tpu.parallel.pipeline import init_pipeline_params
+        rng = jax.random.PRNGKey(0)
+        w, b = init_pipeline_params(rng, n_stages, feat)
+        xs = jax.random.normal(jax.random.PRNGKey(1), (m, batch, feat))
+        return w, b, xs
+
+    @pytest.mark.parametrize("nd", [2, 4, 8])
+    def test_forward_matches_sequential(self, nd):
+        from gat_tpu.parallel.pipeline import (pipeline_apply,
+                                               sequential_apply)
+        mesh = make_mesh(nd, model_parallel=nd)
+        w, b, xs = self._setup(nd)
+        out = pipeline_apply(w, b, xs, mesh)
+        ref = sequential_apply(w, b, xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_grads_flow_through_pipeline(self):
+        """jax.grad through scan + ppermute + shard_map must equal the
+        sequential composition's gradients — one grad call trains the
+        whole pipeline."""
+        from gat_tpu.parallel.pipeline import (pipeline_apply,
+                                               sequential_apply)
+        nd = 4
+        mesh = make_mesh(nd, model_parallel=nd)
+        w, b, xs = self._setup(nd)
+        tgt = jax.random.normal(jax.random.PRNGKey(2), xs.shape)
+
+        def loss_pp(w, b):
+            return jnp.mean((pipeline_apply(w, b, xs, mesh) - tgt) ** 2)
+
+        def loss_seq(w, b):
+            return jnp.mean((sequential_apply(w, b, xs) - tgt) ** 2)
+
+        lp, gp = jax.value_and_grad(loss_pp, argnums=(0, 1))(w, b)
+        ls, gs = jax.value_and_grad(loss_seq, argnums=(0, 1))(w, b)
+        np.testing.assert_allclose(float(lp), float(ls), rtol=1e-6)
+        for a, r in zip(gp, gs):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                       atol=1e-5)
