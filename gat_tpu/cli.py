@@ -36,8 +36,10 @@ def _pick_file_dialog() -> Path | None:
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Guitar Audio Transcriber — TPU-native")
-    parser.add_argument("--audio", type=str, default=None,
-                        help="Path to input .wav file")
+    parser.add_argument("--audio", type=str, nargs="+", default=None,
+                        help="Path(s) to input .wav file(s); several "
+                             "paths batch through ONE device program "
+                             "(Transcriber.transcribe_files)")
     parser.add_argument("--out", type=str, default=None,
                         help="Directory for output files")
     parser.add_argument("--save_clips", action="store_true",
@@ -75,50 +77,63 @@ def main(argv=None):
         return 0
 
     if args.audio is not None:
-        # an explicit --audio must be valid — error directly instead of
-        # silently falling through to the file dialog
-        audio_path = Path(args.audio)
-        if not audio_path.is_file():
-            raise FileNotFoundError(f"Audio file not found: {audio_path}")
-        if audio_path.suffix.lower() != ".wav":
-            raise ValueError(
-                f"Input file must be a .wav file: {audio_path}")
+        # explicit --audio paths must be valid — error directly instead
+        # of silently falling through to the file dialog
+        audio_paths = [Path(a) for a in args.audio]
+        for p in audio_paths:
+            if not p.is_file():
+                raise FileNotFoundError(f"Audio file not found: {p}")
+            if p.suffix.lower() != ".wav":
+                raise ValueError(f"Input file must be a .wav file: {p}")
     else:
-        audio_path = _pick_file_dialog()
-        if audio_path is None:
+        picked = _pick_file_dialog()
+        if picked is None:
             parser.error("no --audio given and no file dialog available")
+        audio_paths = [picked]
 
     out_dir = Path(args.out) if args.out else INFERENCE_OUTPUT_ROOT
     out_dir.mkdir(parents=True, exist_ok=True)
-    out_file = out_dir / f"{audio_path.stem}_transcription.txt"
 
-    if args.save_clips:
-        result = transcriber.transcribe(audio_path, out_root=out_dir,
-                                        audio_name=audio_path.stem,
-                                        save_clips=True)
-    else:
-        with tempfile.TemporaryDirectory() as tmpdir:
-            result = transcriber.transcribe(audio_path,
-                                            out_root=Path(tmpdir),
-                                            audio_name=audio_path.stem)
+    def _emit(audio_path: Path, result: dict, header: str = "") -> None:
+        labels = result["labels"]
+        confs = result["confidences"]
+        yin_info = result["dsp_info"]
+        print(f"\nTranscription Results{header}:")
+        print("Idx |  Label |  Confidence | (YIN Note Estimate)")
+        for i, (lab, conf, y_info) in enumerate(zip(labels, confs,
+                                                    yin_info)):
+            print(f"{i:03d}  {lab:>4}  (conf={conf:.2f})  "
+                  f"{y_info[1]['note_name']}")
+        if args.save_results:
+            out_file = out_dir / f"{audio_path.stem}_transcription.txt"
+            with out_file.open("w", encoding="utf-8") as f:
+                for i, (lab, conf) in enumerate(zip(labels, confs)):
+                    f.write(f"{i},{lab},{conf:.4f}\n")
+                f.write("\nFull result dict:\n")
+                f.write(pformat(result))
+            print(f"\nSaved transcription to {out_file}")
 
-    labels = result["labels"]
-    confs = result["confidences"]
-    yin_info = result["dsp_info"]
+    if len(audio_paths) > 1 and not args.save_clips:
+        # many files: one batched device program (empty results are
+        # per-file, not fatal)
+        results = transcriber.transcribe_files(audio_paths)
+        for p, result in zip(audio_paths, results):
+            _emit(p, result, header=f" — {p.name}")
+        return 0
 
-    print("\nTranscription Results:")
-    print("Idx |  Label |  Confidence | (YIN Note Estimate)")
-    for i, (lab, conf, y_info) in enumerate(zip(labels, confs, yin_info)):
-        print(f"{i:03d}  {lab:>4}  (conf={conf:.2f})  "
-              f"{y_info[1]['note_name']}")
-
-    if args.save_results:
-        with out_file.open("w", encoding="utf-8") as f:
-            for i, (lab, conf) in enumerate(zip(labels, confs)):
-                f.write(f"{i},{lab},{conf:.4f}\n")
-            f.write("\nFull result dict:\n")
-            f.write(pformat(result))
-        print(f"\nSaved transcription to {out_file}")
+    for audio_path in audio_paths:
+        if args.save_clips:
+            result = transcriber.transcribe(audio_path, out_root=out_dir,
+                                            audio_name=audio_path.stem,
+                                            save_clips=True)
+        else:
+            with tempfile.TemporaryDirectory() as tmpdir:
+                result = transcriber.transcribe(
+                    audio_path, out_root=Path(tmpdir),
+                    audio_name=audio_path.stem)
+        _emit(audio_path, result,
+              header=f" — {audio_path.name}" if len(audio_paths) > 1
+              else "")
     return 0
 
 

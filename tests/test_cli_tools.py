@@ -39,6 +39,22 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert "Full result dict:" in txt
 
 
+def test_cli_multi_file_batch(tmp_path, capsys):
+    """Several --audio paths batch through one device program, with a
+    per-file results table and per-file saved transcriptions."""
+    p1 = _riff_wav(tmp_path / "one.wav")
+    p2 = _riff_wav(tmp_path / "two.wav")
+    rc = cli_main(["--audio", str(p1), str(p2),
+                   "--out", str(tmp_path / "out"), "--save_results"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "one.wav" in out and "two.wav" in out
+    assert out.count("A2") >= 2
+    for stem in ("one", "two"):
+        txt = (tmp_path / "out" / f"{stem}_transcription.txt").read_text()
+        assert txt.startswith("0,A2")
+
+
 def test_cli_rejects_non_wav(tmp_path):
     bad = tmp_path / "x.mp3"
     bad.write_bytes(b"junk")
