@@ -59,3 +59,31 @@ def test_fix_length():
     out = np.asarray(fix_length(x, 14))
     assert out.shape == (2, 14)
     assert out[:, 10:].sum() == 0
+
+
+def test_matches_scipy_resample_poly_across_ratios(rng):
+    """The gather-free formulations (banded-GEMM decimation for up==1,
+    per-phase strided slices otherwise) must match scipy.signal's
+    resample_poly with the same Kaiser filter to ~1e-6, across
+    decimation, interpolation, large rational ratios, and odd lengths."""
+    import math
+    from scipy.signal import resample_poly
+    from gat_tpu.ops.resample import resample_filter
+    for (a, b) in [(22050, 11025), (44100, 11025), (11025, 22050),
+                   (48000, 22050), (8000, 11025)]:
+        g = math.gcd(a, b)
+        up, down = b // g, a // g
+        h = resample_filter(up, down)
+        for n in (127, 4567, 11025):
+            x = rng.normal(size=n).astype(np.float32)
+            ref = resample_poly(x.astype(np.float64), up, down,
+                                window=h.astype(np.float64) / up)
+            got = np.asarray(resample(x, a, b))
+            m = min(len(ref), len(got))
+            assert len(got) == -(-n * b // a)
+            np.testing.assert_allclose(got[:m], ref[:m], atol=1e-4)
+    # batch rows must equal the single-signal path
+    xb = rng.normal(size=(5, 4567)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(resample(xb, 22050, 11025))[2],
+        np.asarray(resample(xb[2], 22050, 11025)), atol=1e-6)
