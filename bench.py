@@ -373,6 +373,26 @@ def measure_train(model_name: str, batch: int, iters: int = 60,
     }
 
 
+def _riff_waveform(bucket: int, n: int, sr: int, seed: int):
+    """Synthetic test recording for the file benches: decaying plucks at
+    random pitches over a low noise floor, `n` valid samples padded to
+    `bucket`. Shared by measure_file and measure_files so both measure
+    the SAME workload."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    y = np.zeros(bucket, np.float32)
+    pos = int(0.3 * sr)
+    while pos + sr // 2 < n:
+        f = rng.uniform(82.0, 660.0)
+        dur = int(0.45 * sr)
+        tt = np.arange(dur) / sr
+        note = (np.sin(2 * np.pi * f * tt)
+                * np.exp(-3.0 * tt)).astype(np.float32)
+        y[pos:pos + dur] += 0.5 * note
+        pos += int(rng.uniform(0.55, 0.75) * sr)
+    return y + rng.normal(0, 1e-3, bucket).astype(np.float32)
+
+
 def measure_file(duration_s: float = 60.0, iters: int = 30,
                  max_onsets: int = 128) -> dict:
     """Sustained FILE-path throughput (audio-s/s): whole recordings
@@ -392,24 +412,11 @@ def measure_file(duration_s: float = 60.0, iters: int = 30,
     n = int(duration_s * TARGET_SR)
     bucket = -(-n // TARGET_SR) * TARGET_SR
 
-    def riff(seed):
-        rng = np.random.default_rng(seed)
-        y = np.zeros(bucket, np.float32)
-        pos = int(0.3 * TARGET_SR)
-        while pos + TARGET_SR // 2 < n:
-            f = rng.uniform(82.0, 660.0)
-            dur = int(0.45 * TARGET_SR)
-            tt = np.arange(dur) / TARGET_SR
-            note = (np.sin(2 * np.pi * f * tt)
-                    * np.exp(-3.0 * tt)).astype(np.float32)
-            y[pos:pos + dur] += 0.5 * note
-            pos += int(rng.uniform(0.55, 0.75) * TARGET_SR)
-        return y + rng.normal(0, 1e-3, bucket).astype(np.float32)
-
-    pool = [jax.device_put(riff(i)) for i in range(4)]
+    pool = [jax.device_put(_riff_waveform(bucket, n, TARGET_SR, i))
+            for i in range(4)]
     nvalid = jax.device_put(jnp.asarray(n))
     jax.block_until_ready(pool)
-    warm = jax.device_put(riff(997))
+    warm = jax.device_put(_riff_waveform(bucket, n, TARGET_SR, 997))
     for _ in range(2):
         out = run(warm, nvalid)
         jax.block_until_ready(out)
@@ -442,26 +449,14 @@ def measure_files(n_files: int = 8, duration_s: float = 60.0,
     from gat_tpu.infer import Transcriber
 
     t = Transcriber()
-    run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets, n_files)
+    run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets)
     n = int(duration_s * TARGET_SR)
     bucket = -(-n // TARGET_SR) * TARGET_SR
 
-    def riff(seed):
-        rng = np.random.default_rng(seed)
-        y = np.zeros(bucket, np.float32)
-        pos = int(0.3 * TARGET_SR)
-        while pos + TARGET_SR // 2 < n:
-            f = rng.uniform(82.0, 660.0)
-            dur = int(0.45 * TARGET_SR)
-            tt = np.arange(dur) / TARGET_SR
-            note = (np.sin(2 * np.pi * f * tt)
-                    * np.exp(-3.0 * tt)).astype(np.float32)
-            y[pos:pos + dur] += 0.5 * note
-            pos += int(rng.uniform(0.55, 0.75) * TARGET_SR)
-        return y + rng.normal(0, 1e-3, bucket).astype(np.float32)
-
     def batch(seed0):
-        return np.stack([riff(seed0 + i) for i in range(n_files)])
+        return np.stack([_riff_waveform(bucket, n, TARGET_SR,
+                                        seed0 + i)
+                         for i in range(n_files)])
 
     pool = [jax.device_put(batch(100 * i)) for i in range(4)]
     nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))

@@ -94,18 +94,30 @@ def main(argv=None):
     out_dir = Path(args.out) if args.out else INFERENCE_OUTPUT_ROOT
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    used_stems: dict[str, int] = {}
+
+    def _out_name(audio_path: Path) -> Path:
+        """Stem-keyed output path, disambiguated when two inputs share
+        a stem (a/take.wav + b/take.wav must not clobber each other)."""
+        n = used_stems.get(audio_path.stem, 0)
+        used_stems[audio_path.stem] = n + 1
+        suffix = "" if n == 0 else f"_{n}"
+        return out_dir / f"{audio_path.stem}{suffix}_transcription.txt"
+
     def _emit(audio_path: Path, result: dict, header: str = "") -> None:
         labels = result["labels"]
         confs = result["confidences"]
         yin_info = result["dsp_info"]
         print(f"\nTranscription Results{header}:")
+        if not labels:
+            print("(no notes: no clips survived slicing)")
         print("Idx |  Label |  Confidence | (YIN Note Estimate)")
         for i, (lab, conf, y_info) in enumerate(zip(labels, confs,
                                                     yin_info)):
             print(f"{i:03d}  {lab:>4}  (conf={conf:.2f})  "
                   f"{y_info[1]['note_name']}")
         if args.save_results:
-            out_file = out_dir / f"{audio_path.stem}_transcription.txt"
+            out_file = _out_name(audio_path)
             with out_file.open("w", encoding="utf-8") as f:
                 for i, (lab, conf) in enumerate(zip(labels, confs)):
                     f.write(f"{i},{lab},{conf:.4f}\n")

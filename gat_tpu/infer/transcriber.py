@@ -157,16 +157,18 @@ class Transcriber:
         return run
 
     def _fused_files_fn(self, target_sr: int, clip_duration: float,
-                        max_onsets: int, n_files: int):
+                        max_onsets: int):
         """One jit program over a BATCH of padded waveforms (B, n):
         per-file segmentation under vmap (the greedy onset scans advance
         all B lanes per step, amortizing the sequential frame walk), then
         ONE flat (B·K, L) clip batch through re-rating, features, both
         forwards, the ensemble, and the YIN baseline — the clip-batch
         sweet-spot regime instead of per-file small batches. Returns
-        per-file (B, K, ...) outputs. Cached like _fused_file_fn."""
+        per-file (B, K, ...) outputs. Cached like _fused_file_fn
+        (one entry per parameter set; jit re-specializes per
+        (B, n) shape on its own)."""
         rm = self.predictor.reverse_map
-        key = ("files", n_files, target_sr, clip_duration, max_onsets,
+        key = ("files", target_sr, clip_duration, max_onsets,
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
                self.predictor.pitch_prior_sigma,
@@ -259,7 +261,7 @@ class Transcriber:
             + [jnp.zeros((n_bucket,), jnp.float32)] * (b - len(ys)))
         nv = jnp.asarray(n_valids + [0] * (b - len(ys)), jnp.int32)
 
-        run = self._fused_files_fn(target_sr, clip_duration, max_onsets, b)
+        run = self._fused_files_fn(target_sr, clip_duration, max_onsets)
         probs, mlp_p, cnn_p, pitch, kept, onsets, times = run(batch, nv)
         return [
             self._build_result(

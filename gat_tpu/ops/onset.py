@@ -127,12 +127,15 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     list instead of two scans over every frame: non-candidate frames never
     change either scan's carry, so restricting the scan to candidate
     frames (in order) is exact. `cand_budget` sizes the compacted list
-    (default max(512, 4·max_onsets), capped at T; pass 0 for a full-length
-    scan). When a pathological envelope has more raw candidates than the
-    budget, the EARLIEST `cand_budget` candidates are kept — the same
-    earliest-first truncation `max_onsets` itself applies. On a 60 s file
-    (T≈2584 frames) the compacted scan cut onset detection from ~10.3 ms
-    to the envelope-bound floor on a v5e chip."""
+    (default max(4·max_onsets, T/4), capped at T; pass 0 for a
+    full-length scan). The default scales with T so overflow needs >25%
+    of ALL frames to be raw candidates — a density the delta threshold
+    makes pathological — and long recordings (the timeshard path) keep
+    a proportional budget instead of a fixed cap; if an envelope still
+    overflows, the EARLIEST `cand_budget` candidates are kept (the same
+    earliest-first truncation `max_onsets` itself applies). On a 60 s
+    file (T≈2584 frames) the compacted scan cut onset detection from
+    ~10.3 ms to the envelope-bound floor on a v5e chip."""
     t = env.shape[-1]
     if valid_frames is None:
         valid_frames = jnp.ones((t,), bool)
@@ -155,7 +158,7 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     if cand_budget == 0:
         c = t
     else:
-        c = min(t, cand_budget or max(512, 4 * max_onsets))
+        c = min(t, cand_budget or max(4 * max_onsets, t // 4))
     if c < t:
         cand_i = jnp.sort(jnp.where(cand, frames, big))[:c]
         cand_v = cand_i < big

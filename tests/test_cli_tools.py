@@ -55,6 +55,21 @@ def test_cli_multi_file_batch(tmp_path, capsys):
         assert txt.startswith("0,A2")
 
 
+def test_cli_duplicate_stems_do_not_clobber(tmp_path, capsys):
+    """a/take.wav + b/take.wav must yield two distinct output files."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    p1 = _riff_wav(tmp_path / "a" / "take.wav")
+    p2 = _riff_wav(tmp_path / "b" / "take.wav")
+    rc = cli_main(["--audio", str(p1), str(p2),
+                   "--out", str(tmp_path / "out"), "--save_results"])
+    assert rc == 0
+    outs = sorted((tmp_path / "out").glob("take*_transcription.txt"))
+    assert [o.name for o in outs] == ["take_1_transcription.txt",
+                                      "take_transcription.txt"]
+    capsys.readouterr()
+
+
 def test_cli_rejects_non_wav(tmp_path):
     bad = tmp_path / "x.mp3"
     bad.write_bytes(b"junk")

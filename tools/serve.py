@@ -62,18 +62,33 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
                                            indent=2))
             status = ",".join(result["labels"])
         else:
+            err = result.get("error", "no clips survived slicing")
             out_path.write_text(json.dumps(
-                {"labels": [], "error": result.get(
-                    "error", "no clips survived slicing")}, indent=2))
-            status = "(no notes)"
+                {"labels": [], "error": err}, indent=2))
+            status = ("(no notes)" if "clips survived" in err
+                      else f"(error: {err.split(':')[0]})")
         if verbose:
             print(f"[serve] {p.name} → {status} "
                   f"({(time.perf_counter() - t0) * 1000:.0f} ms)")
+
+    def _one_file(p: Path) -> dict:
+        try:
+            return t.transcribe(p)
+        except ValueError as e:  # e.g. silence: no clips survived
+            return {"labels": [], "error": str(e)}
+        except Exception as e:
+            return {"labels": [], "error": f"{type(e).__name__}: {e}"}
 
     processed = 0
     while not stop["flag"]:
         pending = sorted(p for p in in_dir.glob("*.wav")
                          if p.name not in done)
+        singles: list[Path] = []
+        if batch > 1 and len(pending) > 1:
+            # similar-length files batch together: every new
+            # (max-length-bucket, batch) pair is a fresh XLA compile and
+            # one 300 s outlier would pad a whole wave of 3 s files
+            pending.sort(key=lambda p: p.stat().st_size)
         # batch >1: whole arrival waves go through the batched fused
         # multi-file program (one device dispatch per `batch` files)
         while batch > 1 and len(pending) > 1:
@@ -82,36 +97,20 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             try:
                 results = t.transcribe_files(wave)
             except Exception:
-                # one bad file fails the whole batched read — fall back
-                # to the per-file path for this wave (per-file errors)
-                pending = wave + pending
-                break
+                # one bad file fails the whole batched read — only THIS
+                # wave falls back to the per-file path; later waves
+                # keep batching
+                singles.extend(wave)
+                continue
             for p, r in zip(wave, results):
                 _write(p, r, t0)
                 done.add(p.name)
                 processed += 1
-        for p in pending:
+        for p in singles + pending:
             t0 = time.perf_counter()
-            out_path = out_dir / f"{p.stem}.json"
-            try:
-                result = t.transcribe(p)
-                out_path.write_text(json.dumps(result_to_json(result),
-                                               indent=2))
-                status = ",".join(result["labels"])
-            except ValueError as e:  # e.g. silence: no clips survived
-                out_path.write_text(json.dumps(
-                    {"labels": [], "error": str(e)}, indent=2))
-                status = "(no notes)"
-            except Exception as e:
-                out_path.write_text(json.dumps(
-                    {"labels": [], "error": f"{type(e).__name__}: {e}"},
-                    indent=2))
-                status = f"(error: {type(e).__name__})"
+            _write(p, _one_file(p), t0)
             done.add(p.name)
             processed += 1
-            if verbose:
-                print(f"[serve] {p.name} → {status} "
-                      f"({(time.perf_counter() - t0) * 1000:.0f} ms)")
         if once:
             break
         time.sleep(poll_s)
