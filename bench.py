@@ -341,7 +341,9 @@ def measure_train(model_name: str, batch: int, iters: int = 60,
         shape = (batch, 64, 22, 1)  # n_mels × T(hop 256, 0.5 s @ 11025)
 
     def make_x(seed):
-        return rng.normal(0, 1, shape).astype(np.float32)
+        # seed-determined so distinctness never depends on call order
+        return np.random.default_rng(seed).normal(
+            0, 1, shape).astype(np.float32)
 
     X0 = make_x(0)
     y0 = rng.integers(0, n_classes, batch).astype(np.int32)

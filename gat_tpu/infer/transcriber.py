@@ -245,9 +245,10 @@ class Transcriber:
         paths = list(paths)
         if not paths:
             return []
+        from ..utils.native_wav import read_wav_batch
+        decoded = read_wav_batch(paths)  # threaded native decode
         ys, n_valids = [], []
-        for p in paths:
-            y_raw, sr_in = read_wav(p)
+        for y_raw, sr_in in decoded:
             n_raw = int(np.asarray(y_raw).shape[-1])
             sec = max(1, -(-n_raw // sr_in))  # whole seconds (ceil)
             y = fix_length(jnp.asarray(y_raw, jnp.float32), sec * sr_in)

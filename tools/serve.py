@@ -88,7 +88,12 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             # similar-length files batch together: every new
             # (max-length-bucket, batch) pair is a fresh XLA compile and
             # one 300 s outlier would pad a whole wave of 3 s files
-            pending.sort(key=lambda p: p.stat().st_size)
+            def _size(p: Path) -> int:
+                try:  # a watch-folder file can vanish between glob+stat
+                    return p.stat().st_size
+                except OSError:
+                    return 0
+            pending.sort(key=_size)
         # batch >1: whole arrival waves go through the batched fused
         # multi-file program (one device dispatch per `batch` files)
         while batch > 1 and len(pending) > 1:
