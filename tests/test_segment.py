@@ -75,6 +75,30 @@ def test_compacted_scan_matches_full_scan(rng):
         np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
 
 
+def test_compacted_scan_matches_full_on_random_envelopes(rng):
+    """Property check at the envelope level: for random spiky envelopes
+    (many raw candidates, clustered peaks, flat stretches) the compacted
+    scan must equal the full scan whenever the candidate count fits the
+    budget — across backtrack on/off and different min_sep."""
+    from gat_tpu.ops.onset import pick_onsets_from_envelope
+    for trial in range(8):
+        t = int(rng.integers(80, 400))
+        env = np.maximum(0, rng.normal(0.1, 0.3, t)).astype(np.float32)
+        env[rng.integers(0, t, t // 8)] += rng.uniform(0.5, 3.0, t // 8)
+        for backtrack in (True, False):
+            for min_sep in (0.1, 0.4):
+                a = pick_onsets_from_envelope(
+                    jnp.asarray(env), SR, 512, min_sep, 32,
+                    backtrack=backtrack, cand_budget=0)
+                b = pick_onsets_from_envelope(
+                    jnp.asarray(env), SR, 512, min_sep, 32,
+                    backtrack=backtrack, cand_budget=t)  # full budget
+                np.testing.assert_array_equal(np.asarray(a[0]),
+                                              np.asarray(b[0]))
+                np.testing.assert_array_equal(np.asarray(a[1]),
+                                              np.asarray(b[1]))
+
+
 def test_compacted_scan_tiny_budget_keeps_earliest():
     """Candidate-budget overflow drops the LATEST candidates (mirrors the
     earliest-first max_onsets truncation): with a budget of 2 raw
