@@ -277,37 +277,33 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
     if stft_backend() == "matmul":
         if center:
             y = _pad_center(y, n_fft // 2, pad_mode)
-        if n_fft % hop_length == 0 and n_fft // hop_length <= 4:
-            # block DFT (N/hop× fewer MACs, no materialized frames) +
-            # exact frequency-domain Hann. Only taken at small overlap
-            # ratios: the K-term combine re-reads the coefficient arrays
-            # K times from HBM, and the graph is memory-bound there —
-            # measured on v5e, K=8 (hop 256) is ~3× slower than the
-            # plain windowed-frame GEMM below, and even two shifted K=4
-            # grids (multi-grid, half the FLOPs end-to-end) lose at
-            # every batch size on combine traffic (docs/PERF.md; the
-            # implementation lives in history at ea32c79).
-            nf = 1 + (y.shape[-1] - n_fft) // hop_length
-            xre, xim = block_spectra(y, n_fft, hop_length, nf)
-            re, im = hann_in_frequency(xre, xim)
-        else:
-            # two einsums over once-materialized frames is the measured
-            # winner for this formulation: a single GEMM against the
-            # concatenated [cos|sin] matrix (frames nominally read once)
-            # is ~6% slower (XLA already keeps the frame tiles resident
-            # across the two GEMMs; doubling the output width tiles
-            # worse), and an un-framed strided lax.conv is ~2× slower
-            # (poor TPU lowering for kernel 2048 / stride 256). Both
-            # measured on v5e in the full fused graph — docs/PERF.md.
-            frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
-            c_m, s_m = _rdft_np(n_fft)
-            win = _hann_np(n_fft)[:, None]
-            cw = jnp.asarray(c_m * win, _MATMUL_DTYPE)
-            sw = jnp.asarray(s_m * win, _MATMUL_DTYPE)
-            re = jnp.einsum("...tn,nf->...tf", frames, cw,
-                            preferred_element_type=jnp.float32)
-            im = jnp.einsum("...tn,nf->...tf", frames, sw,
-                            preferred_element_type=jnp.float32)
+        # Two einsums over once-materialized frames — the measured
+        # winner for an UNSHARED spectrogram at EVERY overlap ratio:
+        #   * block DFT + twiddle combine (K = n_fft/hop fewer MACs, no
+        #     materialized frames) loses: the K-term combine re-reads
+        #     the coefficient arrays K times from HBM and the graph is
+        #     memory-bound there (K=8 ~3× slower; the K=4 route shipped
+        #     here through most of round 2 until the batched-file bench
+        #     showed frames +19% — block DFT only pays when ONE set of
+        #     coefficients feeds MULTIPLE consumers, i.e. the fused
+        #     MFCC+YIN front-end in features.py, which calls
+        #     block_coeffs directly, not this function);
+        #   * a single GEMM against the concatenated [cos|sin] matrix
+        #     (frames nominally read once) is ~6% slower — XLA keeps
+        #     the frame tiles resident across the two GEMMs anyway, and
+        #     doubling the output width tiles worse;
+        #   * an un-framed strided lax.conv is ~2× slower (poor TPU
+        #     lowering for kernel 2048 / stride 256).
+        # All measured on v5e in the full fused graphs — docs/PERF.md.
+        frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
+        c_m, s_m = _rdft_np(n_fft)
+        win = _hann_np(n_fft)[:, None]
+        cw = jnp.asarray(c_m * win, _MATMUL_DTYPE)
+        sw = jnp.asarray(s_m * win, _MATMUL_DTYPE)
+        re = jnp.einsum("...tn,nf->...tf", frames, cw,
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("...tn,nf->...tf", frames, sw,
+                        preferred_element_type=jnp.float32)
         p = re * re + im * im
         if power == 2.0:
             return p
