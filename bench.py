@@ -98,7 +98,8 @@ def _compiled_flops(compiled) -> float | None:
 
 
 def measure(batch: int, iters: int, warmup: int = 2,
-            return_details: bool = False, scan_chunks: int | None = None):
+            return_details: bool = False, scan_chunks: int | None = None,
+            repeats: int = 1):
     """audio-seconds/sec of the fused graph at the given batch size.
 
     Iterations are dispatched back-to-back with one synchronization at the
@@ -141,11 +142,17 @@ def measure(batch: int, iters: int, warmup: int = 2,
     for _ in range(warmup):
         out = compiled(warm)
         jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = compiled(pool[i % len(pool)])
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # repeats run INSIDE one call so the input pools (4×722 MB at the
+    # default K=128 — minutes of tunnel upload) and the compiled
+    # executable are built once; the median timing loop is reported
+    times = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = compiled(pool[i % len(pool)])
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     audio_seconds = batch * (clip_len / float(sr)) * iters * k
     value = audio_seconds / dt
     if not return_details:
@@ -556,10 +563,8 @@ def main():
     scan_k = int(os.environ.get("BENCH_SCAN", "128"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     iters = ITERS if scan_k == 1 else max(8, ITERS // scan_k)
-    runs = sorted((measure(BATCH, iters, return_details=True,
-                           scan_chunks=scan_k)
-                   for _ in range(repeats)), key=lambda r: r[0])
-    value, details = runs[len(runs) // 2]
+    value, details = measure(BATCH, iters, return_details=True,
+                             scan_chunks=scan_k, repeats=repeats)
     print(json.dumps({
         "metric": "audio_seconds_transcribed_per_sec_per_chip",
         "value": round(value, 2),
