@@ -445,12 +445,15 @@ def measure_file(duration_s: float = 60.0, iters: int = 30,
 
 
 def measure_files(n_files: int = 8, duration_s: float = 60.0,
-                  iters: int = 30, max_onsets: int = 128) -> dict:
+                  iters: int = 30, max_onsets: int = 128,
+                  scan_chunks: int = 1) -> dict:
     """Sustained MULTI-file throughput (audio-s/s): B whole recordings
     per dispatch through the batched fused file program
     (`Transcriber.transcribe_files` compute path) — per-file segmentation
     under vmap (the greedy onset scans advance all B lanes per step),
-    then one flat (B·K) clip batch through the ensemble."""
+    then one flat (B·K) clip batch through the ensemble.
+    scan_chunks=K scans K file-batches per dispatch (the serving path's
+    bucket super-batches)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -458,32 +461,39 @@ def measure_files(n_files: int = 8, duration_s: float = 60.0,
     from gat_tpu.infer import Transcriber
 
     t = Transcriber()
-    run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets)
+    run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets)
     n = int(duration_s * TARGET_SR)
     bucket = -(-n // TARGET_SR) * TARGET_SR
+    k = max(1, scan_chunks)
 
     def batch(seed0):
-        return np.stack([_riff_waveform(bucket, n, TARGET_SR,
-                                        seed0 + i)
-                         for i in range(n_files)])
+        b = np.stack([_riff_waveform(bucket, n, TARGET_SR, seed0 + i)
+                      for i in range(n_files * k)])
+        return b.reshape(k, n_files, bucket) if k > 1 else b
 
-    pool = [jax.device_put(batch(100 * i)) for i in range(4)]
-    nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
+    if k > 1:
+        fn = run_scan
+        nv = jax.device_put(jnp.full((k, n_files), n, jnp.int32))
+    else:
+        fn = run
+        nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
+    pool = [jax.device_put(batch(1000 * i)) for i in range(4)]
     jax.block_until_ready(pool)
-    warm = jax.device_put(batch(9900))
+    warm = jax.device_put(batch(99000))
     for _ in range(2):
-        out = run(warm, nv)
+        out = fn(warm, nv)
         jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = run(pool[i % len(pool)], nv)
+        out = fn(pool[i % len(pool)], nv)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     kept = int(np.asarray(out[4]).sum())
     return {
-        "audio_s_per_s": round(duration_s * n_files * iters / dt, 1),
+        "audio_s_per_s": round(duration_s * n_files * k * iters / dt, 1),
         "dispatch_ms": round(dt / iters * 1000, 2),
         "n_files": n_files,
+        "scan_chunks": k,
         "file_s": duration_s,
         "clips_kept_last": kept,
         "max_onsets": max_onsets,
@@ -495,7 +505,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     if os.environ.get("BENCH_MODE") == "files":
-        out = measure_files(n_files=int(os.environ.get("BENCH_FILES", "8")))
+        out = measure_files(
+            n_files=int(os.environ.get("BENCH_FILES", "8")),
+            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "1")))
         print(json.dumps({
             "metric": "batched_file_throughput",
             "value": out["audio_s_per_s"],

@@ -177,7 +177,7 @@ _STRESSORS = {
         rate_hz=rng.uniform(4, 8), seed=rng.integers(1 << 31)),
 }
 
-_FAMILIES = ("ks", "additive", "fm")
+_FAMILIES = ("ks", "additive", "fm", "all3")
 
 
 def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
@@ -187,7 +187,9 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                             noise_snr_db: tuple[float, float] | None = None,
                             family: str = "mixed",
                             stressor: str | None = None,
-                            stressor_prob: float = 1.0) -> Path:
+                            stressor_prob: float = 1.0,
+                            channel: str | None = None,
+                            channel_prob: float = 1.0) -> Path:
     """Write `<out_root>/<label>/<label>_<i>.wav` for each SPN class.
 
     Per-variant augmentation: synth engine, damping/brightness/decay
@@ -198,15 +200,23 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
     half of the variants at an SNR drawn uniformly from [lo, hi] dB —
     noise-robustness augmentation for the classifiers.
 
-    family: 'mixed' (default; half KS, half additive — the shipped
-    training recipe), or a single engine — 'ks', 'additive', or 'fm'
-    (the unseen-timbre eval family) — for generator-disjoint train/eval
-    splits (VERDICT r1 §next-2).
+    family: 'mixed' (half KS, half additive — the round-1/2 training
+    recipe), a single engine — 'ks', 'additive', or 'fm' — for
+    generator-disjoint train/eval splits (VERDICT r1 §next-2), or
+    'all3' (one third each of KS, FM, additive — the round-3 shipped
+    training recipe; the held-out eval family is now the code-disjoint
+    modal renderer in data/modal.py, VERDICT r2 §next-1).
 
     stressor: None, a key of {vibrato, bend, detune, tremolo}, or 'mix'
     (random stressor per variant) — playing-style perturbations for
     off-distribution evaluation, or (with stressor_prob < 1) training
-    augmentation that keeps a clean fraction of the variants."""
+    augmentation that keeps a clean fraction of the variants.
+
+    channel: None, a key of data/channel.py's CHANNELS (room_ir,
+    pickup_eq, bg_noise), 'mix', or 'full_chain' — acquisition-chain
+    stressors applied after the playing-style stressor. rng draws are
+    consumed only when set, so seeded no-channel sets reproduce exactly
+    across versions."""
     out_root = Path(out_root)
     class_names = class_names or DEFAULT_CLASS_NAMES
     if family not in _FAMILIES + ("mixed",):
@@ -219,8 +229,13 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
     if not 0.0 <= stressor_prob <= 1.0:
         raise ValueError(f"stressor_prob must be in [0, 1], "
                          f"got {stressor_prob}")
+    if not 0.0 <= channel_prob <= 1.0:
+        raise ValueError(f"channel_prob must be in [0, 1], "
+                         f"got {channel_prob}")
     if stressor_prob == 0.0:
         stressor = None  # identical output AND rng stream to no-stressor
+    if channel_prob == 0.0:
+        channel = None
     rng = np.random.default_rng(seed)
     pending = []  # (path, sig, sr) per class, batch-encoded
     for ci, name in enumerate(class_names):
@@ -228,7 +243,11 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
         folder = out_root / name
         folder.mkdir(parents=True, exist_ok=True)
         n_ks = (variants_per_class // 2 if family == "mixed"
+                else variants_per_class // 3 if family == "all3"
                 else variants_per_class if family == "ks" else 0)
+        # all3: the third after the KS block renders FM, the rest additive
+        n_fm_end = (2 * variants_per_class // 3 if family == "all3"
+                    else variants_per_class if family == "fm" else 0)
         detune = 2.0 ** (rng.uniform(-10, 10, variants_per_class) / 1200.0)
         # draw KS params unconditionally (keeps the rng stream identical
         # across families), but only pay the delay-line loop when used
@@ -241,7 +260,7 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
         for i in range(variants_per_class):
             if i < n_ks:
                 sig = ks[i]
-            elif family == "fm":
+            elif i < n_fm_end:
                 sig = fm_pluck(f0 * detune[i], sr, duration, n_variants=1,
                                mod_ratio=float(rng.uniform(2.0, 4.0)),
                                mod_index=float(rng.uniform(1.0, 3.0)),
@@ -259,6 +278,10 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                 which = (stressor if stressor != "mix" else
                          list(_STRESSORS)[int(rng.integers(len(_STRESSORS)))])
                 sig = _STRESSORS[which](sig, sr, rng)
+            if channel is not None and (channel_prob >= 1.0
+                                        or rng.random() < channel_prob):
+                from .channel import apply_channel
+                sig = apply_channel(sig, sr, channel, rng)
             amp = rng.uniform(0.1, 0.9)
             sig = sig * amp + rng.normal(0, 1e-4, len(sig))
             if noise_snr_db is not None and rng.random() < 0.5:

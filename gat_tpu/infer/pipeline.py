@@ -107,8 +107,8 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
                                 n_valid_samples=n_valid)
 
     def run(ys, n_valids):
-        clips, kept, onsets, ovalid, times = jax.vmap(_segment)(ys,
-                                                                n_valids)
+        clips, kept, onsets, ovalid, times, overflow = jax.vmap(_segment)(
+            ys, n_valids)
         b, k, length = clips.shape
         flat = clips.reshape(b * k, length)
         flat = fix_length(resample(flat, target_sr, ckpt_sr),
@@ -120,6 +120,6 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
             return (a.reshape((b, k) + a.shape[1:])
                     if a is not None else None)
         return (perfile(probs), perfile(mlp_p), perfile(cnn_p),
-                perfile(pitch), kept, onsets, times)
+                perfile(pitch), kept, onsets, times, overflow)
 
     return run

@@ -142,7 +142,7 @@ class Transcriber:
 
         @jax.jit
         def run(y, n_valid):
-            clips, kept, onsets, ovalid, times = segment_waveform(
+            clips, kept, onsets, ovalid, times, overflow = segment_waveform(
                 y, sr=target_sr, length_sec=clip_duration,
                 max_onsets=max_onsets, n_valid_samples=n_valid)
             clips_ckpt = fix_length(
@@ -150,7 +150,7 @@ class Transcriber:
                 int(self.ckpt_sr * clip_duration))
             probs, mlp_p, cnn_p = ensemble(clips_ckpt)  # masked → zeros
             pitch = yin_pitch(clips_ckpt, self.ckpt_sr)
-            return probs, mlp_p, cnn_p, pitch, kept, onsets, times
+            return probs, mlp_p, cnn_p, pitch, kept, onsets, times, overflow
 
         self._fused_cache[key] = (run, self.predictor.mlp_variables,
                                   self.predictor.cnn_variables)
@@ -182,19 +182,34 @@ class Transcriber:
         if "cnn" not in self.model_ckpts:
             melspec_params = None
         from .pipeline import build_files_fn
-        run = jax.jit(build_files_fn(
+        body = build_files_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, target_sr, clip_duration, max_onsets))
+            melspec_params, target_sr, clip_duration, max_onsets)
+        run = jax.jit(body)
+        # scanned variant: K file-batches per dispatch, serialized
+        # on-device via ONE lax.scan over (K, B, n) — the micro-batch
+        # dispatch amortization that won the clip path (docs/PERF.md
+        # "Scanned micro-batches"), applied to the serving path
+        # (VERDICT r2 §next-2)
 
-        self._fused_cache[key] = (run, self.predictor.mlp_variables,
+        @jax.jit
+        def run_scan(yss, nvs):
+            return jax.lax.scan(
+                lambda _, xs: (None, body(*xs)), None, (yss, nvs))[1]
+
+        self._fused_cache[key] = ((run, run_scan),
+                                  self.predictor.mlp_variables,
                                   self.predictor.cnn_variables)
-        return run
+        return run, run_scan
 
     def _build_result(self, probs, mlp_p, cnn_p, pitch, kept, onsets,
-                      times, target_sr: int, empty_ok: bool = False) -> dict:
+                      times, target_sr: int, empty_ok: bool = False,
+                      overflow=False) -> dict:
         """Assemble the per-file result dict from fused-graph outputs
         (budget-slot arrays + kept mask), mirroring transcribe_clips'
-        schema."""
+        schema. `onset_overflow` surfaces budget truncation (earliest
+        onsets kept) so pathological audio can't drop notes silently."""
+        overflow = bool(np.asarray(overflow))
         kept_np = np.asarray(kept)
         if not kept_np.any():
             if not empty_ok:
@@ -204,7 +219,8 @@ class Transcriber:
                     "probs": np.zeros((0,) + np.asarray(probs).shape[1:],
                                       np.float32),
                     "per_model_probs": {"mlp": None, "cnn": None},
-                    "dsp_info": [], "onsets_s": [], "times": []}
+                    "dsp_info": [], "onsets_s": [], "times": [],
+                    "onset_overflow": overflow}
         probs = np.asarray(probs)[kept_np]
         idx = probs.argmax(axis=1)
         rm = self.predictor.reverse_map
@@ -228,49 +244,90 @@ class Transcriber:
         result["onsets_s"] = (np.asarray(onsets)[kept_np]
                               / float(target_sr)).tolist()
         result["times"] = np.asarray(times)[kept_np].tolist()
+        result["onset_overflow"] = overflow
         return result
 
     def transcribe_files(self, paths, target_sr: int = TARGET_SR,
                          clip_duration: float = CLIP_DURATION,
-                         max_onsets: int = 64) -> list[dict]:
-        """Batch transcription of MANY files as one device program
-        (the serving path; `tools/serve.py --batch`). Every file is
-        bucketed to whole seconds at its native rate (exact: the
-        polyphase filter zero-extends edges either way), resampled to
-        `target_sr`, padded to the longest file, and stacked; B is
-        bucketed to the next power of two (dummy rows carry
-        n_valid=0 → no onsets). Files with no surviving clips yield a
-        result with empty labels instead of raising (batch semantics).
-        Returns one result dict per input path, in order."""
+                         max_onsets: int = 64,
+                         max_batch: int = 8) -> list[dict]:
+        """Batch transcription of MANY files (the serving path;
+        `tools/serve.py --batch`). Files group into power-of-two DURATION
+        buckets (1, 2, 4, … s — one 10-minute file no longer pads a wave
+        of 5 s files, and the (B, n) compile space is log-bounded), are
+        resampled to `target_sr` (exact: the polyphase filter
+        zero-extends edges either way), and dispatch per bucket in waves
+        of up to `max_batch` files (B = next power of two; dummy rows
+        carry n_valid=0 → no onsets). When a bucket holds several FULL
+        waves, they run as ONE device dispatch via a lax.scan over the
+        (K, B, n) super-batch — the micro-batch amortization from the
+        clip path. Files with no surviving clips yield a result with
+        empty labels instead of raising (batch semantics). Returns one
+        result dict per input path, in order."""
         paths = list(paths)
         if not paths:
             return []
         from ..utils.native_wav import read_wav_batch
         decoded = read_wav_batch(paths)  # threaded native decode
-        ys, n_valids = [], []
-        for y_raw, sr_in in decoded:
+        buckets: dict[int, list[tuple[int, jnp.ndarray, int]]] = {}
+        for idx, (y_raw, sr_in) in enumerate(decoded):
             n_raw = int(np.asarray(y_raw).shape[-1])
             sec = max(1, -(-n_raw // sr_in))  # whole seconds (ceil)
+            bsec = 1 << (sec - 1).bit_length()  # duration bucket (pow2 s)
             y = fix_length(jnp.asarray(y_raw, jnp.float32), sec * sr_in)
             y = resample(y, sr_in, target_sr)  # length = sec · target_sr
-            ys.append(y)
-            n_valids.append(-(-n_raw * target_sr // sr_in))
-        n_bucket = max(int(y.shape[-1]) for y in ys)
-        b = 1 << (len(ys) - 1).bit_length()  # next power of two
-        batch = jnp.stack(
-            [fix_length(y, n_bucket) for y in ys]
-            + [jnp.zeros((n_bucket,), jnp.float32)] * (b - len(ys)))
-        nv = jnp.asarray(n_valids + [0] * (b - len(ys)), jnp.int32)
+            y = fix_length(y, bsec * target_sr)
+            nv = -(-n_raw * target_sr // sr_in)
+            buckets.setdefault(bsec, []).append((idx, y, nv))
 
-        run = self._fused_files_fn(target_sr, clip_duration, max_onsets)
-        probs, mlp_p, cnn_p, pitch, kept, onsets, times = run(batch, nv)
-        return [
-            self._build_result(
-                probs[i], mlp_p[i], cnn_p[i] if cnn_p is not None else None,
+        run, run_scan = self._fused_files_fn(target_sr, clip_duration,
+                                             max_onsets)
+        results: list[dict | None] = [None] * len(paths)
+
+        def _emit(ids, outs, i):
+            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = outs
+            results[ids[i]] = self._build_result(
+                probs[i], mlp_p[i],
+                cnn_p[i] if cnn_p is not None else None,
                 pitch[i], kept[i], onsets[i], times[i], target_sr,
-                empty_ok=True)
-            for i in range(len(paths))
-        ]
+                empty_ok=True, overflow=ovf[i])
+
+        for bsec in sorted(buckets):
+            group = buckets[bsec]
+            n_bucket = bsec * target_sr
+            # full waves of max_batch scan together; the remainder (or a
+            # small group) dispatches on its own padded power-of-two B
+            k_full = len(group) // max_batch
+            if k_full >= 2:
+                stack = jnp.stack(
+                    [y for _, y, _ in group[:k_full * max_batch]]
+                ).reshape(k_full, max_batch, n_bucket)
+                nvs = jnp.asarray(
+                    [nv for _, _, nv in group[:k_full * max_batch]],
+                    jnp.int32).reshape(k_full, max_batch)
+                outs = run_scan(stack, nvs)
+                for kk in range(k_full):
+                    wave_ids = [i for i, _, _ in
+                                group[kk * max_batch:(kk + 1) * max_batch]]
+                    wave_outs = tuple(
+                        o[kk] if o is not None else None for o in outs)
+                    for i in range(len(wave_ids)):
+                        _emit(wave_ids, wave_outs, i)
+                group = group[k_full * max_batch:]
+            for w0 in range(0, len(group), max_batch):
+                wave = group[w0:w0 + max_batch]
+                b = 1 << (len(wave) - 1).bit_length()
+                batch = jnp.stack(
+                    [y for _, y, _ in wave]
+                    + [jnp.zeros((n_bucket,), jnp.float32)]
+                    * (b - len(wave)))
+                nv = jnp.asarray([nv for _, _, nv in wave]
+                                 + [0] * (b - len(wave)), jnp.int32)
+                outs = run(batch, nv)
+                wave_ids = [i for i, _, _ in wave]
+                for i in range(len(wave_ids)):
+                    _emit(wave_ids, outs, i)
+        return results
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
         """Batched core: clips already at checkpoint SR, (N, L) →
@@ -321,12 +378,13 @@ class Transcriber:
             bucket = max(1, -(-n // target_sr)) * target_sr
             y_pad = fix_length(y22, bucket)
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets)
-            probs, mlp_p, cnn_p, pitch, kept, onsets, times = run(
+            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = run(
                 y_pad, jnp.asarray(n))
             return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
-                                      onsets, times, target_sr)
+                                      onsets, times, target_sr,
+                                      overflow=ovf)
 
-        clips, kept, onsets, ovalid, times = segment_waveform(
+        clips, kept, onsets, ovalid, times, overflow = segment_waveform(
             y22, sr=target_sr, length_sec=clip_duration,
             max_onsets=max_onsets)
         kept_np = np.asarray(kept)
@@ -353,6 +411,7 @@ class Transcriber:
         result["onsets_s"] = (np.asarray(onsets)[kept_np]
                               / float(target_sr)).tolist()
         result["times"] = np.asarray(times)[kept_np].tolist()
+        result["onset_overflow"] = bool(np.asarray(overflow))
         return result
 
     def transcribe_note(self, audio, clip_duration: float = CLIP_DURATION,

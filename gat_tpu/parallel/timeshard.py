@@ -106,7 +106,8 @@ def detect_onsets_timesharded(y: jax.Array, mesh: Mesh, sr: int = 22050,
     sequence-parallel; the tiny sequential half (normalization, peak
     pick, backtrack, min-separation) is the same shared helper the
     single-device path uses (ref detect_onsets semantics,
-    slicing.py:106-122)."""
+    slicing.py:106-122). Returns (onsets, valid, overflow) like
+    detect_onsets."""
     env = onset_envelope_timesharded(y, mesh, sr, hop_length)
     return pick_onsets_from_envelope(env, sr, hop_length, min_sep,
                                      max_onsets)

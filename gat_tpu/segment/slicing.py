@@ -120,20 +120,22 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
     """Whole-file segmentation: gate → detect onsets → slice. All device
     ops; mirrors AudioSlicer.sliceNsave's compute (ref slicing.py:147-165)
     without the disk round-trip. Returns (clips, kept, onsets, onsets_valid,
-    times)."""
+    times, overflow) — `overflow` () bool is True iff the onset budgets
+    truncated detections (earliest kept), so callers can surface it."""
     # gating hop follows the slicer config; onset detection keeps the
     # reference's own default hop of 512 (ref slicing.py:106,150-151)
     y_gated = gating.gate_waveform(y, min_db, hop_length=hop_length,
                                    n_valid_samples=n_valid_samples)
-    onsets, ovalid = detect_onsets(y_gated, sr=sr, hop_length=512,
-                                   min_sep=min_sep, max_onsets=max_onsets,
-                                   n_valid_samples=n_valid_samples)
+    onsets, ovalid, overflow = detect_onsets(
+        y_gated, sr=sr, hop_length=512,
+        min_sep=min_sep, max_onsets=max_onsets,
+        n_valid_samples=n_valid_samples)
     clips, kept, times = slice_at_onsets(
         y, onsets, ovalid, sr=sr, length_sec=length_sec,
         attack_skip_sec=attack_skip_sec, min_slice_rms_db=min_slice_rms_db,
         strict_reference_compat=strict_reference_compat,
         n_valid_samples=n_valid_samples, onset_hop=512)
-    return clips, kept, onsets, ovalid, times
+    return clips, kept, onsets, ovalid, times, overflow
 
 
 class AudioSlicer:
@@ -159,9 +161,9 @@ class AudioSlicer:
     @staticmethod
     def detect_onsets(y, sr: int = 11025, hop_len: int = 512,
                       min_sep: float = 0.25, max_onsets: int = 64):
-        onsets, valid = detect_onsets(jnp.asarray(y), sr=sr,
-                                      hop_length=hop_len, min_sep=min_sep,
-                                      max_onsets=max_onsets)
+        onsets, valid, _ = detect_onsets(jnp.asarray(y), sr=sr,
+                                         hop_length=hop_len, min_sep=min_sep,
+                                         max_onsets=max_onsets)
         return [int(s) for s, v in zip(np.asarray(onsets), np.asarray(valid))
                 if v]
 
@@ -193,7 +195,7 @@ class AudioSlicer:
         detected onset sample indices (ref sliceNsave, slicing.py:147-165,
         including its clip filename pattern)."""
         y, sr = self.load_wav(audio_path, target_sr)
-        clips, kept, onsets, ovalid, times = segment_waveform(
+        clips, kept, onsets, ovalid, times, _overflow = segment_waveform(
             jnp.asarray(y), sr=sr, hop_length=hop_len, length_sec=length_sec,
             min_sep=min_sep, min_db=min_db_threshold,
             min_slice_rms_db=min_slice_rms_db,

@@ -90,8 +90,9 @@ class LiveTranscriber:
     def detect_onsets(self, y: np.ndarray) -> list[int]:
         from ..ops.onset import detect_onsets
         import jax.numpy as jnp
-        onsets, valid = detect_onsets(jnp.asarray(y), sr=self.sample_rate,
-                                      hop_length=1024, min_sep=0.3)
+        onsets, valid, _ = detect_onsets(jnp.asarray(y),
+                                         sr=self.sample_rate,
+                                         hop_length=1024, min_sep=0.3)
         return [int(s) for s, v in zip(np.asarray(onsets),
                                        np.asarray(valid)) if v]
 

@@ -76,8 +76,8 @@ class ScanStreamer:
             ring, state = carry  # state = [last emitted onset, ring base]
             ring = jnp.concatenate([ring[chunk:], chunk_x])
             base = state[1]  # global index of ring[0]
-            onsets, valid = detect_onsets(ring, sr=sr, min_sep=0.0,
-                                          max_onsets=k_slots)
+            onsets, valid, _ovf = detect_onsets(ring, sr=sr, min_sep=0.0,
+                                                max_onsets=k_slots)
             # candidate clips for every budget slot (dynamic_slice clamps
             # out-of-range starts; such slots are masked out below anyway)
             clips = jax.vmap(

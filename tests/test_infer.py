@@ -189,3 +189,57 @@ def test_cnn_bf16_inference_label_parity():
         a = t32.transcribe_note(clip, sr_in=SR)["labels"]
         b = t16.transcribe_note(clip, sr_in=SR)["labels"]
         assert a == b == [note]
+
+
+def test_results_carry_onset_overflow_flag(tmp_path, transcriber):
+    """Every result dict exposes onset_overflow; a roomy budget reads
+    False, a starved one (max_onsets=2 on a 5-note riff) True — through
+    the two-stage path AND the batched files path."""
+    y = _riff()
+    p = tmp_path / "ovf.wav"
+    write_wav(p, y, SR)
+    r = transcriber.transcribe(p)
+    assert r["onset_overflow"] is False
+    r2 = transcriber.transcribe(p, max_onsets=2)
+    assert r2["onset_overflow"] is True
+    rb = transcriber.transcribe_files([p], max_onsets=2)[0]
+    assert rb["onset_overflow"] is True
+    assert rb["labels"] == r2["labels"]
+
+
+def test_transcribe_files_buckets_mixed_durations(tmp_path, transcriber):
+    """Duration bucketing: a long file must not pad the short files'
+    wave — results still match the single-file path per file and return
+    in input order (short, long, short interleaved)."""
+    short_a = _riff(NOTES[:3])                    # ~2.6 s → bucket 4
+    long_y = _riff(NOTES, dur=9.5)                # 9.5 s → bucket 16
+    short_b = _riff(NOTES[:2])                    # ~1.9 s → bucket 2
+    paths = []
+    for i, y in enumerate([short_a, long_y, short_b]):
+        p = tmp_path / f"mix{i}.wav"
+        write_wav(p, y, SR)
+        paths.append(p)
+    batch = transcriber.transcribe_files(paths)
+    assert len(batch) == 3
+    for p, rb in zip(paths, batch):
+        r1 = transcriber.transcribe(p)
+        assert rb["labels"] == r1["labels"]
+        assert rb["onsets_s"] == r1["onsets_s"]
+
+
+def test_transcribe_files_scanned_waves_match(tmp_path, transcriber):
+    """When one bucket holds several full waves, the scanned (K, B, n)
+    dispatch must produce per-file results identical to per-wave
+    dispatch (max_batch=2 over 6 same-length files → K=3 scan)."""
+    paths = []
+    for i in range(6):
+        y = _riff(NOTES[:3])
+        p = tmp_path / f"scan{i}.wav"
+        write_wav(p, y, SR)
+        paths.append(p)
+    batch = transcriber.transcribe_files(paths, max_batch=2)
+    single = transcriber.transcribe(paths[0])
+    for rb in batch:
+        assert rb["labels"] == single["labels"]
+        np.testing.assert_allclose(rb["confidences"],
+                                   single["confidences"], atol=1e-5)

@@ -176,8 +176,8 @@ def test_sharded_file_transcribe_partitions_and_matches(nd):
     assert rows == [b // nd] * nd, rows
 
     # per-file agreement with the single-device fused path
-    ref = t._fused_files_fn(sr, 0.5, 16)(jnp.asarray(batch),
-                                            jnp.asarray(nv))
+    ref = t._fused_files_fn(sr, 0.5, 16)[0](jnp.asarray(batch),
+                                               jnp.asarray(nv))
     np.testing.assert_array_equal(np.asarray(kept), np.asarray(ref[4]))
     np.testing.assert_allclose(np.asarray(probs), np.asarray(ref[0]),
                                atol=1e-5)

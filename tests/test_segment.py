@@ -67,10 +67,10 @@ def test_compacted_scan_matches_full_scan(rng):
     dense = dense + rng.normal(0, 0.01, len(dense)).astype(np.float32)
     songs.append(dense)
     for y in songs:
-        o_c, v_c = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
-                                 max_onsets=64)
-        o_f, v_f = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
-                                 max_onsets=64, cand_budget=0)
+        o_c, v_c, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
+                                    max_onsets=64)
+        o_f, v_f, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
+                                    max_onsets=64, cand_budget=0)
         np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_f))
         np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
 
@@ -104,8 +104,8 @@ def test_compacted_scan_tiny_budget_keeps_earliest():
     earliest-first max_onsets truncation): with a budget of 2 raw
     candidates, the detected onsets are a prefix of the full result."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    o_f, v_f = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=0)
-    o_t, v_t = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
+    o_f, v_f, ovf_f = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=0)
+    o_t, v_t, ovf_t = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
     full = np.asarray(o_f)[np.asarray(v_f)]
     tiny = np.asarray(o_t)[np.asarray(v_t)]
     assert len(tiny) <= 2
@@ -115,7 +115,7 @@ def test_compacted_scan_tiny_budget_keeps_earliest():
 def test_detect_onsets_finds_notes():
     onset_times = [0.5, 1.2, 1.9]
     y = _song(onset_times, [110.0, 220.0, 330.0])
-    onsets, valid = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
+    onsets, valid, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
     got = np.asarray(onsets)[np.asarray(valid)] / SR
     assert len(got) == 3, f"got onsets at {got}"
     for t_exp, t_got in zip(onset_times, got):
@@ -126,7 +126,7 @@ def test_detect_onsets_finds_notes():
 def test_detect_onsets_min_separation():
     # two notes 0.15 s apart with min_sep=0.3 → only the first survives
     y = _song([0.5, 0.65, 1.5], [110.0, 165.0, 220.0])
-    onsets, valid = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
+    onsets, valid, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
     got = np.asarray(onsets)[np.asarray(valid)] / SR
     diffs = np.diff(got)
     assert np.all(diffs >= 0.3)
@@ -135,9 +135,9 @@ def test_detect_onsets_min_separation():
 def test_padded_detection_matches_exact():
     """Fixed-budget padding with n_valid_samples must not change onsets."""
     y = _song([0.5, 1.2, 1.9], [110.0, 220.0, 330.0])
-    o1, v1 = detect_onsets(jnp.asarray(y), sr=SR)
+    o1, v1, _ = detect_onsets(jnp.asarray(y), sr=SR)
     ypad = np.concatenate([y, np.zeros(SR, np.float32)])
-    o2, v2 = detect_onsets(jnp.asarray(ypad), sr=SR,
+    o2, v2, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
                            n_valid_samples=jnp.asarray(len(y)))
     got1 = np.asarray(o1)[np.asarray(v1)]
     got2 = np.asarray(o2)[np.asarray(v2)]
@@ -147,7 +147,7 @@ def test_padded_detection_matches_exact():
 def test_segment_waveform_end_to_end():
     onset_times = [0.4, 1.1, 1.8]
     y = _song(onset_times, [146.83, 196.0, 246.94])
-    clips, kept, onsets, ovalid, times = segment_waveform(jnp.asarray(y),
+    clips, kept, onsets, ovalid, times, _ = segment_waveform(jnp.asarray(y),
                                                           sr=SR)
     clips, kept = np.asarray(clips), np.asarray(kept)
     ovalid = np.asarray(ovalid)
@@ -174,7 +174,7 @@ def test_block_slicing_matches_general_gather():
     y = _song([0.4, 1.1, 1.8, 2.4], [110.0, 146.83, 196.0, 246.94],
               dur=2.95)
     ypad = np.concatenate([y, np.zeros(1000, np.float32)])
-    onsets, valid = detect_onsets(jnp.asarray(ypad), sr=SR,
+    onsets, valid, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
                                   n_valid_samples=jnp.asarray(len(y)))
     for strict in (True, False):
         a = slice_at_onsets(jnp.asarray(ypad), onsets, valid, sr=SR,
@@ -209,3 +209,44 @@ def test_audio_slicer_file_roundtrip(tmp_path):
     assert len(wavs) == 2  # last onset dropped (reference behavior)
     # filename pattern: 0000_clip__0.xxxs.wav
     assert wavs[0].name.startswith("0000_clip__")
+
+
+def test_onset_overflow_flag(rng):
+    """Budget truncation must be SIGNALED, never silent (VERDICT r2
+    §next-4): overflow is False on clean songs with roomy budgets, True
+    when either the candidate budget or max_onsets truncates, and the
+    kept onsets are the earliest ones."""
+    y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
+    # roomy budgets: no overflow
+    _, _, ovf = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
+    assert not bool(ovf)
+    # candidate budget of 2 on a 3-candidate song: overflow
+    o_t, v_t, ovf_t = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
+    assert bool(ovf_t)
+    # max_onsets=2 with 3 kept onsets: overflow, earliest two kept
+    o_m, v_m, ovf_m = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=2)
+    assert bool(ovf_m)
+    o_f, v_f, _ = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
+    full = np.asarray(o_f)[np.asarray(v_f)]
+    np.testing.assert_array_equal(np.asarray(o_m)[np.asarray(v_m)],
+                                  full[:2])
+    # a pathologically dense envelope (most frames are raw candidates)
+    # must set the flag through the default proportional budget
+    from gat_tpu.ops.onset import pick_onsets_from_envelope
+    t = 400
+    env = rng.uniform(0.5, 1.0, t).astype(np.float32)
+    env[::2] += 2.0  # every other frame a local max over a high floor
+    _, _, ovf_d = pick_onsets_from_envelope(
+        jnp.asarray(env), SR, 512, 0.0, 8, backtrack=False,
+        cand_budget=16)
+    assert bool(ovf_d)
+
+
+def test_segment_waveform_overflow_surfaces():
+    """segment_waveform passes the flag through; a tiny max_onsets on a
+    3-note song trips it."""
+    y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
+    *_, ovf = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=2)
+    assert bool(ovf)
+    *_, ovf2 = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=64)
+    assert not bool(ovf2)

@@ -27,16 +27,27 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 # evaluation sets for --suite full: name → synthesize_note_dataset kwargs
+# ("renderer": "modal" routes to the code-disjoint eval-only modal engine,
+# gat_tpu/data/modal.py; "channel" keys are acquisition-chain stressors,
+# gat_tpu/data/channel.py). The shipped models train on family=all3
+# (KS+FM+additive), so `modal` is the held-out family now — `fm` rows
+# remain for continuity with round-2 numbers.
 FULL_SUITE = {
     "mixed": {},
     "ks_only": {"family": "ks"},
     "additive_only": {"family": "additive"},
-    "fm_unseen_family": {"family": "fm"},
+    "fm_family": {"family": "fm"},
+    "modal_unseen_family": {"renderer": "modal"},
     "vibrato": {"stressor": "vibrato"},
     "pitch_bend": {"stressor": "bend"},
     "detune_25c": {"stressor": "detune"},
     "tremolo": {"stressor": "tremolo"},
     "fm_vibrato": {"family": "fm", "stressor": "vibrato"},
+    "modal_vibrato": {"renderer": "modal", "stressor": "vibrato"},
+    "room_ir": {"channel": "room_ir"},
+    "pickup_eq": {"channel": "pickup_eq"},
+    "bg_noise": {"channel": "bg_noise"},
+    "modal_full_chain": {"renderer": "modal", "channel": "full_chain"},
 }
 
 
@@ -46,11 +57,17 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
     import numpy as np
     import jax.numpy as jnp
     from gat_tpu.data.synth import synthesize_note_dataset
+    from gat_tpu.data.modal import render_modal_dataset
     from gat_tpu.data.loader import AudioDatasetLoader
     from gat_tpu.ops.yin import yin_pitch, estimate_note
 
-    synthesize_note_dataset(root, variants_per_class=variants, seed=seed,
-                            verbose=False, **synth_kwargs)
+    renderer = synth_kwargs.pop("renderer", "synth")
+    if renderer == "modal":
+        render_modal_dataset(root, variants_per_class=variants, seed=seed,
+                             **synth_kwargs)
+    else:
+        synthesize_note_dataset(root, variants_per_class=variants,
+                                seed=seed, verbose=False, **synth_kwargs)
     loader = AudioDatasetLoader([root], target_sr=transcriber.ckpt_sr,
                                 duration=transcriber.clip_length)
     wavs, _, labels, _ = loader.load_audio_dataset(pad_to_max=True)
@@ -69,21 +86,77 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
     yin_names = [estimate_note(h, unicode=False)[1] for h in yin_hz]
     yin_acc = float(np.mean([a == b for a, b in zip(yin_names, labels)]))
 
-    # ensemble with the YIN pitch prior applied (opt-in robustness mode)
+    # three ensemble columns, computed explicitly so they stay distinct
+    # whatever the shipped default is: `default` = what bare
+    # Transcriber() actually returns; `blend` = the reference 0.2/0.8
+    # softmax blend alone; `prior` = blend + YIN pitch prior.
     from gat_tpu.infer.predictor import apply_pitch_prior, class_midi_values
+    mlp_p = result["per_model_probs"]["mlp"]
+    cnn_p = result["per_model_probs"]["cnn"]
+    w = transcriber.predictor.cnn_weight
+    blend = ((1.0 - w) * mlp_p + w * cnn_p if cnn_p is not None
+             else mlp_p)
     prior_probs = np.asarray(apply_pitch_prior(
-        result["probs"], yin_hz, class_midi_values(rm)))
+        blend, yin_hz, class_midi_values(rm)))
 
     return {
         "n_clips": int(len(labels)),
-        "ensemble_accuracy": acc(result["probs"]),
+        "default_accuracy": acc(result["probs"]),
+        "ensemble_accuracy": acc(blend),
         "ensemble_prior_accuracy": acc(prior_probs),
-        "mlp_accuracy": acc(result["per_model_probs"]["mlp"]),
-        "cnn_accuracy": acc(result["per_model_probs"]["cnn"]),
+        "mlp_accuracy": acc(mlp_p),
+        "cnn_accuracy": acc(cnn_p),
         "yin_accuracy": round(yin_acc, 4),
         "_result": result,
         "_labels": labels,
     }
+
+
+def evaluate_wav_dir(transcriber, wav_dir: Path) -> dict:
+    """BYO-recordings evaluation (VERDICT r2 §next-3): transcribe every
+    .wav under `wav_dir` and report, per clip, the ensemble label next to
+    the YIN baseline note — no ground-truth labels needed. If the files
+    sit in SPN-label-named folders (the dataset layout), folder-name
+    accuracy is reported too."""
+    import numpy as np
+    paths = sorted(Path(wav_dir).rglob("*.wav"))
+    if not paths:
+        raise FileNotFoundError(f"no .wav files under {wav_dir}")
+    known = set(transcriber.predictor.reverse_map.values()) \
+        if transcriber.predictor.reverse_map else set()
+    files, agree, total, correct, labeled = [], 0, 0, 0, 0
+    for p in paths:
+        try:
+            res = transcriber.transcribe(str(p))
+        except ValueError as e:  # no clips survived slicing
+            files.append({"file": str(p), "error": str(e)})
+            continue
+        yin_notes = [info["note_name"] for _, info in res["dsp_info"]]
+        rows = list(zip(res["labels"],
+                        [round(float(c), 3) for c in res["confidences"]],
+                        yin_notes, res.get("onsets_s", [])))
+        folder = p.parent.name
+        entry = {"file": str(p), "n_clips": len(rows),
+                 "clips": [{"label": l, "confidence": c, "yin": y,
+                            "onset_s": round(float(o), 3)}
+                           for l, c, y, o in rows]}
+        agree += sum(l == y for l, c, y, o in rows)
+        total += len(rows)
+        if folder in known:
+            labeled += len(rows)
+            correct += sum(l == folder for l, c, y, o in rows)
+            entry["folder_label"] = folder
+        files.append(entry)
+        print(f"[evaluate --wav_dir] {p.name}: "
+              + "  ".join(f"{l}({c:.2f})|yin:{y}" for l, c, y, _ in rows))
+    report = {"wav_dir": str(wav_dir), "n_files": len(paths),
+              "n_clips": total,
+              "yin_agreement": round(agree / max(total, 1), 4),
+              "files": files}
+    if labeled:
+        report["folder_label_accuracy"] = round(correct / labeled, 4)
+        report["n_labeled_clips"] = labeled
+    return report
 
 
 def main():
@@ -94,6 +167,12 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", type=Path, default=None,
                     help="optional JSON report path")
+    ap.add_argument("--wav_dir", type=Path, default=None,
+                    help="BYO recordings: transcribe every .wav under "
+                         "this dir, report ensemble-vs-YIN agreement "
+                         "(and accuracy when folders are SPN labels)")
+    ap.add_argument("--mlp_ckpt", default=None)
+    ap.add_argument("--cnn_ckpt", default=None)
     args = ap.parse_args()
 
     import jax
@@ -107,7 +186,16 @@ def main():
 
     tmp = Path(tempfile.mkdtemp())
     t0 = time.time()
-    t = Transcriber()
+    t = Transcriber(mlp_ckpt=args.mlp_ckpt, cnn_ckpt=args.cnn_ckpt)
+
+    if args.wav_dir is not None:
+        report = evaluate_wav_dir(t, args.wav_dir)
+        report["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps({k: v for k, v in report.items()
+                          if k != "files"}, indent=2))
+        if args.out:
+            args.out.write_text(json.dumps(report, indent=2))
+        return report
 
     sets = {"mixed": {}} if args.suite == "quick" else FULL_SUITE
     report = {"suite": args.suite, "eval_seed": args.seed, "sets": {}}
@@ -119,7 +207,8 @@ def main():
             base = res
         report["sets"][name] = {k: v for k, v in res.items()
                                 if not k.startswith("_")}
-        print(f"[evaluate] {name:18s} ens={res['ensemble_accuracy']:.4f} "
+        print(f"[evaluate] {name:20s} def={res['default_accuracy']:.4f} "
+              f"ens={res['ensemble_accuracy']:.4f} "
               f"ens+prior={res['ensemble_prior_accuracy']:.4f} "
               f"mlp={res['mlp_accuracy']:.4f} "
               f"cnn={res['cnn_accuracy']:.4f} "

@@ -79,7 +79,7 @@ def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int):
             for _ in range(4)]
         return run, pool
     if graph == "files":
-        run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, 128)
+        run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, 128)[0]
         nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
         pool = [(jax.device_put(
             rng.normal(0, 0.05, (n_files, n)).astype(np.float32)), nv)

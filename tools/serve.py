@@ -33,6 +33,9 @@ def result_to_json(result: dict) -> dict:
         "onsets_s": [float(t) for t in result.get("onsets_s", [])],
         "yin": [{"pitch_hz": hz, **info}
                 for hz, info in result.get("dsp_info", [])],
+        # True iff an onset budget truncated detections (earliest kept)
+        # — consumers must not treat the label list as exhaustive then
+        "onset_overflow": bool(result.get("onset_overflow", False)),
     }
 
 
@@ -55,7 +58,7 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             print(f"[serve] watching {in_dir} → {out_dir} "
                    "(Ctrl+C to stop)")
 
-    def _write(p: Path, result: dict, t0: float):
+    def _write(p: Path, result: dict, t0: float, wave_n: int = 1):
         out_path = out_dir / f"{p.stem}.json"
         if result.get("labels"):
             out_path.write_text(json.dumps(result_to_json(result),
@@ -68,8 +71,12 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             status = ("(no notes)" if "clips survived" in err
                       else f"(error: {err.split(':')[0]})")
         if verbose:
-            print(f"[serve] {p.name} → {status} "
-                  f"({(time.perf_counter() - t0) * 1000:.0f} ms)")
+            # t0 is taken once per wave: report the wave's elapsed time
+            # divided over its files, not the whole wave per file
+            ms = (time.perf_counter() - t0) * 1000 / max(wave_n, 1)
+            tag = f"{ms:.0f} ms" if wave_n == 1 else \
+                f"{ms:.1f} ms/file, wave of {wave_n}"
+            print(f"[serve] {p.name} → {status} ({tag})")
 
     def _one_file(p: Path) -> dict:
         try:
@@ -108,7 +115,7 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
                 singles.extend(wave)
                 continue
             for p, r in zip(wave, results):
-                _write(p, r, t0)
+                _write(p, r, t0, wave_n=len(wave))
                 done.add(p.name)
                 processed += 1
         for p in singles + pending:

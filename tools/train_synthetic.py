@@ -32,6 +32,16 @@ def main():
                     help="apply a random playing-style stressor (vibrato/"
                          "bend/detune/tremolo) to this fraction of "
                          "variants")
+    ap.add_argument("--family", default="mixed",
+                    choices=["mixed", "ks", "additive", "fm", "all3"],
+                    help="synthesis families in the training set; all3 = "
+                         "one third each KS/FM/additive (the round-3 "
+                         "shipped recipe — the held-out eval family is "
+                         "the modal renderer)")
+    ap.add_argument("--channel_prob", type=float, default=0.0,
+                    help="apply a random acquisition-channel stressor "
+                         "(room IR / pickup EQ / background noise) to "
+                         "this fraction of variants")
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--target_sr", type=int, default=11025)
     ap.add_argument("--seed", type=int, default=42)
@@ -48,6 +58,9 @@ def main():
 
     tag = (f"ks47_v{args.variants}" + ("_noisy" if args.noise else "")
            + (f"_str{args.stressor_prob:g}" if args.stressor_prob > 0
+              else "")
+           + (f"_{args.family}" if args.family != "mixed" else "")
+           + (f"_ch{args.channel_prob:g}" if args.channel_prob > 0
               else ""))
     ds = DATASETS_ROOT / "synthetic" / tag
     if not ds.exists():
@@ -55,14 +68,21 @@ def main():
         synthesize_note_dataset(
             ds, variants_per_class=args.variants, seed=args.seed,
             noise_snr_db=(8.0, 40.0) if args.noise else None,
+            family=args.family,
             stressor="mix" if args.stressor_prob > 0 else None,
-            stressor_prob=args.stressor_prob)
+            stressor_prob=args.stressor_prob,
+            channel="mix" if args.channel_prob > 0 else None,
+            channel_prob=args.channel_prob)
         print(f"dataset synthesis: {time.time() - t0:.1f}s")
 
     # the exact shipped recipe (and only it) may own the config-named
-    # checkpoint paths; any deviation gets a recipe-tagged filename
+    # checkpoint paths; any deviation gets a recipe-tagged filename.
+    # Round 3 onward, the shipped recipe is the all3 family with
+    # playing-style + channel augmentation (VERDICT r2 §next-1).
     canonical = (args.noise and args.variants == 48 and args.seed == 42
-                 and args.stressor_prob == 0 and args.epochs is None
+                 and args.family == "all3"
+                 and args.stressor_prob == 0.5
+                 and args.channel_prob == 0.25 and args.epochs is None
                  and args.target_sr == 11025)
 
     def recipe_tag(prefix: str) -> str:
@@ -73,6 +93,9 @@ def main():
                    else "")
                 + (f"_str{args.stressor_prob:g}"
                    if args.stressor_prob > 0 else "")
+                + (f"_{args.family}" if args.family != "mixed" else "")
+                + (f"_ch{args.channel_prob:g}"
+                   if args.channel_prob > 0 else "")
                 + ".gtckpt.npz")
 
     mgr = TrainingManager(target_sr=args.target_sr)
