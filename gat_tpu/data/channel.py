@@ -114,15 +114,21 @@ CHANNELS = {
 
 def apply_channel(sig: np.ndarray, sr: int, which: str,
                   rng: np.random.Generator) -> np.ndarray:
-    """Apply one named channel stressor, or 'mix' for a random one, or
-    'full_chain' for pickup EQ → room IR → background noise in order."""
+    """Apply one named channel stressor, 'mix' for a random single one,
+    'full_chain' for pickup EQ → room IR → background noise in order, or
+    'mix_chain' for a random choice that includes the full chain (the
+    training-augmentation draw)."""
     if which == "mix":
         which = list(CHANNELS)[int(rng.integers(len(CHANNELS)))]
+    elif which == "mix_chain":
+        opts = list(CHANNELS) + ["full_chain"]
+        which = opts[int(rng.integers(len(opts)))]
     if which == "full_chain":
         for fn in (apply_pickup_eq, apply_room_ir, apply_bg_noise):
             sig = fn(sig, sr, rng)
         return sig
     if which not in CHANNELS:
         raise ValueError(f"unknown channel stressor {which!r}; choose "
-                         f"from {tuple(CHANNELS)} or 'mix'/'full_chain'")
+                         f"from {tuple(CHANNELS)} or "
+                         f"'mix'/'full_chain'/'mix_chain'")
     return CHANNELS[which](sig, sr, rng)

@@ -143,6 +143,8 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._epoch_fn = None      # built lazily on first scanned epoch
+        self._dev_data: dict = {}  # id(dl) → device-resident (X, Y)
 
     # ------------------------------------------------------------------
     def _check_dims(self, dl):
@@ -185,19 +187,42 @@ class Trainer:
         soft = optax.smooth_labels(one_hot, self.label_smoothing)
         return optax.softmax_cross_entropy(logits, soft).mean()
 
+    def _step_body(self, params, extra, opt_state, xb, yb, rng):
+        def loss_fn(p):
+            logits, mut = self._apply_train(p, extra, xb, rng)
+            return self._loss(logits, yb), (logits, mut)
+        (loss, (logits, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        correct = jnp.sum(jnp.argmax(logits, axis=-1) == yb)
+        return params, mut, opt_state, loss, correct, gnorm
+
     def _build_train_step(self):
-        def step(params, extra, opt_state, xb, yb, rng):
-            def loss_fn(p):
-                logits, mut = self._apply_train(p, extra, xb, rng)
-                return self._loss(logits, yb), (logits, mut)
-            (loss, (logits, mut)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            gnorm = optax.global_norm(grads)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            correct = jnp.sum(jnp.argmax(logits, axis=-1) == yb)
-            return params, mut, opt_state, loss, correct, gnorm
-        return jax.jit(step)
+        return jax.jit(self._step_body)
+
+    def _build_epoch_fn(self):
+        """ONE dispatch per epoch: lax.scan of the train step over the
+        epoch's batch indices, with X/Y resident on device — instead of
+        one dispatch (plus a loss sync) per 32-clip batch (VERDICT r2
+        §next-5; the reference's loop is one optimizer step per batch,
+        ref mlp_trainer.py:307-316 — semantics preserved exactly, the
+        scan carries (params, batch_stats, opt_state) through the same
+        sequential updates)."""
+        def epoch(params, extra, opt_state, X, Y, perm, rngs):
+            def body(carry, xs):
+                params, extra, opt_state = carry
+                jdx, rng = xs
+                xb = jnp.take(X, jdx, axis=0)
+                yb = jnp.take(Y, jdx, axis=0)
+                params, extra, opt_state, loss, correct, gnorm = \
+                    self._step_body(params, extra, opt_state, xb, yb, rng)
+                return (params, extra, opt_state), (loss, correct, gnorm)
+            (params, extra, opt_state), (losses, corrects, gnorms) = \
+                jax.lax.scan(body, (params, extra, opt_state), (perm, rngs))
+            return params, extra, opt_state, losses, corrects, gnorms
+        return jax.jit(epoch)
 
     def _build_eval_step(self):
         def step(params, extra, xb, yb):
@@ -244,11 +269,69 @@ class Trainer:
         self.opt_state = tuple(states)
 
     # ------------------------------------------------------------------
+    def _run_epoch_scanned(self, train_dl):
+        """One epoch as ONE device dispatch (plus at most one extra for a
+        partial trailing batch): same batches, same order, same dropout
+        keys, same sequential optimizer updates as the per-batch loop —
+        just scanned on device with X/Y resident. Returns
+        (loss_sum, correct, total)."""
+        from .data import ArrayDataLoader  # noqa: F401 (type check only)
+        key = id(train_dl)
+        if key not in self._dev_data or \
+                self._dev_data[key][2] != len(train_dl.X):
+            self._dev_data[key] = (
+                jax.device_put(jnp.asarray(train_dl.X, jnp.float32)),
+                jax.device_put(jnp.asarray(train_dl.y)),
+                len(train_dl.X))
+        X_dev, Y_dev, _ = self._dev_data[key]
+        if self._epoch_fn is None:
+            self._epoch_fn = self._build_epoch_fn()
+
+        idx = np.arange(len(train_dl.X))
+        if train_dl.shuffle:
+            train_dl._rng.shuffle(idx)  # same rng stream as iteration
+        bs = train_dl.batch_size
+        nb = len(idx) // bs
+        loss_sum, correct, total = 0.0, 0, 0
+        if nb:
+            perm = jnp.asarray(idx[:nb * bs].reshape(nb, bs))
+            subs = []
+            for _ in range(nb):
+                self._dropout_key, sub = jax.random.split(self._dropout_key)
+                subs.append(sub)
+            rngs = jnp.stack(subs)
+            (self.params, self.extra, self.opt_state, losses, corrects,
+             gnorms) = self._epoch_fn(self.params, self.extra,
+                                      self.opt_state, X_dev, Y_dev,
+                                      perm, rngs)
+            loss_sum += float(jnp.sum(losses)) * bs
+            correct += int(jnp.sum(corrects))
+            total += nb * bs
+            self.last_grad_norm = float(gnorms[-1])
+        rem = idx[nb * bs:]
+        if len(rem) and not train_dl.drop_last:
+            self._dropout_key, sub = jax.random.split(self._dropout_key)
+            (self.params, self.extra, self.opt_state, loss, corr,
+             gnorm) = self._train_step(
+                self.params, self.extra, self.opt_state,
+                jnp.take(X_dev, jnp.asarray(rem), axis=0),
+                jnp.take(Y_dev, jnp.asarray(rem), axis=0), sub)
+            loss_sum += float(loss) * len(rem)
+            correct += int(corr)
+            total += len(rem)
+            self.last_grad_norm = float(gnorm)
+        return loss_sum, correct, total
+
     def train(self, epochs: int = 20, train_dl=None, es_window_len: int = 4,
               es_slope_limit: float = 1e-5, plot_metrics: bool = False,
-              verbose: bool = True):
+              verbose: bool = True, scan_epoch: bool = True):
         """Epoch loop with per-epoch validation, plateau LR, slope-based
-        early stop (ref mlp_trainer.py:287-383)."""
+        early stop (ref mlp_trainer.py:287-383). `scan_epoch` runs each
+        epoch as one scanned device dispatch when the loader is a plain
+        ArrayDataLoader (identical math; ~n_batches× fewer dispatches and
+        loss syncs — the reference pays one optimizer step + host sync
+        per 32-clip batch); pass False to force the per-batch loop."""
+        from .data import ArrayDataLoader
         train_dl = train_dl or self.train_dl
         if train_dl is None:
             print("[train] No train dataloader provided. Exiting [train].")
@@ -258,22 +341,27 @@ class Trainer:
             print("[train] Training start.")
         t0 = time.time()
         self.last_grad_norm = 0.0
+        use_scan = scan_epoch and type(train_dl) is ArrayDataLoader
 
         for ep in range(1, epochs + 1):
             if verbose:
                 print(f"[train] EPOCH {ep}/{epochs}")
-            loss_sum, correct, total = 0.0, 0, 0
-            for xb, yb in train_dl:
-                self._dropout_key, sub = jax.random.split(self._dropout_key)
-                (self.params, self.extra, self.opt_state, loss, corr,
-                 gnorm) = self._train_step(
-                    self.params, self.extra, self.opt_state,
-                    jnp.asarray(xb, jnp.float32), jnp.asarray(yb), sub)
-                bs = len(yb)
-                loss_sum += float(loss) * bs
-                correct += int(corr)
-                total += bs
-                self.last_grad_norm = float(gnorm)
+            if use_scan:
+                loss_sum, correct, total = self._run_epoch_scanned(train_dl)
+            else:
+                loss_sum, correct, total = 0.0, 0, 0
+                for xb, yb in train_dl:
+                    self._dropout_key, sub = jax.random.split(
+                        self._dropout_key)
+                    (self.params, self.extra, self.opt_state, loss, corr,
+                     gnorm) = self._train_step(
+                        self.params, self.extra, self.opt_state,
+                        jnp.asarray(xb, jnp.float32), jnp.asarray(yb), sub)
+                    bs = len(yb)
+                    loss_sum += float(loss) * bs
+                    correct += int(corr)
+                    total += bs
+                    self.last_grad_norm = float(gnorm)
 
             epoch_loss = loss_sum / total if total else 0.0
             epoch_acc = correct / total if total else 0.0
@@ -325,12 +413,27 @@ class Trainer:
                  plot_metrics: bool = False):
         """Weighted val loss + accuracy; optional confusion matrix /
         classification report (ref mlp_trainer.py:393-432)."""
+        from .data import ArrayDataLoader
         dl = val_dl or self.val_dl
         if dl is None:
             print("[evaluate] No val dataloader provided.")
             return None, None
         correct, total, loss_sum = 0, 0, 0.0
         preds_all, y_all = [], []
+        if (type(dl) is ArrayDataLoader and not dl.shuffle
+                and len(dl.X) <= 8192):
+            # whole val set in ONE dispatch: the per-batch weighted loss
+            # recombination equals the global mean, so numbers are
+            # identical to the loop below
+            loss, corr, preds = self._eval_step(
+                self.params, self.extra, jnp.asarray(dl.X, jnp.float32),
+                jnp.asarray(dl.y))
+            total = len(dl.y)
+            loss_sum = float(loss) * total
+            correct = int(corr)
+            preds_all = list(np.asarray(preds))
+            y_all = list(dl.y)
+            dl = ()  # skip the loop
         for xb, yb in dl:
             loss, corr, preds = self._eval_step(
                 self.params, self.extra, jnp.asarray(xb, jnp.float32),

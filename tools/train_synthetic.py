@@ -60,8 +60,8 @@ def main():
            + (f"_str{args.stressor_prob:g}" if args.stressor_prob > 0
               else "")
            + (f"_{args.family}" if args.family != "mixed" else "")
-           + (f"_ch{args.channel_prob:g}" if args.channel_prob > 0
-              else ""))
+           + (f"_chc{args.channel_prob:g}" if args.channel_prob > 0
+              else ""))  # chc = channel mix INCLUDING the full chain
     ds = DATASETS_ROOT / "synthetic" / tag
     if not ds.exists():
         t0 = time.time()
@@ -71,7 +71,7 @@ def main():
             family=args.family,
             stressor="mix" if args.stressor_prob > 0 else None,
             stressor_prob=args.stressor_prob,
-            channel="mix" if args.channel_prob > 0 else None,
+            channel="mix_chain" if args.channel_prob > 0 else None,
             channel_prob=args.channel_prob)
         print(f"dataset synthesis: {time.time() - t0:.1f}s")
 
