@@ -42,6 +42,13 @@ def main():
                     help="apply a random acquisition-channel stressor "
                          "(room IR / pickup EQ / background noise) to "
                          "this fraction of variants")
+    ap.add_argument("--channel_draw", default="mix",
+                    choices=["mix", "mix_chain"],
+                    help="channel-augmentation draw: single stressors "
+                         "(mix — the shipped recipe) or including the "
+                         "full pickup->room->noise chain (mix_chain — "
+                         "measured: +chain-robustness, -detune; worse "
+                         "worst-row, so not shipped)")
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--target_sr", type=int, default=11025)
     ap.add_argument("--seed", type=int, default=42)
@@ -60,8 +67,9 @@ def main():
            + (f"_str{args.stressor_prob:g}" if args.stressor_prob > 0
               else "")
            + (f"_{args.family}" if args.family != "mixed" else "")
-           + (f"_chc{args.channel_prob:g}" if args.channel_prob > 0
-              else ""))  # chc = channel mix INCLUDING the full chain
+           + ((f"_ch{args.channel_prob:g}" if args.channel_draw == "mix"
+               else f"_chc{args.channel_prob:g}")
+              if args.channel_prob > 0 else ""))
     ds = DATASETS_ROOT / "synthetic" / tag
     if not ds.exists():
         t0 = time.time()
@@ -71,7 +79,7 @@ def main():
             family=args.family,
             stressor="mix" if args.stressor_prob > 0 else None,
             stressor_prob=args.stressor_prob,
-            channel="mix_chain" if args.channel_prob > 0 else None,
+            channel=args.channel_draw if args.channel_prob > 0 else None,
             channel_prob=args.channel_prob)
         print(f"dataset synthesis: {time.time() - t0:.1f}s")
 
@@ -82,7 +90,8 @@ def main():
     canonical = (args.noise and args.variants == 48 and args.seed == 42
                  and args.family == "all3"
                  and args.stressor_prob == 0.5
-                 and args.channel_prob == 0.25 and args.epochs is None
+                 and args.channel_prob == 0.25
+                 and args.channel_draw == "mix" and args.epochs is None
                  and args.target_sr == 11025)
 
     def recipe_tag(prefix: str) -> str:
