@@ -25,13 +25,28 @@ def _np(t) -> np.ndarray:
 
 
 def load_reference_ckpt(path) -> dict:
-    """Unpickle a reference .ckpt (handles Windows-origin Path objects)."""
+    """Unpickle a reference .ckpt (handles Windows-origin Path objects).
+
+    The pickle contains a StandardScaler fitted under sklearn 1.6.1;
+    unpickling under a newer sklearn raises InconsistentVersionWarning.
+    That warning is owned here: the converter reads ONLY the fitted
+    `mean_`/`scale_` arrays (plain numpy attributes whose layout is
+    stable across sklearn versions) and never calls scaler methods, so
+    the version skew cannot affect behavior — the arrays are regression-
+    tested against stored values in tests/test_models.py."""
     import pathlib
+    import warnings
     import torch
     if not hasattr(pathlib, "_gat_winpath_patch"):
         pathlib.WindowsPath = pathlib.PosixPath  # ckpt saved on Windows
         pathlib._gat_winpath_patch = True
-    return torch.load(path, map_location="cpu", weights_only=False)
+    with warnings.catch_warnings():
+        try:
+            from sklearn.exceptions import InconsistentVersionWarning
+            warnings.simplefilter("ignore", InconsistentVersionWarning)
+        except ImportError:  # sklearn absent: nothing to silence
+            pass
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def mlp_params_from_state_dict(state_dict: Mapping[str, Any],

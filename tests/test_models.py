@@ -105,6 +105,19 @@ def test_reference_ckpt_to_native_schema():
     assert native["reverse_map"][27] == "E2"
     assert native["scaler"]["mean"].shape == (65,)
     assert "dense_0" in native["variables"]["params"]
+    # scaler VALUE regression against the committed converted artifact:
+    # the converter reads only the pickled StandardScaler's mean_/scale_
+    # arrays (the sklearn-version warning is owned in
+    # load_reference_ckpt on that basis), so a sklearn upgrade that
+    # changed what unpickling yields would fail here loudly
+    from gat_tpu.train.checkpoint import load_checkpoint
+    from gat_tpu.config import MLP_CONFIG
+    shipped = load_checkpoint(MLP_CONFIG.CHECKPOINTS_DIR
+                              / MLP_CONFIG.REFERENCE_CKPT_NAME)
+    np.testing.assert_array_equal(native["scaler"]["mean"],
+                                  shipped["scaler"]["mean"])
+    np.testing.assert_array_equal(native["scaler"]["scale"],
+                                  shipped["scaler"]["scale"])
 
 
 def test_softmax_regression_baseline_trains(rng):
