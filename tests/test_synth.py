@@ -84,3 +84,94 @@ def test_dataset_family_and_stressor_plumbing(tmp_path):
     with pytest.raises(ValueError, match="unknown stressor"):
         synthesize_note_dataset(tmp_path / "bad2", class_names=["A3"],
                                 stressor="chorus", verbose=False)
+
+
+# ---------- round-3: modal eval renderer + channel stressors ----------
+
+def test_modal_pluck_pitch_and_distinctiveness():
+    """The eval-only modal renderer must put its pitch exactly on the
+    label's f0 (harmonic mode grid) while its SPECTRUM differs from
+    every training engine at the same pitch — the held-out family has to
+    be in-tune but out-of-distribution."""
+    from gat_tpu.data.modal import modal_pluck
+    for f0 in (110.0, 220.0, 440.0):
+        sig = modal_pluck(f0, SR, 0.5, n_variants=2, seed=4)
+        for v in range(2):
+            assert abs(_pitch(sig[v]) - f0) / f0 < 0.01
+
+    def spec(x):
+        s = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return s / (s.sum() + 1e-12)
+    md = spec(modal_pluck(220.0, SR, 0.5, 1, seed=5)[0])
+    ks = spec(karplus_strong(220.0, SR, 0.5, 1, seed=5)[0])
+    ad = spec(additive_pluck(220.0, SR, 0.5, 1, seed=5)[0])
+    fm = spec(fm_pluck(220.0, SR, 0.5, 1, seed=5)[0])
+    d_cross = min(np.abs(md - o).sum() for o in (ks, ad, fm))
+    d_within = np.abs(ks - ad).sum()
+    assert d_cross > 0.3 * d_within, "modal spectrum not distinctive"
+
+
+def test_modal_renderer_code_disjoint_from_training_synths():
+    """The modal module must not call any training-synth engine — it is
+    the held-out family, so sharing a renderer would re-circularize the
+    eval (VERDICT r2 §next-1). Dataset-writer plumbing (stressors,
+    class list) may be shared; the ENGINES may not."""
+    import ast
+    import inspect
+    from gat_tpu.data import modal
+    tree = ast.parse(inspect.getsource(modal))
+    called = {n.func.attr if isinstance(n.func, ast.Attribute)
+              else getattr(n.func, "id", "") for n in ast.walk(tree)
+              if isinstance(n, ast.Call)}
+    forbidden = {"karplus_strong", "additive_pluck", "fm_pluck"}
+    assert not (called & forbidden), called & forbidden
+
+
+def test_modal_dataset_layout(tmp_path):
+    from gat_tpu.data.modal import render_modal_dataset
+    root = render_modal_dataset(tmp_path / "modal", class_names=["A3", "E2"],
+                                variants_per_class=2, seed=1,
+                                stressor="vibrato", channel="pickup_eq")
+    wavs = sorted(root.rglob("*.wav"))
+    assert len(wavs) == 4
+    assert {p.parent.name for p in wavs} == {"A3", "E2"}
+
+
+def test_channel_stressors_preserve_pitch_change_signal():
+    """Each acquisition-channel stressor must corrupt the waveform but
+    leave the (YIN) pitch recoverable — they model the mic chain, not
+    destruction."""
+    from gat_tpu.data.channel import apply_channel, CHANNELS
+    base = additive_pluck(196.0, SR, 0.5, 1, seed=9)[0]
+    rng = np.random.default_rng(0)
+    for name in list(CHANNELS) + ["full_chain"]:
+        out = apply_channel(base.copy(), SR, name, rng)
+        assert out.shape == base.shape
+        assert not np.allclose(out, base), name
+        assert abs(_pitch(out) - 196.0) / 196.0 < 0.02, name
+    with pytest.raises(ValueError, match="unknown channel"):
+        apply_channel(base, SR, "bitcrush", rng)
+
+
+def test_channel_prob_zero_reproduces_unaugmented_dataset(tmp_path):
+    """channel_prob=0 must yield byte-identical datasets to no channel
+    arg at all (the rng-stream stability contract)."""
+    a = synthesize_note_dataset(tmp_path / "a", class_names=["A3"],
+                                variants_per_class=3, seed=5,
+                                verbose=False)
+    b = synthesize_note_dataset(tmp_path / "b", class_names=["A3"],
+                                variants_per_class=3, seed=5,
+                                channel="room_ir", channel_prob=0.0,
+                                verbose=False)
+    for pa, pb in zip(sorted(a.rglob("*.wav")), sorted(b.rglob("*.wav"))):
+        assert pa.read_bytes() == pb.read_bytes()
+
+
+def test_all3_family_routes_all_engines(tmp_path):
+    """family=all3 must produce one third each KS/FM/additive (checked
+    via the variant index routing, not spectra): 6 variants → files
+    exist and the set synthesizes without consuming stressor draws."""
+    root = synthesize_note_dataset(tmp_path / "a3", class_names=["A3"],
+                                   variants_per_class=6, seed=5,
+                                   family="all3", verbose=False)
+    assert len(list(root.rglob("*.wav"))) == 6
