@@ -444,9 +444,10 @@ def measure_file(duration_s: float = 60.0, iters: int = 30,
     }
 
 
-def measure_files(n_files: int = 8, duration_s: float = 60.0,
+def measure_files(n_files: int = 4, duration_s: float = 60.0,
                   iters: int = 30, max_onsets: int = 128,
-                  scan_chunks: int = 1) -> dict:
+                  scan_chunks: int = 1,
+                  wave_clip_budget: int | None = None) -> dict:
     """Sustained MULTI-file throughput (audio-s/s): B whole recordings
     per dispatch through the batched fused file program
     (`Transcriber.transcribe_files` compute path) — per-file segmentation
@@ -461,7 +462,8 @@ def measure_files(n_files: int = 8, duration_s: float = 60.0,
     from gat_tpu.infer import Transcriber
 
     t = Transcriber()
-    run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets)
+    run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets,
+                                      wave_clip_budget)
     n = int(duration_s * TARGET_SR)
     bucket = -(-n // TARGET_SR) * TARGET_SR
     k = max(1, scan_chunks)
@@ -497,6 +499,7 @@ def measure_files(n_files: int = 8, duration_s: float = 60.0,
         "file_s": duration_s,
         "clips_kept_last": kept,
         "max_onsets": max_onsets,
+        "wave_clip_budget": wave_clip_budget,
     }
 
 
@@ -505,9 +508,11 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     if os.environ.get("BENCH_MODE") == "files":
+        budget = os.environ.get("BENCH_FILES_BUDGET")
         out = measure_files(
-            n_files=int(os.environ.get("BENCH_FILES", "8")),
-            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "1")))
+            n_files=int(os.environ.get("BENCH_FILES", "4")),
+            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "16")),
+            wave_clip_budget=int(budget) if budget else None)
         print(json.dumps({
             "metric": "batched_file_throughput",
             "value": out["audio_s_per_s"],

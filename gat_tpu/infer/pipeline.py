@@ -9,6 +9,7 @@ exists exactly once.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ..features import mfcc_feature_vectors, melspec_features
 from ..ops.resample import resample, fix_length
@@ -86,14 +87,25 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
 
 def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
                    melspec_params: dict | None, target_sr: int,
-                   clip_duration: float, max_onsets: int):
+                   clip_duration: float, max_onsets: int,
+                   wave_clip_budget: int | None = None):
     """The multi-file fused program body, shared by
     Transcriber._fused_files_fn (plain jit) and the mesh-sharded
     variant (parallel.sharded.make_sharded_transcribe_files):
     fn(ys (B, n), n_valids (B,)) → per-file (B, K, ...) outputs.
     Per-file segmentation runs under vmap (the greedy onset scan
     advances all B lanes per step); the budget slots then run the
-    ensemble + YIN baseline as ONE flat (B·K, L) clip batch."""
+    ensemble + YIN baseline as ONE flat (B·K, L) clip batch.
+
+    wave_clip_budget (< B·K): compact the wave's KEPT clips to the
+    front (stable row gather) and run only that many slots through
+    re-rating + the ensemble + YIN — onset budgets are sized for the
+    densest file, so most slots are empty zeros and the ensemble is
+    the dominant cost. Results scatter back to their (file, slot)
+    positions; if a wave ever keeps more clips than the budget, the
+    excess slots are dropped earliest-first and the per-file overflow
+    flag is raised (the framework's standard budget+mask+flag
+    pattern). None = exact (every slot computed)."""
     from ..segment.slicing import segment_waveform
     from ..ops.yin import yin_pitch
 
@@ -111,10 +123,33 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
             ys, n_valids)
         b, k, length = clips.shape
         flat = clips.reshape(b * k, length)
-        flat = fix_length(resample(flat, target_sr, ckpt_sr),
-                          int(ckpt_sr * clip_duration))
-        probs, mlp_p, cnn_p = ensemble(flat)
-        pitch = yin_pitch(flat, ckpt_sr)
+        budget = wave_clip_budget
+        if budget is not None and budget < b * k:
+            keptf = kept.reshape(b * k)
+            # kept slots first, stable → file-major order preserved
+            order = jnp.argsort(~keptf, stable=True)
+            sel = order[:budget]
+            comp = fix_length(resample(flat[sel], target_sr, ckpt_sr),
+                              int(ckpt_sr * clip_duration))
+            probs_c, mlp_c, cnn_c = ensemble(comp)
+            pitch_c = yin_pitch(comp, ckpt_sr)
+
+            def scatter(x):
+                if x is None:
+                    return None
+                out = jnp.zeros((b * k,) + x.shape[1:], x.dtype)
+                return out.at[sel].set(x)
+            probs, mlp_p, cnn_p, pitch = (scatter(probs_c), scatter(mlp_c),
+                                          scatter(cnn_c), scatter(pitch_c))
+            computed = jnp.zeros((b * k,), bool).at[sel].set(True)
+            dropped = (keptf & ~computed).reshape(b, k)
+            kept = kept & computed.reshape(b, k)
+            overflow = overflow | jnp.any(dropped, axis=-1)
+        else:
+            comp = fix_length(resample(flat, target_sr, ckpt_sr),
+                              int(ckpt_sr * clip_duration))
+            probs, mlp_p, cnn_p = ensemble(comp)
+            pitch = yin_pitch(comp, ckpt_sr)
 
         def perfile(a):
             return (a.reshape((b, k) + a.shape[1:])

@@ -157,7 +157,8 @@ class Transcriber:
         return run
 
     def _fused_files_fn(self, target_sr: int, clip_duration: float,
-                        max_onsets: int):
+                        max_onsets: int,
+                        wave_clip_budget: int | None = None):
         """One jit program over a BATCH of padded waveforms (B, n):
         per-file segmentation under vmap (the greedy onset scans advance
         all B lanes per step, amortizing the sequential frame walk), then
@@ -169,6 +170,7 @@ class Transcriber:
         (B, n) shape on its own)."""
         rm = self.predictor.reverse_map
         key = ("files", target_sr, clip_duration, max_onsets,
+               wave_clip_budget,
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
                self.predictor.pitch_prior_sigma,
@@ -184,7 +186,8 @@ class Transcriber:
         from .pipeline import build_files_fn
         body = build_files_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, target_sr, clip_duration, max_onsets)
+            melspec_params, target_sr, clip_duration, max_onsets,
+            wave_clip_budget=wave_clip_budget)
         run = jax.jit(body)
         # scanned variant: K file-batches per dispatch, serialized
         # on-device via ONE lax.scan over (K, B, n) — the micro-batch
@@ -250,7 +253,8 @@ class Transcriber:
     def transcribe_files(self, paths, target_sr: int = TARGET_SR,
                          clip_duration: float = CLIP_DURATION,
                          max_onsets: int = 64,
-                         max_batch: int = 8) -> list[dict]:
+                         max_batch: int = 4,
+                         wave_clip_budget: int | None = None) -> list[dict]:
         """Batch transcription of MANY files (the serving path;
         `tools/serve.py --batch`). Files group into power-of-two DURATION
         buckets (1, 2, 4, … s — one 10-minute file no longer pads a wave
@@ -263,7 +267,13 @@ class Transcriber:
         (K, B, n) super-batch — the micro-batch amortization from the
         clip path. Files with no surviving clips yield a result with
         empty labels instead of raising (batch semantics). Returns one
-        result dict per input path, in order."""
+        result dict per input path, in order.
+
+        max_batch default 4: the B sweep on v5e put waves of 4 (a
+        512-slot ensemble batch) ahead of 8 (75.2k vs 64.1k audio-s/s) —
+        docs/PERF.md. `wave_clip_budget` caps how many clip slots per
+        wave run the ensemble (kept slots compact to the front; overflow
+        raises the flag); None = every slot computed."""
         paths = list(paths)
         if not paths:
             return []
@@ -281,7 +291,7 @@ class Transcriber:
             buckets.setdefault(bsec, []).append((idx, y, nv))
 
         run, run_scan = self._fused_files_fn(target_sr, clip_duration,
-                                             max_onsets)
+                                             max_onsets, wave_clip_budget)
         results: list[dict | None] = [None] * len(paths)
 
         def _emit(ids, outs, i):

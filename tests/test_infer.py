@@ -243,3 +243,32 @@ def test_transcribe_files_scanned_waves_match(tmp_path, transcriber):
         assert rb["labels"] == single["labels"]
         np.testing.assert_allclose(rb["confidences"],
                                    single["confidences"], atol=1e-5)
+
+
+def test_wave_clip_budget_exact_below_and_flags_above(tmp_path,
+                                                      transcriber):
+    """Wave clip-budget compaction: with a budget that covers every kept
+    clip the results are IDENTICAL to the exact path; with a starved
+    budget the earliest clips are kept and the overflow flag raises."""
+    paths = []
+    for i in range(2):
+        y = _riff(NOTES[:4])
+        p = tmp_path / f"wb{i}.wav"
+        write_wav(p, y, SR)
+        paths.append(p)
+    exact = transcriber.transcribe_files(paths, max_onsets=8)
+    roomy = transcriber.transcribe_files(paths, max_onsets=8,
+                                         wave_clip_budget=8)
+    for re_, rr in zip(exact, roomy):
+        assert rr["labels"] == re_["labels"]
+        np.testing.assert_allclose(rr["confidences"], re_["confidences"],
+                                   atol=1e-5)
+        assert rr["onsets_s"] == re_["onsets_s"]
+        assert rr["onset_overflow"] is False
+    starved = transcriber.transcribe_files(paths, max_onsets=8,
+                                           wave_clip_budget=3)
+    total_kept = sum(len(r["labels"]) for r in starved)
+    assert total_kept == 3
+    assert any(r["onset_overflow"] for r in starved)
+    # the computed slots are the earliest (file-major prefix)
+    assert starved[0]["labels"] == exact[0]["labels"][:3]
