@@ -212,38 +212,54 @@ int wav_decode(const char* path, float* out, long capacity, int* sr,
 
 // Encodes mono float32 samples as RIFF/WAVE: PCM16 (bits=16, values
 // clamped to [-1, 1]) or IEEE float32 (bits=32, values written as-is).
+// Non-PCM (float) files carry the strict-reader shape: an 18-byte fmt
+// chunk (cbSize=0) plus a fact chunk with the frame count — libsndfile-
+// family tools reject bare 16-byte fmt chunks for format 3.
 int wav_encode(const char* path, const float* samples, long frames,
                int sr, int bits) {
     if (frames < 0 || sr <= 0 || !(bits == 16 || bits == 32)) return -5;
     const uint32_t bytes_per = bits / 8;
+    const bool is_float = (bits == 32);
+    // float: fmt grows to 18 bytes and a 12-byte fact chunk follows
+    const uint32_t fmt_size = is_float ? 18 : 16;
+    const uint32_t pre_data = 12 + 8 + fmt_size + (is_float ? 12 : 0) + 8;
     const uint64_t data_size64 = static_cast<uint64_t>(frames) * bytes_per;
-    if (data_size64 > 0xFFFFFFFFu - 36u) return -5;
+    if (data_size64 > 0xFFFFFFFFu - (pre_data - 8)) return -5;
     const uint32_t data_size = static_cast<uint32_t>(data_size64);
 
     FILE* f = std::fopen(path, "wb");
     if (!f) return -1;
-    uint8_t hdr[44];
-    std::memcpy(hdr, "RIFF", 4);
-    const uint32_t riff_size = 36 + data_size;
-    std::memcpy(hdr + 4, &riff_size, 4);
-    std::memcpy(hdr + 8, "WAVEfmt ", 8);
-    const uint32_t fmt_size = 16;
-    std::memcpy(hdr + 16, &fmt_size, 4);
-    const uint16_t format = (bits == 16) ? kPcm : kFloat;
+    uint8_t hdr[58];
+    size_t off = 0;
+    std::memcpy(hdr + off, "RIFF", 4); off += 4;
+    const uint32_t riff_size = pre_data - 8 + data_size;
+    std::memcpy(hdr + off, &riff_size, 4); off += 4;
+    std::memcpy(hdr + off, "WAVEfmt ", 8); off += 8;
+    std::memcpy(hdr + off, &fmt_size, 4); off += 4;
+    const uint16_t format = is_float ? kFloat : kPcm;
     const uint16_t channels = 1;
-    std::memcpy(hdr + 20, &format, 2);
-    std::memcpy(hdr + 22, &channels, 2);
+    std::memcpy(hdr + off, &format, 2); off += 2;
+    std::memcpy(hdr + off, &channels, 2); off += 2;
     const uint32_t rate = static_cast<uint32_t>(sr);
-    std::memcpy(hdr + 24, &rate, 4);
+    std::memcpy(hdr + off, &rate, 4); off += 4;
     const uint32_t byte_rate = rate * bytes_per;
-    std::memcpy(hdr + 28, &byte_rate, 4);
+    std::memcpy(hdr + off, &byte_rate, 4); off += 4;
     const uint16_t block_align = static_cast<uint16_t>(bytes_per);
-    std::memcpy(hdr + 32, &block_align, 2);
+    std::memcpy(hdr + off, &block_align, 2); off += 2;
     const uint16_t bits16 = static_cast<uint16_t>(bits);
-    std::memcpy(hdr + 34, &bits16, 2);
-    std::memcpy(hdr + 36, "data", 4);
-    std::memcpy(hdr + 40, &data_size, 4);
-    if (std::fwrite(hdr, 1, 44, f) != 44) { std::fclose(f); return -1; }
+    std::memcpy(hdr + off, &bits16, 2); off += 2;
+    if (is_float) {
+        const uint16_t cb_size = 0;
+        std::memcpy(hdr + off, &cb_size, 2); off += 2;
+        std::memcpy(hdr + off, "fact", 4); off += 4;
+        const uint32_t fact_size = 4;
+        std::memcpy(hdr + off, &fact_size, 4); off += 4;
+        const uint32_t n_frames32 = static_cast<uint32_t>(frames);
+        std::memcpy(hdr + off, &n_frames32, 4); off += 4;
+    }
+    std::memcpy(hdr + off, "data", 4); off += 4;
+    std::memcpy(hdr + off, &data_size, 4); off += 4;
+    if (std::fwrite(hdr, 1, off, f) != off) { std::fclose(f); return -1; }
 
     bool ok = true;
     if (bits == 32) {

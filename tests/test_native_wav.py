@@ -127,3 +127,27 @@ def test_write_wav_batch_mixed_subtypes(tmp_path, rng):
     got, s = read_wav(p24)
     assert s == 44100
     np.testing.assert_allclose(got, items[0][1], atol=1.0 / (1 << 23))
+
+
+@needs_native
+def test_float_wav_strict_reader_shape(tmp_path):
+    """FLOAT (format-3) files must carry an 18-byte fmt chunk (cbSize=0)
+    and a fact chunk with the frame count — the shape strict libsndfile-
+    family readers require for non-PCM formats (r2 advisor finding).
+    Both decoders must still read them bit-exactly."""
+    import struct
+    from gat_tpu.utils.wavio import read_wav
+    x = (np.sin(np.linspace(0, 80, 2205)) * 0.7).astype(np.float32)
+    p = tmp_path / "f32.wav"
+    native_wav.write_wav_native(p, x, 22050, subtype="FLOAT")
+    raw = p.read_bytes()
+    assert struct.unpack("<I", raw[16:20])[0] == 18     # fmt size
+    assert struct.unpack("<H", raw[20:22])[0] == 3      # IEEE float
+    assert struct.unpack("<H", raw[36:38])[0] == 0      # cbSize
+    assert raw[38:42] == b"fact"
+    assert struct.unpack("<I", raw[46:50])[0] == len(x)  # frame count
+    y_n, sr_n = native_wav.read_wav_native(p)
+    y_p, sr_p = read_wav(p)
+    assert sr_n == sr_p == 22050
+    np.testing.assert_array_equal(y_n, x)
+    np.testing.assert_array_equal(y_p, x)
