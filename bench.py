@@ -508,11 +508,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     if os.environ.get("BENCH_MODE") == "files":
-        budget = os.environ.get("BENCH_FILES_BUDGET")
+        budget = os.environ.get("BENCH_FILES_BUDGET", "384")
         out = measure_files(
             n_files=int(os.environ.get("BENCH_FILES", "4")),
-            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "16")),
-            wave_clip_budget=int(budget) if budget else None)
+            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "24")),
+            max_onsets=int(os.environ.get("BENCH_FILES_ONSETS", "128")),
+            wave_clip_budget=(int(budget) if budget.lower() != "none"
+                              else None))
         print(json.dumps({
             "metric": "batched_file_throughput",
             "value": out["audio_s_per_s"],

@@ -178,9 +178,10 @@ def test_manager_end_to_end_tiny(tmp_path):
     assert acc_cnn > 0.6, f"CNN val acc {acc_cnn}"
 
     from gat_tpu.infer import Transcriber
+    from gat_tpu.config import MLP_CONFIG, CNN_CONFIG
     t = Transcriber(
-        mlp_ckpt=str(tmp_path / "ck" / "mlp" / "mlp_v1.0.0.gtckpt.npz"),
-        cnn_ckpt=str(tmp_path / "ck" / "cnn" / "cnn_v1.0.0.gtckpt.npz"))
+        mlp_ckpt=str(tmp_path / "ck" / "mlp" / MLP_CONFIG.DEFAULT_CKPT_NAME),
+        cnn_ckpt=str(tmp_path / "ck" / "cnn" / CNN_CONFIG.DEFAULT_CKPT_NAME))
     from tests.conftest import make_pluck
     note = make_pluck(146.83, 22050, 0.5, seed=5)
     r = t.transcribe_note(note, sr_in=22050)

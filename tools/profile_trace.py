@@ -49,7 +49,8 @@ def parse_trace(trace_dir: str, top: int = 25):
     return tables
 
 
-def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int):
+def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int,
+                  budget: int | None = None, scan: int = 1):
     """(jit fn, list of distinct device-resident input tuples) for the
     chosen graph. Inputs MUST be distinct per iteration: repeat
     executions on the same buffers are elided by a layer of the
@@ -79,7 +80,15 @@ def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int):
             for _ in range(4)]
         return run, pool
     if graph == "files":
-        run = t._fused_files_fn(TARGET_SR, CLIP_DURATION, 128)[0]
+        run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION, 128,
+                                          wave_clip_budget=budget)
+        if scan > 1:  # trace the shipped K-scan super-batch program
+            nv = jax.device_put(
+                jnp.full((scan, n_files), n, jnp.int32))
+            pool = [(jax.device_put(rng.normal(
+                0, 0.05, (scan, n_files, n)).astype(np.float32)), nv)
+                for _ in range(4)]
+            return run_scan, pool
         nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
         pool = [(jax.device_put(
             rng.normal(0, 0.05, (n_files, n)).astype(np.float32)), nv)
@@ -98,6 +107,12 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--file_s", type=float, default=60.0)
     ap.add_argument("--n_files", type=int, default=8)
+    ap.add_argument("--budget", type=int, default=None,
+                    help="wave_clip_budget for --graph files (the "
+                         "serving default is tuned in bench.py)")
+    ap.add_argument("--scan", type=int, default=1,
+                    help="K file-batches per dispatch for --graph files "
+                         "(traces the scanned super-batch program)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--trace_dir", default="/tmp/gat_trace")
     ap.add_argument("--top", type=int, default=25)
@@ -110,7 +125,7 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           str(REPO / ".jax_cache"))
         jfn, pool = _trace_inputs(args.graph, args.batch, args.file_s,
-                                  args.n_files)
+                                  args.n_files, args.budget, args.scan)
         jax.block_until_ready([p[0] for p in pool])
         for _ in range(2):
             out = jfn(*pool[0])
