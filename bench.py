@@ -447,7 +447,8 @@ def measure_file(duration_s: float = 60.0, iters: int = 30,
 def measure_files(n_files: int = 4, duration_s: float = 60.0,
                   iters: int = 30, max_onsets: int = 128,
                   scan_chunks: int = 1,
-                  wave_clip_budget: int | None = None) -> dict:
+                  wave_clip_budget: int | None = None,
+                  cand_budget: int | None = None) -> dict:
     """Sustained MULTI-file throughput (audio-s/s): B whole recordings
     per dispatch through the batched fused file program
     (`Transcriber.transcribe_files` compute path) — per-file segmentation
@@ -463,7 +464,7 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
 
     t = Transcriber()
     run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION, max_onsets,
-                                      wave_clip_budget)
+                                      wave_clip_budget, cand_budget)
     n = int(duration_s * TARGET_SR)
     bucket = -(-n // TARGET_SR) * TARGET_SR
     k = max(1, scan_chunks)
@@ -500,6 +501,7 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
         "clips_kept_last": kept,
         "max_onsets": max_onsets,
         "wave_clip_budget": wave_clip_budget,
+        "cand_budget": cand_budget,
     }
 
 
@@ -508,13 +510,20 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     if os.environ.get("BENCH_MODE") == "files":
+        # Defaults = the round-3 swept sweet spot (docs/PERF.md): 4 files
+        # x 32 scanned file-batches per dispatch, onset budget 112,
+        # wave clip budget 384, candidate-scan budget 448 (verified
+        # exact on the bench riff: identical clips_kept to cand=None;
+        # truncation would raise the per-file overflow flag).
         budget = os.environ.get("BENCH_FILES_BUDGET", "384")
+        cand = os.environ.get("BENCH_FILES_CAND", "448")
         out = measure_files(
             n_files=int(os.environ.get("BENCH_FILES", "4")),
-            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "24")),
-            max_onsets=int(os.environ.get("BENCH_FILES_ONSETS", "128")),
+            scan_chunks=int(os.environ.get("BENCH_FILES_SCAN", "32")),
+            max_onsets=int(os.environ.get("BENCH_FILES_ONSETS", "112")),
             wave_clip_budget=(int(budget) if budget.lower() != "none"
-                              else None))
+                              else None),
+            cand_budget=(int(cand) if cand.lower() != "none" else None))
         print(json.dumps({
             "metric": "batched_file_throughput",
             "value": out["audio_s_per_s"],

@@ -88,7 +88,8 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
 def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
                    melspec_params: dict | None, target_sr: int,
                    clip_duration: float, max_onsets: int,
-                   wave_clip_budget: int | None = None):
+                   wave_clip_budget: int | None = None,
+                   cand_budget: int | None = None):
     """The multi-file fused program body, shared by
     Transcriber._fused_files_fn (plain jit) and the mesh-sharded
     variant (parallel.sharded.make_sharded_transcribe_files):
@@ -105,7 +106,12 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     positions; if a wave ever keeps more clips than the budget, the
     excess slots are dropped earliest-first and the per-file overflow
     flag is raised (the framework's standard budget+mask+flag
-    pattern). None = exact (every slot computed)."""
+    pattern). None = exact (every slot computed).
+
+    cand_budget sizes the onset candidate scan (segment_waveform /
+    pick_onsets_from_envelope): content-aware serving can shrink the
+    per-wave sequential walk; truncation raises the same per-file
+    overflow flag."""
     from ..segment.slicing import segment_waveform
     from ..ops.yin import yin_pitch
 
@@ -116,7 +122,8 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     def _segment(y, n_valid):
         return segment_waveform(y, sr=target_sr, length_sec=clip_duration,
                                 max_onsets=max_onsets,
-                                n_valid_samples=n_valid)
+                                n_valid_samples=n_valid,
+                                cand_budget=cand_budget)
 
     def run(ys, n_valids):
         clips, kept, onsets, ovalid, times, overflow = jax.vmap(_segment)(

@@ -158,7 +158,8 @@ class Transcriber:
 
     def _fused_files_fn(self, target_sr: int, clip_duration: float,
                         max_onsets: int,
-                        wave_clip_budget: int | None = None):
+                        wave_clip_budget: int | None = None,
+                        cand_budget: int | None = None):
         """One jit program over a BATCH of padded waveforms (B, n):
         per-file segmentation under vmap (the greedy onset scans advance
         all B lanes per step, amortizing the sequential frame walk), then
@@ -170,7 +171,7 @@ class Transcriber:
         (B, n) shape on its own)."""
         rm = self.predictor.reverse_map
         key = ("files", target_sr, clip_duration, max_onsets,
-               wave_clip_budget,
+               wave_clip_budget, cand_budget,
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
                self.predictor.pitch_prior_sigma,
@@ -187,7 +188,7 @@ class Transcriber:
         body = build_files_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
             melspec_params, target_sr, clip_duration, max_onsets,
-            wave_clip_budget=wave_clip_budget)
+            wave_clip_budget=wave_clip_budget, cand_budget=cand_budget)
         run = jax.jit(body)
         # scanned variant: K file-batches per dispatch, serialized
         # on-device via ONE lax.scan over (K, B, n) — the micro-batch
@@ -254,7 +255,8 @@ class Transcriber:
                          clip_duration: float = CLIP_DURATION,
                          max_onsets: int = 64,
                          max_batch: int = 4,
-                         wave_clip_budget: int | None = None) -> list[dict]:
+                         wave_clip_budget: int | None = None,
+                         cand_budget: int | None = None) -> list[dict]:
         """Batch transcription of MANY files (the serving path;
         `tools/serve.py --batch`). Files group into power-of-two DURATION
         buckets (1, 2, 4, … s — one 10-minute file no longer pads a wave
@@ -273,7 +275,10 @@ class Transcriber:
         512-slot ensemble batch) ahead of 8 (75.2k vs 64.1k audio-s/s) —
         docs/PERF.md. `wave_clip_budget` caps how many clip slots per
         wave run the ensemble (kept slots compact to the front; overflow
-        raises the flag); None = every slot computed."""
+        raises the flag); None = every slot computed. `cand_budget`
+        sizes the per-wave onset candidate scan (the serving-speed
+        lever — see segment_waveform); truncation raises the same
+        per-file `onset_overflow` flag, never silent."""
         paths = list(paths)
         if not paths:
             return []
@@ -291,7 +296,8 @@ class Transcriber:
             buckets.setdefault(bsec, []).append((idx, y, nv))
 
         run, run_scan = self._fused_files_fn(target_sr, clip_duration,
-                                             max_onsets, wave_clip_budget)
+                                             max_onsets, wave_clip_budget,
+                                             cand_budget)
         results: list[dict | None] = [None] * len(paths)
 
         def _emit(ids, outs, i):

@@ -116,12 +116,18 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
                      attack_skip_sec: float = SLICER_CONFIG.ATTACK_SKIP_SEC,
                      max_onsets: int = 64,
                      strict_reference_compat: bool = True,
-                     n_valid_samples: jax.Array | None = None):
+                     n_valid_samples: jax.Array | None = None,
+                     cand_budget: int | None = None):
     """Whole-file segmentation: gate → detect onsets → slice. All device
     ops; mirrors AudioSlicer.sliceNsave's compute (ref slicing.py:147-165)
     without the disk round-trip. Returns (clips, kept, onsets, onsets_valid,
     times, overflow) — `overflow` () bool is True iff the onset budgets
-    truncated detections (earliest kept), so callers can surface it."""
+    truncated detections (earliest kept), so callers can surface it.
+    `cand_budget` overrides the onset candidate-scan budget (see
+    pick_onsets_from_envelope): serving paths that know their content's
+    onset density can size the sequential scan to it — overflow is
+    flagged, never silent — while None keeps the conservative
+    max(4·max_onsets, T/4) default."""
     # gating hop follows the slicer config; onset detection keeps the
     # reference's own default hop of 512 (ref slicing.py:106,150-151)
     y_gated = gating.gate_waveform(y, min_db, hop_length=hop_length,
@@ -129,7 +135,7 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
     onsets, ovalid, overflow = detect_onsets(
         y_gated, sr=sr, hop_length=512,
         min_sep=min_sep, max_onsets=max_onsets,
-        n_valid_samples=n_valid_samples)
+        n_valid_samples=n_valid_samples, cand_budget=cand_budget)
     clips, kept, times = slice_at_onsets(
         y, onsets, ovalid, sr=sr, length_sec=length_sec,
         attack_skip_sec=attack_skip_sec, min_slice_rms_db=min_slice_rms_db,

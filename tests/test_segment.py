@@ -250,3 +250,22 @@ def test_segment_waveform_overflow_surfaces():
     assert bool(ovf)
     *_, ovf2 = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=64)
     assert not bool(ovf2)
+
+
+def test_segment_waveform_cand_budget_knob():
+    """The explicit cand_budget knob (serving-speed lever): an adequate
+    budget reproduces the default's segmentation exactly, and a
+    too-small one trips the overflow flag instead of failing silently."""
+    y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
+    clips_d, kept_d, on_d, ov_d, _, ovf_d = segment_waveform(
+        jnp.asarray(y), sr=SR, max_onsets=16)
+    clips_c, kept_c, on_c, ov_c, _, ovf_c = segment_waveform(
+        jnp.asarray(y), sr=SR, max_onsets=16, cand_budget=64)
+    assert not bool(ovf_d) and not bool(ovf_c)
+    np.testing.assert_array_equal(np.asarray(kept_d), np.asarray(kept_c))
+    np.testing.assert_array_equal(np.asarray(on_d)[np.asarray(ov_d)],
+                                  np.asarray(on_c)[np.asarray(ov_c)])
+    np.testing.assert_allclose(np.asarray(clips_d), np.asarray(clips_c))
+    *_, ovf_tiny = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=16,
+                                    cand_budget=2)
+    assert bool(ovf_tiny)

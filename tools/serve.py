@@ -41,7 +41,7 @@ def result_to_json(result: dict) -> dict:
 
 def serve(in_dir: Path, out_dir: Path, once: bool = False,
           poll_s: float = 0.5, transcriber=None, verbose: bool = True,
-          batch: int = 1):
+          batch: int = 1, cand_budget: int | None = None):
     from gat_tpu.infer import Transcriber
     t = transcriber or Transcriber()
     in_dir.mkdir(parents=True, exist_ok=True)
@@ -107,7 +107,7 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             wave, pending = pending[:batch], pending[batch:]
             t0 = time.perf_counter()
             try:
-                results = t.transcribe_files(wave)
+                results = t.transcribe_files(wave, cand_budget=cand_budget)
             except Exception:
                 # one bad file fails the whole batched read — only THIS
                 # wave falls back to the per-file path; later waves
@@ -144,13 +144,18 @@ def main():
                     help="files per device dispatch (>1 routes arrival "
                          "waves through the batched fused multi-file "
                          "program)")
+    ap.add_argument("--cand_budget", type=int, default=None,
+                    help="onset candidate-scan budget per file (the "
+                         "serving-speed lever for content of known onset "
+                         "density; truncation sets onset_overflow in the "
+                         "result JSON, never silent)")
     args = ap.parse_args()
     t = None
     if args.pitch_prior > 0:
         from gat_tpu.infer import Transcriber
         t = Transcriber(pitch_prior_weight=args.pitch_prior)
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
-          transcriber=t, batch=args.batch)
+          transcriber=t, batch=args.batch, cand_budget=args.cand_budget)
     return 0
 
 
