@@ -49,16 +49,13 @@ def _body_sos(sr: int) -> np.ndarray:
     resonance ~105 Hz, top-plate resonances ~210 and ~420 Hz."""
     sections = [signal.butter(2, 70.0 / (sr / 2), "highpass",
                               output="sos")]
+    # RBJ peaking biquads via the channel module's helper — filter
+    # plumbing is shareable under the disjointness contract (only the
+    # training-synth ENGINES are forbidden; test_synth.py)
+    from .channel import _peaking_sos
     for f0, q, gain_db in ((105.0, 9.0, 8.0), (210.0, 7.0, 5.0),
                            (420.0, 5.0, 3.0)):
-        # peaking biquad (RBJ cookbook)
-        a = 10.0 ** (gain_db / 40.0)
-        w0 = 2.0 * np.pi * f0 / sr
-        alpha = np.sin(w0) / (2.0 * q)
-        b = [1 + alpha * a, -2 * np.cos(w0), 1 - alpha * a]
-        ax = [1 + alpha / a, -2 * np.cos(w0), 1 - alpha / a]
-        sections.append(np.array([[b[0] / ax[0], b[1] / ax[0], b[2] / ax[0],
-                                   1.0, ax[1] / ax[0], ax[2] / ax[0]]]))
+        sections.append(_peaking_sos(f0, q, gain_db, sr))
     return np.concatenate(sections, axis=0)
 
 
@@ -125,7 +122,7 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
     perturbations (they are post-render warps, not renderers);
     `channel` applies data/channel.py acquisition stressors (room IR,
     pickup EQ, background noise)."""
-    from .synth import _STRESSORS, DEFAULT_CLASS_NAMES
+    from .synth import _STRESSORS, DEFAULT_CLASS_NAMES, _variant_seed
     from ..utils.native_wav import write_wav_batch
 
     out_root = Path(out_root)
@@ -142,7 +139,8 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
         detune = 2.0 ** (rng.uniform(-10, 10, variants_per_class) / 1200.0)
         for i in range(variants_per_class):
             sig = modal_pluck(f0 * detune[i], sr, duration, n_variants=1,
-                              seed=seed * 100000 + ci * 100 + i)[0]
+                              seed=_variant_seed(seed, ci, i,
+                                                 variants_per_class))[0]
             if stressor is not None:
                 which = (stressor if stressor != "mix" else
                          list(_STRESSORS)[int(rng.integers(len(_STRESSORS)))])

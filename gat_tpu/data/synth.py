@@ -180,6 +180,18 @@ _STRESSORS = {
 _FAMILIES = ("ks", "additive", "fm", "all3")
 
 
+def _variant_seed(seed: int, ci: int, i: int,
+                  variants_per_class: int) -> int:
+    """Injective per-(class, variant) rng seed for the dataset writers
+    (synth + modal). stride=100 reproduces the historical
+    `seed*100000 + ci*100 + i` streams for variants_per_class <= 100
+    (the shipped checkpoints and every published eval set); larger
+    runs widen the stride — and the per-seed block with it — so
+    (class, variant) pairs can never alias across classes or seeds."""
+    stride = max(100, variants_per_class)
+    return seed * stride * 1000 + ci * stride + i
+
+
 def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                             duration: float = 0.5,
                             variants_per_class: int = 24,
@@ -264,13 +276,14 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                 sig = fm_pluck(f0 * detune[i], sr, duration, n_variants=1,
                                mod_ratio=float(rng.uniform(2.0, 4.0)),
                                mod_index=float(rng.uniform(1.0, 3.0)),
-                               seed=seed * 100000 + ci * 100 + i)[0]
+                               seed=_variant_seed(seed, ci, i,
+                                                  variants_per_class))[0]
             else:
                 sig = additive_pluck(
                     f0 * detune[i], sr, duration, n_variants=1,
                     brightness=float(rng.uniform(0.55, 0.9)),
                     decay=float(rng.uniform(1.5, 5.0)),
-                    seed=seed * 100000 + ci * 100 + i)[0]
+                    seed=_variant_seed(seed, ci, i, variants_per_class))[0]
             # short-circuit: prob=1.0 must not consume an rng draw, so
             # seeded stressor eval sets reproduce across versions
             if stressor is not None and (stressor_prob >= 1.0

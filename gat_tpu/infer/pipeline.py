@@ -104,9 +104,12 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     densest file, so most slots are empty zeros and the ensemble is
     the dominant cost. Results scatter back to their (file, slot)
     positions; if a wave ever keeps more clips than the budget, the
-    excess slots are dropped earliest-first and the per-file overflow
-    flag is raised (the framework's standard budget+mask+flag
-    pattern). None = exact (every slot computed).
+    FIRST `budget` kept slots in file-major order are computed and the
+    rest are dropped — so the drop is latest-first AND cross-file
+    biased (an overflowing early file can starve later files in its
+    wave entirely) — and the per-file overflow flag is raised (the
+    framework's standard budget+mask+flag pattern). None = exact
+    (every slot computed).
 
     cand_budget sizes the onset candidate scan (segment_waveform /
     pick_onsets_from_envelope): content-aware serving can shrink the

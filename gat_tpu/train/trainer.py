@@ -144,7 +144,13 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._epoch_fn = None      # built lazily on first scanned epoch
-        self._dev_data: dict = {}  # id(dl) → device-resident (X, Y)
+        # single-entry device-data cache for the scanned epoch:
+        # (loader, X, y, X_dev, Y_dev) — the loader and its host arrays
+        # are pinned by STRONG reference and compared by identity, so a
+        # recycled id() or a swapped-in same-length dataset can never
+        # alias to stale device data, and holding one entry bounds
+        # device memory across train() calls on different loaders
+        self._dev_data: tuple | None = None
 
     # ------------------------------------------------------------------
     def _check_dims(self, dl):
@@ -276,14 +282,14 @@ class Trainer:
         just scanned on device with X/Y resident. Returns
         (loss_sum, correct, total)."""
         from .data import ArrayDataLoader  # noqa: F401 (type check only)
-        key = id(train_dl)
-        if key not in self._dev_data or \
-                self._dev_data[key][2] != len(train_dl.X):
-            self._dev_data[key] = (
+        c = self._dev_data
+        if not (c and c[0] is train_dl and c[1] is train_dl.X
+                and c[2] is train_dl.y):
+            self._dev_data = (
+                train_dl, train_dl.X, train_dl.y,
                 jax.device_put(jnp.asarray(train_dl.X, jnp.float32)),
-                jax.device_put(jnp.asarray(train_dl.y)),
-                len(train_dl.X))
-        X_dev, Y_dev, _ = self._dev_data[key]
+                jax.device_put(jnp.asarray(train_dl.y)))
+        X_dev, Y_dev = self._dev_data[3], self._dev_data[4]
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
 
@@ -421,10 +427,12 @@ class Trainer:
         correct, total, loss_sum = 0, 0, 0.0
         preds_all, y_all = [], []
         if (type(dl) is ArrayDataLoader and not dl.shuffle
-                and len(dl.X) <= 8192):
+                and not dl.drop_last and len(dl.X) <= 8192):
             # whole val set in ONE dispatch: the per-batch weighted loss
             # recombination equals the global mean, so numbers are
-            # identical to the loop below
+            # identical to the loop below (drop_last loaders skip the
+            # fast path — the loop's trailing-batch drop is part of
+            # their contract)
             loss, corr, preds = self._eval_step(
                 self.params, self.extra, jnp.asarray(dl.X, jnp.float32),
                 jnp.asarray(dl.y))

@@ -175,3 +175,20 @@ def test_all3_family_routes_all_engines(tmp_path):
                                    variants_per_class=6, seed=5,
                                    family="all3", verbose=False)
     assert len(list(root.rglob("*.wav"))) == 6
+
+
+def test_variant_seed_injective_and_backcompat():
+    """Per-variant rng seeds: identical to the historical formula for
+    variants_per_class <= 100 (published streams must not move), and
+    injective across (seed, class, variant) for larger runs."""
+    from gat_tpu.data.synth import _variant_seed
+    for ci in (0, 3, 46):
+        for i in (0, 7, 47):
+            assert _variant_seed(42, ci, i, 48) == 42 * 100000 + ci * 100 + i
+    seen = {}
+    for seed in (1, 2):
+        for ci in range(48):
+            for i in range(150):
+                s = _variant_seed(seed, ci, i, 150)
+                assert s not in seen, (seen[s], (seed, ci, i))
+                seen[s] = (seed, ci, i)

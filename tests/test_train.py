@@ -282,3 +282,53 @@ def test_scanned_epoch_matches_per_batch_loop(rng, model_kind):
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5),
             results[True][0], results[False][0])
+
+
+def test_dev_data_cache_pins_loader_identity(rng):
+    """The scanned-epoch device cache must key on OBJECT identity, not
+    id()/length: a second loader of the same length but different data
+    must refresh the device copies (stale-data aliasing regression)."""
+    n, d, k = 64, 6, 2
+    y = rng.integers(0, k, n)
+    X1 = rng.normal(size=(n, d)).astype(np.float32)
+    X2 = rng.normal(size=(n, d)).astype(np.float32) + 100.0
+    model = MLP(num_features=d, hidden_dim=8, num_hidden_layers=1,
+                num_classes=k)
+    dl1 = ArrayDataLoader(X1, y, 32, seed=0)
+    tr = Trainer(model, dl1, seed=0)
+    tr.train(epochs=1, verbose=False)
+    assert tr._dev_data[0] is dl1 and tr._dev_data[1] is X1
+    dl2 = ArrayDataLoader(X2, y, 32, seed=0)  # same length, new data
+    tr.train_dl = dl2
+    tr.train(epochs=1, verbose=False)
+    assert tr._dev_data[0] is dl2 and tr._dev_data[1] is X2
+    np.testing.assert_allclose(
+        np.asarray(tr._dev_data[3]).mean(), X2.mean(), rtol=1e-5)
+
+
+def test_evaluate_respects_drop_last(rng):
+    """evaluate()'s single-dispatch fast path must not swallow the
+    trailing partial batch of a drop_last loader."""
+    n, d, k = 70, 5, 2
+    y = rng.integers(0, k, n)
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    model = MLP(num_features=d, hidden_dim=8, num_hidden_layers=1,
+                num_classes=k)
+    dl_tr = ArrayDataLoader(X, y, 32, seed=0)
+    tr = Trainer(model, dl_tr, seed=0)
+    dl_drop = ArrayDataLoader(X, y, 32, shuffle=False, drop_last=True)
+    acc_drop, loss_drop = tr.evaluate(val_dl=dl_drop)
+    # reference: explicit loop over the drop_last loader
+    correct = total = 0
+    loss_sum = 0.0
+    import jax.numpy as jnp
+    for xb, yb in dl_drop:
+        loss, corr, _ = tr._eval_step(tr.params, tr.extra,
+                                      jnp.asarray(xb, jnp.float32),
+                                      jnp.asarray(yb))
+        correct += int(corr)
+        total += len(yb)
+        loss_sum += float(loss) * len(yb)
+    assert total == 64  # trailing 6 dropped
+    assert acc_drop == pytest.approx(correct / total)
+    assert loss_drop == pytest.approx(loss_sum / total, rel=1e-6)

@@ -1,8 +1,10 @@
 """End-to-end wall-clock of the shipped training recipe.
 
 Times synth -> load -> features -> epochs for BOTH shipped models
-(the `tools/train_synthetic.py --model all --noise` recipe: all3
-families, mixed stressors + channel augmentation), using a temp
+(the canonical `tools/train_synthetic.py --model all --noise
+--variants 48 --family all3 --stressor_prob 0.5 --channel_prob 0.25`
+recipe: all3 families, mixed stressors + channel augmentation,
+reproduced inline below), using a temp
 dataset dir and save=False so shipped checkpoints are never touched.
 Measured numbers live in docs/PERF.md ("End-to-end training
 wall-clock"). Reference counterpart: the trainer loop at
