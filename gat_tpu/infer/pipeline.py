@@ -104,12 +104,12 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     densest file, so most slots are empty zeros and the ensemble is
     the dominant cost. Results scatter back to their (file, slot)
     positions; if a wave ever keeps more clips than the budget, the
-    FIRST `budget` kept slots in file-major order are computed and the
-    rest are dropped — so the drop is latest-first AND cross-file
-    biased (an overflowing early file can starve later files in its
-    wave entirely) — and the per-file overflow flag is raised (the
-    framework's standard budget+mask+flag pattern). None = exact
-    (every slot computed).
+    FIRST `budget` kept slots in slot-major (interleaved) order are
+    computed — every file keeps its EARLIEST clips and the wave's
+    files degrade together rather than early files starving later
+    ones — and the per-file overflow flag is raised (the framework's
+    standard budget+mask+flag pattern). None = exact (every slot
+    computed).
 
     cand_budget sizes the onset candidate scan (segment_waveform /
     pick_onsets_from_envelope): content-aware serving can shrink the
@@ -136,9 +136,13 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
         budget = wave_clip_budget
         if budget is not None and budget < b * k:
             keptf = kept.reshape(b * k)
-            # kept slots first, stable → file-major order preserved
-            order = jnp.argsort(~keptf, stable=True)
-            sel = order[:budget]
+            # kept slots first in INTERLEAVED (slot-major) order: all
+            # files' slot 0, then slot 1, … — under overflow every file
+            # degrades together, keeping its earliest clips, instead of
+            # early files starving later ones (fair-budget semantics)
+            keptt = kept.T.reshape(b * k)
+            ordert = jnp.argsort(~keptt, stable=True)[:budget]
+            sel = (ordert % b) * k + (ordert // b)
             comp = fix_length(resample(flat[sel], target_sr, ckpt_sr),
                               int(ckpt_sr * clip_duration))
             probs_c, mlp_c, cnn_c = ensemble(comp)

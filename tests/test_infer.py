@@ -249,7 +249,8 @@ def test_wave_clip_budget_exact_below_and_flags_above(tmp_path,
                                                       transcriber):
     """Wave clip-budget compaction: with a budget that covers every kept
     clip the results are IDENTICAL to the exact path; with a starved
-    budget the earliest clips are kept and the overflow flag raises."""
+    budget every file keeps its EARLIEST clips, the budget spreads
+    fairly across the wave's files, and the overflow flag raises."""
     paths = []
     for i in range(2):
         y = _riff(NOTES[:4])
@@ -267,8 +268,11 @@ def test_wave_clip_budget_exact_below_and_flags_above(tmp_path,
         assert rr["onset_overflow"] is False
     starved = transcriber.transcribe_files(paths, max_onsets=8,
                                            wave_clip_budget=3)
-    total_kept = sum(len(r["labels"]) for r in starved)
-    assert total_kept == 3
+    counts = [len(r["labels"]) for r in starved]
+    assert sum(counts) == 3
     assert any(r["onset_overflow"] for r in starved)
-    # the computed slots are the earliest (file-major prefix)
-    assert starved[0]["labels"] == exact[0]["labels"][:3]
+    # fair interleave: each file keeps its earliest clips, and the
+    # budget spreads across the wave (no file starved by another)
+    assert max(counts) - min(counts) <= 1
+    for rs, re_ in zip(starved, exact):
+        assert rs["labels"] == re_["labels"][:len(rs["labels"])]
