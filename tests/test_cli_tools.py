@@ -206,6 +206,84 @@ def test_display_helpers(tmp_path):
         assert (tmp_path / f).stat().st_size > 1000
 
 
+def test_evaluate_wav_dir_report(tmp_path, capsys):
+    """BYO-recordings eval (`tools/evaluate.py --wav_dir`): folders named
+    after SPN labels yield folder_label_accuracy; a non-label folder still
+    contributes to yin_agreement; a silent file lands as a per-file error
+    entry without failing the run."""
+    import sys
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                           / "tools"))
+    from evaluate import evaluate_wav_dir
+    from gat_tpu.infer import Transcriber
+
+    def two_plucks(path, f):
+        # two onsets: the final-onset quirk discards the last, leaving 1
+        y = np.zeros(int(2.4 * SR), np.float32)
+        for t0 in (0.4, 1.5):
+            n = make_pluck(f, SR, 0.45, seed=int(f))
+            fade = int(0.3 * len(n))
+            n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+            s = int(t0 * SR)
+            y[s:s + len(n)] += n
+        write_wav(path, y, SR)
+
+    wav_dir = tmp_path / "recordings"
+    for label, f in [("A2", 110.0), ("G3", 196.0)]:
+        d = wav_dir / label
+        d.mkdir(parents=True)
+        two_plucks(d / "take.wav", f)
+    # unlabeled folder: counted for YIN agreement, not accuracy
+    misc = wav_dir / "session1"
+    misc.mkdir()
+    two_plucks(misc / "riff.wav", 246.94)
+    # silence: slicing yields no clips -> error entry, run continues
+    write_wav(wav_dir / "quiet.wav", np.zeros(SR, np.float32), SR)
+
+    rep = evaluate_wav_dir(Transcriber(), wav_dir)
+    capsys.readouterr()
+    assert rep["n_files"] == 4
+    assert rep["n_clips"] == 3
+    assert rep["n_labeled_clips"] == 2
+    assert rep["folder_label_accuracy"] == 1.0
+    assert rep["yin_agreement"] == 1.0
+    by_name = {Path(e["file"]).name: e for e in rep["files"]}
+    assert "error" in by_name["quiet.wav"]
+    assert by_name["riff.wav"]["clips"][0]["label"] == "B3"
+    assert "folder_label" not in by_name["riff.wav"]
+    assert by_name["take.wav"]["folder_label"] in ("A2", "G3")
+
+    with pytest.raises(FileNotFoundError, match="no .wav files"):
+        evaluate_wav_dir(Transcriber(), tmp_path / "empty")
+
+
+def test_eda_slices_audition_with_fake_sounddevice(tmp_path, monkeypatch,
+                                                   capsys):
+    """EDA slice audition (VERDICT r2 'missing #3', ref
+    prototyping/tools/eda/data_analysis.py:106-185): a fake sounddevice
+    stands in for speakers so the --play path (sd.play + sd.wait per
+    clip) runs end-to-end."""
+    import sys
+    import types
+    import eda
+
+    plays = []
+    fake_sd = types.ModuleType("sounddevice")
+    fake_sd.play = lambda clip, sr: plays.append((len(clip), sr))
+    fake_sd.wait = lambda: plays.append("wait")
+    monkeypatch.setitem(sys.modules, "sounddevice", fake_sd)
+
+    p = _riff_wav(tmp_path / "riff.wav")
+    out = eda.slice_analysis(p, play=True)
+    capsys.readouterr()
+    # final-onset quirk: 3 plucks -> 2 clips, each auditioned then waited
+    assert len(out) == 2
+    assert [x for x in plays if x == "wait"] == ["wait", "wait"]
+    clips = [x for x in plays if x != "wait"]
+    assert all(sr == SR and n > 0 for n, sr in clips)
+    assert all(0 < info["rms"] <= info["peak"] <= 1.0 for info in out)
+
+
 def test_evaluate_set_smoke(tmp_path):
     """The eval harness end-to-end on a tiny family/stressor set: every
     accuracy field populated and in range, the pitch-prior column
