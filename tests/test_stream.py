@@ -161,9 +161,16 @@ def test_live_mic_loop_with_fake_sounddevice(monkeypatch):
     # call would stall one poll for seconds and drop ring audio)
     live.buffer.push(np.zeros(live.buffer.maxlen, np.float32))
     live.process_buffer(force=True)
-    live.buffer.clear()
-    live.results.clear()
-    results = live.live(duration=4.5)
-    labels = [r["labels"][0] for r in results]
+    # the loop is real-time (the fake stream paces at ~wall speed): on a
+    # loaded machine a stalled poll can lap the 1.5 s ring and drop a
+    # note, so allow a bounded number of reruns before declaring failure
+    labels = []
+    for _ in range(3):
+        live.buffer.clear()
+        live.results.clear()
+        results = live.live(duration=4.5)
+        labels = [r["labels"][0] for r in results]
+        if len(labels) >= 2 and set(labels) <= set(played.values()):
+            break
     assert len(labels) >= 2, f"too few notes transcribed live: {labels}"
     assert set(labels) <= set(played.values()), labels
