@@ -1,4 +1,5 @@
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
@@ -192,6 +193,67 @@ def test_serve_batched(tmp_path):
     assert s["labels"] == [] and "error" in s
     g = json.loads((out_dir / "garbage.json").read_text())
     assert g["labels"] == [] and "error" in g
+
+
+def test_serve_http_endpoint(tmp_path):
+    """--http mode end-to-end on a real socket: POST /transcribe with a
+    .wav body returns the transcription JSON, silence returns empty
+    labels + error (200, batch semantics), garbage is a 400, /healthz
+    answers, unknown paths 404."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+    import serve as serve_mod
+
+    holder: list = []
+    th = threading.Thread(
+        target=serve_mod.serve_http,
+        kwargs=dict(port=0, verbose=False, server_holder=holder),
+        daemon=True)
+    th.start()
+    for _ in range(200):
+        if holder:
+            break
+        time.sleep(0.05)
+    assert holder, "http server never bound"
+    port = holder[0].server_address[1]
+    base = f"http://127.0.0.1:{port}"
+
+    def post(body: bytes, path="/transcribe"):
+        req = urllib.request.Request(f"{base}{path}", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        p = _riff_wav(tmp_path / "riff.wav")
+        status, rj = post(p.read_bytes())
+        assert status == 200
+        assert rj["labels"] == ["A2", "G3"]
+        assert rj["yin"][0]["note_name"] == "A2"
+        assert rj["onset_overflow"] is False
+
+        silence = tmp_path / "silence.wav"
+        write_wav(silence, np.zeros(SR, np.float32), SR)
+        status, rj = post(silence.read_bytes())
+        assert status == 200
+        assert rj["labels"] == [] and "error" in rj
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(b"not a wav" * 9)
+        assert ei.value.code == 400
+        assert json.loads(ei.value.read())["labels"] == []
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(b"x", path="/nope")
+        assert ei.value.code == 404
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)
 
 
 def test_display_helpers(tmp_path):

@@ -9,9 +9,14 @@ confidences, onsets, YIN baseline) is written to `--out_dir`. Files are
 processed in arrival batches; the hot path reuses the Transcriber's
 cached jit graphs, so steady-state cost per file is one device dispatch.
 
+`--http PORT` serves the same transcription over HTTP instead (stdlib
+only): `POST /transcribe` with a `.wav` body returns the result JSON,
+`GET /healthz` reports liveness.
+
 Usage:
     python tools/serve.py --in_dir incoming/ --out_dir results/
     python tools/serve.py --in_dir incoming/ --out_dir results/ --once
+    python tools/serve.py --http 8080
 """
 from __future__ import annotations
 
@@ -131,10 +136,101 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
     return processed
 
 
+def serve_http(port: int = 8080, host: str = "127.0.0.1",
+               transcriber=None, verbose: bool = True,
+               server_holder: list | None = None):
+    """HTTP transcription endpoint (stdlib `http.server`, no new deps):
+
+    - ``POST /transcribe`` — body is a whole ``.wav`` file; responds with
+      the same result JSON the watch-folder mode writes (labels,
+      confidences, onsets, YIN baseline, onset_overflow). Silence (no
+      clips survive slicing) is a 200 with empty labels + error text,
+      matching batch semantics; an undecodable body is a 400.
+    - ``GET /healthz`` — ``{"ok": true}`` liveness probe.
+
+    ``port=0`` binds a free port. ``server_holder`` (tests) receives the
+    server object before ``serve_forever`` so another thread can
+    ``shutdown()`` it. One device dispatch runs at a time (the handler
+    pool serializes on a lock); throughput-oriented deployments should
+    front this with the watch-folder ``--batch`` path, which amortizes
+    waves of files into one dispatch."""
+    import http.server
+    import tempfile
+    import threading
+    from gat_tpu.infer import Transcriber
+
+    t = transcriber or Transcriber()
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            if verbose:
+                print(f"[serve.http] {fmt % args}")
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload, indent=2).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/transcribe":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            if n <= 0:
+                self._json(400, {"labels": [], "error": "empty body"})
+                return
+            data = self.rfile.read(n)
+            try:
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(data)
+                    f.flush()
+                    with lock:  # one graph dispatch at a time
+                        result = t.transcribe(f.name)
+            except ValueError as e:
+                # silence (no clips survived slicing) is valid content →
+                # 200 with empty labels, matching batch semantics; any
+                # other ValueError is a bad body (e.g. not a RIFF) → 400
+                code = 200 if "clips survived" in str(e) else 400
+                self._json(code, {"labels": [], "error": str(e)})
+                return
+            except Exception as e:
+                self._json(400, {"labels": [],
+                                 "error": f"{type(e).__name__}: {e}"})
+                return
+            self._json(200, result_to_json(result))
+
+    srv = http.server.ThreadingHTTPServer((host, port), Handler)
+    if server_holder is not None:
+        server_holder.append(srv)
+    if verbose:
+        print(f"[serve] http on {host}:{srv.server_address[1]} "
+              "(POST /transcribe, GET /healthz; Ctrl+C to stop)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--in_dir", type=Path, required=True)
-    ap.add_argument("--out_dir", type=Path, required=True)
+    ap.add_argument("--in_dir", type=Path)
+    ap.add_argument("--out_dir", type=Path)
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve an HTTP endpoint instead of watching a "
+                         "directory: POST /transcribe with a .wav body "
+                         "returns the transcription JSON")
     ap.add_argument("--once", action="store_true",
                     help="process current contents and exit")
     ap.add_argument("--poll_s", type=float, default=0.5)
@@ -154,6 +250,11 @@ def main():
     if args.pitch_prior > 0:
         from gat_tpu.infer import Transcriber
         t = Transcriber(pitch_prior_weight=args.pitch_prior)
+    if args.http is not None:
+        serve_http(args.http, transcriber=t)
+        return 0
+    if args.in_dir is None or args.out_dir is None:
+        ap.error("--in_dir and --out_dir are required without --http")
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
           transcriber=t, batch=args.batch, cand_budget=args.cand_budget)
     return 0
