@@ -256,6 +256,36 @@ def test_serve_http_endpoint(tmp_path):
         th.join(timeout=10)
 
 
+def test_inspect_ckpt_tool(capsys):
+    """Checkpoint inspector: schema summary for the shipped MLP and the
+    reference-imported artifact, without loading a model."""
+    from inspect_ckpt import summarize, main as inspect_main
+
+    repo = Path(__file__).resolve().parent.parent
+    shipped = repo / "data/checkpoints/mlp/mlp_synth_v1.0.0.gtckpt.npz"
+    info = summarize(shipped)
+    assert info["num_classes"] == 47
+    assert info["n_params"] == 20143
+    assert info["has_opt_state"] and info["opt_state_fingerprint"]
+    assert info["classes"].startswith("47: A#2")
+    assert "final" in info["val_accuracy_history"]
+
+    imported = repo / "data/checkpoints/mlp/mlp_v1.0.0.gtckpt.npz"
+    info = summarize(imported, histories=True)
+    assert info["epoch"] == 7  # the reference's early-stopped run
+    assert info["val_accuracy_history"][-1] == 0.99902  # parity artifact
+    assert not info["has_opt_state"]
+
+    import sys as _sys
+    argv = _sys.argv
+    _sys.argv = ["inspect_ckpt.py", str(shipped)]
+    try:
+        assert inspect_main() == 0
+    finally:
+        _sys.argv = argv
+    assert "opt_state_fingerprint" in capsys.readouterr().out
+
+
 def test_display_helpers(tmp_path):
     from gat_tpu.utils.display import (plot_waveform, plot_spectrogram,
                                        plot_series)
