@@ -27,7 +27,8 @@ from ..utils.native_wav import write_wav_batch
 
 __all__ = ["karplus_strong", "additive_pluck", "fm_pluck",
            "apply_vibrato", "apply_pitch_bend", "apply_tremolo",
-           "synthesize_note_dataset", "DEFAULT_CLASS_NAMES"]
+           "apply_palm_mute", "synthesize_note_dataset",
+           "DEFAULT_CLASS_NAMES"]
 
 # the 47 SPN classes of the shipped reference checkpoint (A#2…G5)
 DEFAULT_CLASS_NAMES = [
@@ -163,6 +164,22 @@ def apply_tremolo(sig: np.ndarray, sr: int, depth: float = 0.5,
     return (sig * env).astype(sig.dtype)
 
 
+def apply_palm_mute(sig: np.ndarray, sr: int, decay_s: float = 0.12,
+                    tone: float = 0.35) -> np.ndarray:
+    """Palm-muted / staccato articulation: the picking-hand palm damps
+    the string, so the note both decays fast and loses high partials.
+    Exponential gain with time constant `decay_s` into a second-order
+    lowpass (two cascaded one-poles; `tone` in (0, 1], smaller =
+    darker — one pole alone barely dents the attack transient's
+    high-frequency share, measured in tests/test_synth.py)."""
+    from scipy.signal import lfilter
+    t = np.arange(len(sig)) / sr
+    y = sig * np.exp(-t / max(decay_s, 1e-3))
+    for _ in range(2):
+        y = lfilter([tone], [1.0, tone - 1.0], y)
+    return y.astype(sig.dtype)
+
+
 _STRESSORS = {
     "vibrato": lambda s, sr, rng: apply_vibrato(
         s, sr, depth_cents=rng.uniform(15, 35),
@@ -175,7 +192,15 @@ _STRESSORS = {
     "tremolo": lambda s, sr, rng: apply_tremolo(
         s, sr, depth=rng.uniform(0.3, 0.7),
         rate_hz=rng.uniform(4, 8), seed=rng.integers(1 << 31)),
+    "palm_mute": lambda s, sr, rng: apply_palm_mute(
+        s, sr, decay_s=rng.uniform(0.08, 0.18),
+        tone=rng.uniform(0.2, 0.4)),
 }
+
+# 'mix' draws from this FROZEN tuple, not _STRESSORS' keys: published
+# seeded mix streams (the canonical training recipe) must not move when
+# an eval-only stressor is added later
+_MIX_KEYS = ("vibrato", "bend", "detune", "tremolo")
 
 _FAMILIES = ("ks", "additive", "fm", "all3")
 
@@ -219,7 +244,8 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
     training recipe; the held-out eval family is now the code-disjoint
     modal renderer in data/modal.py, VERDICT r2 §next-1).
 
-    stressor: None, a key of {vibrato, bend, detune, tremolo}, or 'mix'
+    stressor: None, a key of {vibrato, bend, detune, tremolo,
+    palm_mute}, or 'mix' (mix draws from the frozen _MIX_KEYS four)
     (random stressor per variant) — playing-style perturbations for
     off-distribution evaluation, or (with stressor_prob < 1) training
     augmentation that keeps a clean fraction of the variants.
@@ -289,7 +315,7 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
             if stressor is not None and (stressor_prob >= 1.0
                                          or rng.random() < stressor_prob):
                 which = (stressor if stressor != "mix" else
-                         list(_STRESSORS)[int(rng.integers(len(_STRESSORS)))])
+                         _MIX_KEYS[int(rng.integers(len(_MIX_KEYS)))])
                 sig = _STRESSORS[which](sig, sr, rng)
             if channel is not None and (channel_prob >= 1.0
                                         or rng.random() < channel_prob):

@@ -153,6 +153,34 @@ def test_channel_stressors_preserve_pitch_change_signal():
         apply_channel(base, SR, "bitcrush", rng)
 
 
+def test_palm_mute_damps_and_darkens_but_keeps_pitch():
+    """Palm mute: faster decay (tail energy collapses), darker spectrum
+    (HF share drops), pitch still recoverable; and the 'mix' draw keys
+    stay FROZEN so published seeded training streams don't move when an
+    eval-only stressor is added."""
+    from gat_tpu.data.synth import apply_palm_mute, _MIX_KEYS, _STRESSORS
+    base = additive_pluck(196.0, SR, 0.5, 1, seed=9)[0]
+    out = apply_palm_mute(base.copy(), SR, decay_s=0.1, tone=0.35)
+    assert out.shape == base.shape
+    half = len(base) // 2
+
+    def tail_share(y):
+        e = np.square(y.astype(np.float64))
+        return e[half:].sum() / e.sum()
+
+    assert tail_share(out) < 0.25 * tail_share(base)
+
+    def hf_share(y):
+        S = np.abs(np.fft.rfft(y.astype(np.float64)))**2
+        cut = int(1000 / (SR / len(y)))  # bins above 1 kHz
+        return S[cut:].sum() / S.sum()
+
+    assert hf_share(out) < 0.5 * hf_share(base)
+    assert abs(_pitch(out) - 196.0) / 196.0 < 0.02
+    assert "palm_mute" in _STRESSORS
+    assert _MIX_KEYS == ("vibrato", "bend", "detune", "tremolo")
+
+
 def test_channel_prob_zero_reproduces_unaugmented_dataset(tmp_path):
     """channel_prob=0 must yield byte-identical datasets to no channel
     arg at all (the rng-stream stability contract)."""

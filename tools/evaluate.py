@@ -42,6 +42,7 @@ FULL_SUITE = {
     "pitch_bend": {"stressor": "bend"},
     "detune_25c": {"stressor": "detune"},
     "tremolo": {"stressor": "tremolo"},
+    "palm_mute": {"stressor": "palm_mute"},
     "fm_vibrato": {"family": "fm", "stressor": "vibrato"},
     "modal_vibrato": {"renderer": "modal", "stressor": "vibrato"},
     "room_ir": {"channel": "room_ir"},
