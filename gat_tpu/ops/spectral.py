@@ -271,9 +271,21 @@ def stft(y: jax.Array, n_fft: int = 2048, hop_length: int | None = None,
 
 def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
                       center: bool = True, pad_mode: str = "constant",
-                      power: float = 2.0) -> jax.Array:
+                      power: float = 2.0,
+                      n_freqs: int | None = None) -> jax.Array:
     """|STFT|^power, using the MXU matmul-DFT on TPU (the window is
-    folded into the DFT operands; XLA fuses the square/add epilogue)."""
+    folded into the DFT operands; XLA fuses the square/add epilogue).
+
+    n_freqs limits the output to the first `n_freqs` frequency bins
+    (default: all 1 + n_fft//2). Mel consumers pass 1024 here — their
+    filterbanks carry exactly zero weight at the Nyquist bin, and
+    1024 = 8×128 tiles the DFT GEMM's output dimension perfectly onto
+    the MXU's 128-lane registers where 1025 pays a ragged final tile.
+    The mel result is mathematically unchanged (the dropped term is
+    exactly zero); only the reduction order over the kept bins moves,
+    within float reduction-reorder noise (~1e-7 relative)."""
+    if n_freqs is None:
+        n_freqs = 1 + n_fft // 2
     if stft_backend() == "matmul":
         if center:
             y = _pad_center(y, n_fft // 2, pad_mode)
@@ -297,6 +309,7 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
         # All measured on v5e in the full fused graphs — docs/PERF.md.
         frames = frame(y, n_fft, hop_length).astype(_MATMUL_DTYPE)
         c_m, s_m = _rdft_np(n_fft)
+        c_m, s_m = c_m[:, :n_freqs], s_m[:, :n_freqs]
         win = _hann_np(n_fft)[:, None]
         cw = jnp.asarray(c_m * win, _MATMUL_DTYPE)
         sw = jnp.asarray(s_m * win, _MATMUL_DTYPE)
@@ -309,7 +322,7 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
             return p
         return jnp.sqrt(p) if power == 1.0 else p ** (power / 2.0)
     z = stft(y, n_fft=n_fft, hop_length=hop_length, center=center,
-             pad_mode=pad_mode)
+             pad_mode=pad_mode)[..., :n_freqs]
     mag = jnp.abs(z)
     return mag if power == 1.0 else mag ** power
 
@@ -338,6 +351,18 @@ def amplitude_to_db_torchaudio(S: jax.Array, stype: str = "power",
     return mult * jnp.log10(jnp.maximum(S, amin))  # ref_value=1 → db_mult 0
 
 
+def _last_nonzero_bin(fb_np: np.ndarray) -> int:
+    """Index of the last frequency bin with ANY mel weight. Both mel
+    conventions end their top triangle exactly AT Nyquist, so the
+    Nyquist bin's weight is identically zero and dropping it from the
+    DFT GEMM leaves the mel output mathematically unchanged (reduction
+    order over the kept bins moves within float noise) — while making
+    the output dimension 1024 = 8×128, which tiles the hot GEMM
+    perfectly onto the MXU (docs/PERF.md "Nyquist-bin trim")."""
+    nz = np.nonzero(np.abs(fb_np).sum(axis=0))[0]
+    return int(nz.max()) if nz.size else fb_np.shape[1] - 1
+
+
 @functools.lru_cache(maxsize=16)
 def _dct_ii_np(n_in: int, n_out: int) -> np.ndarray:
     """Orthonormal DCT-II matrix (n_in, n_out): X @ D == scipy.fftpack.dct
@@ -361,9 +386,11 @@ def melspectrogram_librosa(y: jax.Array, sr: int, n_fft: int = 2048,
                            power: float = 2.0) -> jax.Array:
     """(..., n) → (..., n_frames, n_mels), librosa.feature.melspectrogram
     defaults (constant center pad, Slaney mel + slaney norm)."""
+    fb_np = np.asarray(mel_filterbank_librosa(sr, n_fft, n_mels))  # (M, F)
+    f_keep = _last_nonzero_bin(fb_np) + 1
     S = power_spectrogram(y, n_fft, hop_length, pad_mode="constant",
-                          power=power)
-    fb = jnp.asarray(mel_filterbank_librosa(sr, n_fft, n_mels))  # (M, F)
+                          power=power, n_freqs=f_keep)
+    fb = jnp.asarray(fb_np[:, :f_keep])
     return jnp.einsum("...tf,mf->...tm", S, fb,
                       preferred_element_type=jnp.float32)
 
@@ -377,10 +404,11 @@ def melspectrogram_torchaudio(y: jax.Array, sr: int, n_fft: int = 2048,
     """(..., n) → (..., n_frames, n_mels), torchaudio MelSpectrogram
     semantics (reflect center pad, HTK mel, no norm) + AmplitudeToDB
     (ref features.py:296-316)."""
+    fb_np = np.asarray(mel_filterbank_torchaudio(sr, n_fft, n_mels))  # (M, F)
+    f_keep = _last_nonzero_bin(fb_np) + 1
     S = power_spectrogram(y, n_fft, hop_length, pad_mode="reflect",
-                          power=power)
-    fb = jnp.asarray(mel_filterbank_torchaudio(sr, n_fft, n_mels))  # (M, F)
-    out = jnp.einsum("...tf,mf->...tm", S, fb,
+                          power=power, n_freqs=f_keep)
+    out = jnp.einsum("...tf,mf->...tm", S, jnp.asarray(fb_np[:, :f_keep]),
                      preferred_element_type=jnp.float32)
     if to_db:
         out = amplitude_to_db_torchaudio(out, stype="power")

@@ -123,3 +123,33 @@ def test_power_to_db_per_clip_clamp():
     np.testing.assert_allclose(out[0], [[-80.0, 0.0]], atol=1e-6)
     # clip 1: max -40 dB → floor at -120, so the -100 value is untouched
     np.testing.assert_allclose(out[1], [[-100.0, -40.0]], atol=1e-6)
+
+
+def test_nyquist_trim_is_numerically_equivalent(rng):
+    """Both mel conventions carry exactly zero weight at the Nyquist bin,
+    so the mel front-ends run their DFT GEMM at 1024 output bins
+    (8×128, MXU-aligned) instead of 1025. The result must equal the
+    full-spectrum composition to reduction-reorder noise on BOTH
+    backends."""
+    from gat_tpu.ops.mel import mel_filterbank_librosa
+    from gat_tpu.ops.spectral import _last_nonzero_bin
+
+    for fbf in (mel_filterbank_librosa, mel_filterbank_torchaudio):
+        fb = np.asarray(fbf(11025, 2048, 64))
+        assert np.abs(fb[:, -1]).max() == 0.0
+        assert _last_nonzero_bin(fb) == 1023
+
+    y = rng.normal(0, 0.3, (2, 11025)).astype(np.float32)
+    for backend in ("fft", "matmul"):
+        spectral.set_stft_backend(backend)
+        try:
+            out = np.asarray(spectral.melspectrogram_torchaudio(
+                y, 11025, hop_length=256, to_db=False))
+            S = np.asarray(spectral.power_spectrogram(
+                y, 2048, 256, pad_mode="reflect"))
+            assert S.shape[-1] == 1025  # default stays full-width
+            fb = np.asarray(mel_filterbank_torchaudio(11025, 2048, 64))
+            ref = np.einsum("btf,mf->btm", S, fb)
+            np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        finally:
+            spectral.set_stft_backend("fft")
