@@ -54,6 +54,7 @@ class AudioDatasetLoader:
         self.mono = mono
         self.fixed_len = (int(self.target_sr * duration)
                           if duration is not None else None)
+        self._load_cache: dict[bool, tuple] = {}
 
     def iter_paths(self):
         for root in self.dataset_roots:
@@ -67,7 +68,18 @@ class AudioDatasetLoader:
 
     def load_audio_dataset(self, pad_to_max: bool = True):
         """Returns (wavs, srs, labels, paths): wavs is a list of float32
-        arrays (all target_sr); pad_to_max zero-pads to the longest."""
+        arrays (all target_sr); pad_to_max zero-pads to the longest.
+
+        Memoized per instance: the walk + decode + batched resample is
+        deterministic for a static dataset dir, and training both models
+        on one dataset (train_all / train_synthetic --model all)
+        otherwise pays it twice — the decode+resample share of the two
+        ~19-26 s load+features stages in the shipped-recipe wall
+        breakdown (docs/PERF.md). Consumers never mutate the returned
+        arrays (feature extraction is jnp, out-of-place). Build a fresh
+        loader to re-read a changed directory."""
+        if pad_to_max in self._load_cache:
+            return self._load_cache[pad_to_max]
         pairs = list(self.iter_paths())
         if not pairs:
             raise FileNotFoundError(
@@ -101,4 +113,5 @@ class AudioDatasetLoader:
             max_len = max(len(w) for w in wavs)
             wavs = [np.pad(w, (0, max_len - len(w))) for w in wavs]
         srs = [self.target_sr] * len(wavs)
-        return wavs, srs, labels, paths
+        self._load_cache[pad_to_max] = (wavs, srs, labels, paths)
+        return self._load_cache[pad_to_max]

@@ -39,6 +39,17 @@ class TrainingManager:
         # AMP analog: bf16 CNN compute (ref cnn config USE_AMP)
         self.use_bf16_cnn = (self.cnn_cfg.USE_AMP if use_bf16_cnn is None
                              else use_bf16_cnn)
+        # one loader per dataset: train_all decodes the WAVs once and
+        # both feature pipelines read the memoized waveforms
+        self._loaders: dict[tuple, AudioDatasetLoader] = {}
+
+    def _get_loader(self, ds_path) -> AudioDatasetLoader:
+        key = (str(ds_path), self.target_sr, self.clip_duration)
+        if key not in self._loaders:
+            self._loaders[key] = AudioDatasetLoader(
+                [ds_path], target_sr=self.target_sr,
+                duration=self.clip_duration)
+        return self._loaders[key]
 
     @staticmethod
     def _print_config(cfg):
@@ -80,8 +91,7 @@ class TrainingManager:
         ds_path = self._choose_dataset(dataset)
         t_feat = time.time()
 
-        loader = AudioDatasetLoader([ds_path], target_sr=self.target_sr,
-                                    duration=self.clip_duration)
+        loader = self._get_loader(ds_path)
         builder = FeatureBuilder()
         (dl_tr, dl_val, X, y, num_classes, reverse_map,
          scaler) = build_mfcc_train_val(
@@ -127,8 +137,7 @@ class TrainingManager:
         ds_path = self._choose_dataset(dataset)
         t_feat = time.time()
 
-        loader = AudioDatasetLoader([ds_path], target_sr=self.target_sr,
-                                    duration=self.clip_duration)
+        loader = self._get_loader(ds_path)
         builder = FeatureBuilder()
         (dl_tr, dl_val, X, y, num_classes,
          reverse_map) = build_melspec_train_val(

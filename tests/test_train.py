@@ -332,3 +332,37 @@ def test_evaluate_respects_drop_last(rng):
     assert total == 64  # trailing 6 dropped
     assert acc_drop == pytest.approx(correct / total)
     assert loss_drop == pytest.approx(loss_sum / total, rel=1e-6)
+
+
+def test_shared_dataset_decode_across_trainers(tmp_path, monkeypatch):
+    """train_all's two feature pipelines must decode the WAVs once: the
+    loader memoizes load_audio_dataset per instance and the manager
+    hands both trainers the SAME loader for the same
+    (dataset, sr, duration) key."""
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.data.synth import synthesize_note_dataset
+    from gat_tpu.train import TrainingManager
+
+    ds = synthesize_note_dataset(tmp_path / "ds", class_names=["A3", "E2"],
+                                 variants_per_class=2, verbose=False)
+    calls = {"n": 0}
+    from gat_tpu.utils import native_wav
+
+    _orig = native_wav.read_wav_batch
+    monkeypatch.setattr(native_wav, "read_wav_batch",
+                        lambda paths, *a, **kw: (calls.__setitem__(
+                            "n", calls["n"] + 1) or _orig(paths, *a, **kw)))
+
+    loader = AudioDatasetLoader([ds], target_sr=11025, duration=0.5)
+    out1 = loader.load_audio_dataset(pad_to_max=True)
+    out2 = loader.load_audio_dataset(pad_to_max=True)
+    assert calls["n"] == 1
+    assert out1 is out2
+
+    mgr = TrainingManager(target_sr=11025)
+    l1 = mgr._get_loader(ds)
+    l2 = mgr._get_loader(ds)
+    assert l1 is l2
+    l1.load_audio_dataset()
+    l2.load_audio_dataset()
+    assert calls["n"] == 2  # one decode for the manager's shared loader
