@@ -13,6 +13,7 @@ are numerically comparable (ref: version_1/source/config.py:29-107).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, asdict
 from pathlib import Path
 
@@ -22,7 +23,10 @@ CONFIG_VERSION = "1.0.0"
 # Root paths
 # ---------------------------------------------------------------------------
 PROJECT_ROOT = Path(__file__).resolve().parent.parent
-DATA_ROOT = PROJECT_ROOT / "data"
+# Data (datasets/checkpoints) lives beside the package in a checkout; a
+# non-editable `pip install .` does not package it — point GAT_TPU_DATA_ROOT
+# at a checkout's data/ (or any dir with checkpoints/, datasets/) instead.
+DATA_ROOT = Path(os.environ.get("GAT_TPU_DATA_ROOT", PROJECT_ROOT / "data"))
 DATASETS_ROOT = DATA_ROOT / "datasets"
 PERSONAL_DATASETS_ROOT = DATASETS_ROOT / "personal"
 INFERENCE_ROOT = DATA_ROOT / "inference"

@@ -75,9 +75,10 @@ class AudioDatasetLoader:
         on one dataset (train_all / train_synthetic --model all)
         otherwise pays it twice — the decode+resample share of the two
         ~19-26 s load+features stages in the shipped-recipe wall
-        breakdown (docs/PERF.md). Consumers never mutate the returned
-        arrays (feature extraction is jnp, out-of-place). Build a fresh
-        loader to re-read a changed directory."""
+        breakdown (docs/PERF.md). The returned arrays are marked
+        read-only (shared across consumers; an in-place write raises).
+        Build a fresh loader to re-read a changed directory —
+        TrainingManager does this automatically via a walk signature."""
         if pad_to_max in self._load_cache:
             return self._load_cache[pad_to_max]
         pairs = list(self.iter_paths())
@@ -112,6 +113,10 @@ class AudioDatasetLoader:
         if pad_to_max:
             max_len = max(len(w) for w in wavs)
             wavs = [np.pad(w, (0, max_len - len(w))) for w in wavs]
+        for w in wavs:
+            # cached arrays are shared across consumers — an in-place
+            # write must raise, not silently poison later trainings
+            w.setflags(write=False)
         srs = [self.target_sr] * len(wavs)
         self._load_cache[pad_to_max] = (wavs, srs, labels, paths)
         return self._load_cache[pad_to_max]

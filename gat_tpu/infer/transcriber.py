@@ -67,12 +67,15 @@ class Transcriber:
         cnn_path = (Path(cnn_ckpt) if cnn_ckpt and Path(cnn_ckpt).is_file()
                     else cnn_root / (cnn_ckpt or CNN_CONFIG.DEFAULT_CKPT_NAME))
 
+        _hint = ("; shipped checkpoints live in a repo checkout's data/ — "
+                 "run from a checkout (pip install -e .) or set "
+                 "GAT_TPU_DATA_ROOT to its data/ dir")
         if not mlp_path.is_file():
             raise FileNotFoundError(
-                f"[Transcriber] Missing MLP checkpoint: {mlp_path}")
+                f"[Transcriber] Missing MLP checkpoint: {mlp_path}{_hint}")
         if require_cnn and not cnn_path.is_file():
             raise FileNotFoundError(
-                f"[Transcriber] Missing CNN checkpoint: {cnn_path}")
+                f"[Transcriber] Missing CNN checkpoint: {cnn_path}{_hint}")
 
         self.model_ckpts = {"mlp": load_checkpoint(mlp_path)}
         if cnn_path.is_file():

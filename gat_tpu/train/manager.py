@@ -9,6 +9,7 @@ programmatically (`dataset` by name/index/path) so training is scriptable
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import asdict
 from pathlib import Path
@@ -44,12 +45,30 @@ class TrainingManager:
         self._loaders: dict[tuple, AudioDatasetLoader] = {}
 
     def _get_loader(self, ds_path) -> AudioDatasetLoader:
-        key = (str(ds_path), self.target_sr, self.clip_duration)
+        # key includes a cheap walk signature (paths+mtimes+sizes) so a
+        # dataset dir regenerated between trainings is re-decoded, not
+        # served stale from the memoized loader
+        key = (str(ds_path), self.target_sr, self.clip_duration,
+               self._dir_signature(ds_path))
         if key not in self._loaders:
+            self._loaders.clear()  # at most one live decode cache
             self._loaders[key] = AudioDatasetLoader(
                 [ds_path], target_sr=self.target_sr,
                 duration=self.clip_duration)
         return self._loaders[key]
+
+    @staticmethod
+    def _dir_signature(ds_path) -> int:
+        sig = 0
+        for folder in sorted(os.listdir(ds_path)):
+            fp = Path(ds_path) / folder
+            if not fp.is_dir():
+                continue
+            for fname in sorted(os.listdir(fp)):
+                if fname.endswith(".wav"):
+                    st = (fp / fname).stat()
+                    sig = hash((sig, fname, st.st_mtime_ns, st.st_size))
+        return sig
 
     @staticmethod
     def _print_config(cfg):

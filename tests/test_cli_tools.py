@@ -395,3 +395,95 @@ def test_evaluate_set_smoke(tmp_path):
     assert res["n_clips"] == 2 * 47
     # the prior must help (or tie) on the unseen FM family
     assert res["ensemble_prior_accuracy"] >= res["ensemble_accuracy"]
+
+
+def test_serve_http_error_codes():
+    """Transport misuse answers 411/400 with the JSON contract; internal
+    failures are 5xx (not 4xx — clients must not treat a server fault as
+    their own bad request)."""
+    import http.client
+    import json
+    import threading
+    import serve as serve_mod
+
+    class Boom:  # stands in for a transcriber whose device fell over
+        def transcribe(self, path):
+            raise RuntimeError("device fell over")
+
+    holder: list = []
+    th = threading.Thread(
+        target=serve_mod.serve_http,
+        kwargs=dict(port=0, verbose=False, server_holder=holder,
+                    transcriber=Boom()),
+        daemon=True)
+    th.start()
+    for _ in range(200):
+        if holder:
+            break
+        time.sleep(0.05)
+    assert holder, "http server never bound"
+    port = holder[0].server_address[1]
+
+    def raw_post(headers: dict, body: bytes = b""):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        try:
+            conn.putrequest("POST", "/transcribe",
+                            skip_accept_encoding=True)
+            for k, v in headers.items():
+                conn.putheader(k, v)
+            conn.endheaders()
+            if body:
+                conn.send(body)
+            resp = conn.getresponse()
+            return resp.status, json.loads(resp.read())
+        finally:
+            conn.close()
+
+    try:
+        status, rj = raw_post({})  # no Content-Length at all
+        assert status == 411 and rj["labels"] == []
+
+        status, rj = raw_post({"Content-Length": "banana"})
+        assert status == 400 and "Content-Length" in rj["error"]
+
+        status, rj = raw_post({"Content-Length": "4"}, body=b"RIFF")
+        assert status == 500  # Boom.transcribe → server fault, 5xx
+        assert "device fell over" in rj["error"]
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)
+
+
+def test_serve_http_rejects_watch_folder_flags(monkeypatch, tmp_path):
+    """--http with watch-folder flags must error loudly, not silently
+    drop the user's levers."""
+    import serve as serve_mod
+
+    monkeypatch.setattr("sys.argv",
+                        ["serve.py", "--http", "0", "--batch", "8"])
+    with pytest.raises(SystemExit):
+        serve_mod.main()
+    monkeypatch.setattr("sys.argv",
+                        ["serve.py", "--http", "0", "--cand_budget", "64"])
+    with pytest.raises(SystemExit):
+        serve_mod.main()
+
+
+def test_data_root_env_override(tmp_path):
+    """GAT_TPU_DATA_ROOT points a non-editable install at a checkout's
+    data/ (checkpoints are not packaged)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, GAT_TPU_DATA_ROOT=str(tmp_path / "elsewhere"))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from gat_tpu import config; "
+         "print(config.DATA_ROOT); print(config.CHECKPOINTS_ROOT)"],
+        env=env, capture_output=True, text=True,
+        cwd=TOOLS.parent, timeout=120)
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.strip().splitlines()
+    assert lines[0] == str(tmp_path / "elsewhere")
+    assert lines[1] == str(tmp_path / "elsewhere" / "checkpoints")

@@ -366,3 +366,39 @@ def test_shared_dataset_decode_across_trainers(tmp_path, monkeypatch):
     l1.load_audio_dataset()
     l2.load_audio_dataset()
     assert calls["n"] == 2  # one decode for the manager's shared loader
+
+
+def test_manager_rereads_changed_dataset_dir(tmp_path):
+    """A dataset dir regenerated between trainings must not be served
+    stale from the manager's memoized loader: the cache key includes a
+    walk signature (paths+mtimes+sizes)."""
+    import os
+    import time
+    from gat_tpu.train import TrainingManager
+
+    ds = synthesize_note_dataset(tmp_path / "ds", class_names=["A3", "E2"],
+                                 variants_per_class=2, verbose=False)
+    mgr = TrainingManager(target_sr=11025)
+    l1 = mgr._get_loader(ds)
+    assert mgr._get_loader(ds) is l1  # unchanged dir → cached loader
+
+    wav = next(p for p, _ in l1.iter_paths())
+    st = os.stat(wav)
+    os.utime(wav, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    l2 = mgr._get_loader(ds)
+    assert l2 is not l1  # touched file → fresh loader (fresh decode cache)
+    # and a fresh loader replaces, not accumulates (one live decode cache)
+    assert len(mgr._loaders) == 1
+
+
+def test_loader_cache_arrays_are_read_only(tmp_path):
+    """Cached waveforms are shared across consumers — an in-place write
+    must raise instead of silently poisoning later trainings."""
+    from gat_tpu.data.loader import AudioDatasetLoader
+
+    ds = synthesize_note_dataset(tmp_path / "ds", class_names=["A3"],
+                                 variants_per_class=1, verbose=False)
+    loader = AudioDatasetLoader([ds], target_sr=11025, duration=0.5)
+    wavs, _, _, _ = loader.load_audio_dataset()
+    with pytest.raises(ValueError):
+        wavs[0][0] = 1.0

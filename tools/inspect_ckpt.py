@@ -24,11 +24,12 @@ sys.path.insert(0, str(REPO))
 
 def summarize(path: Path, histories: bool = False) -> dict:
     import numpy as np
-    from gat_tpu.train.checkpoint import load_checkpoint
+    from gat_tpu.train.checkpoint import flatten_tree, load_checkpoint
 
     ckpt = load_checkpoint(path)
     n_params = int(sum(
-        np.asarray(v).size for v in _leaves(ckpt.get("variables", {}))))
+        np.asarray(v).size
+        for v in flatten_tree(ckpt.get("variables", {}) or {}).values()))
     info = {
         "path": str(path),
         "meta": ckpt.get("meta", {}),
@@ -52,14 +53,6 @@ def summarize(path: Path, histories: bool = False) -> dict:
             info[k] = [round(float(x), 5) for x in h] if histories \
                 else f"{len(h)} epochs, final {float(h[-1]):.5f}"
     return info
-
-
-def _leaves(tree):
-    if isinstance(tree, dict):
-        for v in tree.values():
-            yield from _leaves(v)
-    else:
-        yield tree
 
 
 def main():

@@ -185,7 +185,20 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             if self.path != "/transcribe":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
-            n = int(self.headers.get("Content-Length") or 0)
+            cl = self.headers.get("Content-Length")
+            if cl is None:
+                # stdlib BaseHTTPRequestHandler does not decode chunked
+                # bodies — require a length rather than misread the stream
+                self._json(411, {"labels": [],
+                                 "error": "Content-Length required "
+                                          "(chunked bodies unsupported)"})
+                return
+            try:
+                n = int(cl)
+            except ValueError:
+                self._json(400, {"labels": [],
+                                 "error": f"bad Content-Length: {cl!r}"})
+                return
             if n <= 0:
                 self._json(400, {"labels": [], "error": "empty body"})
                 return
@@ -204,7 +217,9 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 self._json(code, {"labels": [], "error": str(e)})
                 return
             except Exception as e:
-                self._json(400, {"labels": [],
+                # not a recognized bad-body error → server fault, 5xx
+                # (clients/monitors must not treat it as a caller mistake)
+                self._json(500, {"labels": [],
                                  "error": f"{type(e).__name__}: {e}"})
                 return
             self._json(200, result_to_json(result))
@@ -251,6 +266,19 @@ def main():
         from gat_tpu.infer import Transcriber
         t = Transcriber(pitch_prior_weight=args.pitch_prior)
     if args.http is not None:
+        # watch-folder flags have no effect on the HTTP server — reject
+        # them loudly instead of silently running a different config
+        ignored = [n for n, bad in [
+            ("--in_dir", args.in_dir is not None),
+            ("--out_dir", args.out_dir is not None),
+            ("--once", args.once),
+            ("--poll_s", args.poll_s != 0.5),
+            ("--batch", args.batch != 1),
+            ("--cand_budget", args.cand_budget is not None),
+        ] if bad]
+        if ignored:
+            ap.error(f"--http does not support {', '.join(ignored)} "
+                     "(watch-folder flags)")
         serve_http(args.http, transcriber=t)
         return 0
     if args.in_dir is None or args.out_dir is None:
