@@ -314,25 +314,33 @@ class Transcriber:
         for bsec in sorted(buckets):
             group = buckets[bsec]
             n_bucket = bsec * target_sr
-            # full waves of max_batch scan together; the remainder (or a
-            # small group) dispatches on its own padded power-of-two B
+            # full waves of max_batch scan together, in power-of-two K
+            # chunks so the scan-length axis is log-bounded like B and
+            # n (a raw K would compile a fresh program per distinct
+            # wave count); the remainder (or a small group) dispatches
+            # on its own padded power-of-two B
             k_full = len(group) // max_batch
-            if k_full >= 2:
+            off = 0
+            while k_full >= 2:
+                kc = 1 << (k_full.bit_length() - 1)  # largest pow2 ≤ k
+                chunk = group[off:off + kc * max_batch]
                 stack = jnp.stack(
-                    [y for _, y, _ in group[:k_full * max_batch]]
-                ).reshape(k_full, max_batch, n_bucket)
+                    [y for _, y, _ in chunk]
+                ).reshape(kc, max_batch, n_bucket)
                 nvs = jnp.asarray(
-                    [nv for _, _, nv in group[:k_full * max_batch]],
-                    jnp.int32).reshape(k_full, max_batch)
+                    [nv for _, _, nv in chunk],
+                    jnp.int32).reshape(kc, max_batch)
                 outs = run_scan(stack, nvs)
-                for kk in range(k_full):
+                for kk in range(kc):
                     wave_ids = [i for i, _, _ in
-                                group[kk * max_batch:(kk + 1) * max_batch]]
+                                chunk[kk * max_batch:(kk + 1) * max_batch]]
                     wave_outs = tuple(
                         o[kk] if o is not None else None for o in outs)
                     for i in range(len(wave_ids)):
                         _emit(wave_ids, wave_outs, i)
-                group = group[k_full * max_batch:]
+                off += kc * max_batch
+                k_full -= kc
+            group = group[off:]
             for w0 in range(0, len(group), max_batch):
                 wave = group[w0:w0 + max_batch]
                 b = 1 << (len(wave) - 1).bit_length()

@@ -138,10 +138,13 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     ~10.3 ms to the envelope-bound floor on a v5e chip.
 
     Returns (onsets (max_onsets,) int32, valid (max_onsets,) bool,
-    overflow () bool). `overflow` is True when EITHER truncation engaged
-    — more raw candidates than `cand_budget`, or more kept onsets than
-    `max_onsets` — so silent truncation is impossible (VERDICT r2
-    §next-4): callers surface it in results/serve JSON."""
+    overflow () bool). `overflow` is True when truncation engaged AND
+    could have changed the result: more kept onsets than `max_onsets`,
+    or more raw candidates than `cand_budget` with the dropped (always
+    latest) candidates not provably rejected by the greedy's wait /
+    min-separation windows. Silent truncation is impossible (VERDICT r2
+    §next-4) — callers surface the flag in results/serve JSON — and a
+    budget that truncates only greedy-rejected peaks stays unflagged."""
     t = env.shape[-1]
     if valid_frames is None:
         valid_frames = jnp.ones((t,), bool)
@@ -170,10 +173,10 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
         cand_i = jnp.sort(jnp.where(cand, frames, big))[:c]
         cand_v = cand_i < big
         cand_i = jnp.minimum(cand_i, t - 1)  # safe gather index when padded
-        cand_overflow = n_raw_cand > c
+        truncated = n_raw_cand > c
     else:
         cand_i, cand_v = frames, cand
-        cand_overflow = jnp.asarray(False)
+        truncated = jnp.asarray(False)
 
     if backtrack:
         bt = backtrack_indices(env_n)
@@ -201,8 +204,22 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     # regardless of body size (traced: the 512-step scan was 1.5 ms, 73%
     # of the whole single-file graph) — 8 greedy steps per iteration
     # amortize it without changing the sequential semantics
-    _, keep = jax.lax.scan(step, init, (cand_i, samples, cand_v),
-                           unroll=8)
+    (fin_frame, fin_sample), keep = jax.lax.scan(
+        step, init, (cand_i, samples, cand_v), unroll=8)
+
+    # Truncation drops the LATEST raw candidates (kept = earliest c), so
+    # the scanned output is always a time-prefix of the exact scan's.
+    # It can differ only if a dropped candidate would still be ACCEPTED
+    # given the final carry — necessary conditions: the latest raw
+    # candidate clears the wait window after the last kept peak, and its
+    # largest possible backtracked sample (frame·hop; backtracking only
+    # moves earlier) clears min-separation after the last kept onset.
+    # When neither holds, the prefix is provably the full result and the
+    # flag stays False (no false "labels not exhaustive" to consumers).
+    i_max = jnp.max(jnp.where(cand, frames, -1))
+    could_differ = ((i_max > fin_frame + wait)
+                    & (i_max * hop_length - fin_sample >= min_samples))
+    cand_overflow = truncated & could_differ
 
     order = jnp.sort(jnp.where(keep, samples, big))[:max_onsets]
     valid = order < big

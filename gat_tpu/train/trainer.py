@@ -348,6 +348,11 @@ class Trainer:
         t0 = time.time()
         self.last_grad_norm = 0.0
         use_scan = scan_epoch and type(train_dl) is ArrayDataLoader
+        # the device copy is reused across THIS call's epochs only: a
+        # caller may mutate X/y in place between train() calls (object
+        # identity unchanged), so cross-call reuse would train on stale
+        # uploads while the per-batch path honored the mutation
+        self._dev_data = None
 
         for ep in range(1, epochs + 1):
             if verbose:

@@ -230,7 +230,9 @@ def test_transcribe_files_buckets_mixed_durations(tmp_path, transcriber):
 def test_transcribe_files_scanned_waves_match(tmp_path, transcriber):
     """When one bucket holds several full waves, the scanned (K, B, n)
     dispatch must produce per-file results identical to per-wave
-    dispatch (max_batch=2 over 6 same-length files → K=3 scan)."""
+    dispatch (max_batch=2 over 6 same-length files → 3 full waves,
+    decomposed into a K=2 scan chunk + one plain wave so compiled K
+    values stay power-of-two/log-bounded)."""
     paths = []
     for i in range(6):
         y = _riff(NOTES[:3])

@@ -269,3 +269,53 @@ def test_segment_waveform_cand_budget_knob():
     *_, ovf_tiny = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=16,
                                     cand_budget=2)
     assert bool(ovf_tiny)
+
+
+def test_onset_overflow_not_flagged_when_provably_exact():
+    """A candidate budget that truncates only greedy-rejected peaks must
+    NOT flag overflow: the dropped (latest) candidates sit inside the
+    wait window after the last kept peak, so the prefix result is
+    provably the full result."""
+    from gat_tpu.ops.onset import pick_onsets_from_envelope
+    t, hop = 400, 64  # wait = int(0.03*SR/64) = 10 frames
+    env = np.zeros(t, np.float32)
+    env[100] = env[105] = 3.0  # equal peaks 5 < wait frames apart
+    kw = dict(sr=SR, hop_length=hop, min_sep=0.0, max_onsets=8,
+              backtrack=False)
+    o_f, v_f, ovf_f = pick_onsets_from_envelope(
+        jnp.asarray(env), cand_budget=0, **kw)
+    o_1, v_1, ovf_1 = pick_onsets_from_envelope(
+        jnp.asarray(env), cand_budget=1, **kw)
+    assert not bool(ovf_f)
+    assert not bool(ovf_1)  # truncated, but provably unchanged
+    np.testing.assert_array_equal(np.asarray(o_1)[np.asarray(v_1)],
+                                  np.asarray(o_f)[np.asarray(v_f)])
+
+
+def test_overflow_flag_is_sound_on_random_envelopes(rng):
+    """Soundness property of the refined overflow flag: for random
+    envelopes under aggressive candidate budgets, whenever the flag is
+    False the truncated result must EQUAL the exact (full-budget) scan.
+    (A True flag makes no claim — it may be conservative.)"""
+    from gat_tpu.ops.onset import pick_onsets_from_envelope
+    checked_unflagged = 0
+    for trial in range(12):
+        t = int(rng.integers(80, 400))
+        env = np.maximum(0, rng.normal(0.1, 0.3, t)).astype(np.float32)
+        env[rng.integers(0, t, t // 6)] += rng.uniform(0.5, 3.0, t // 6)
+        for budget in (2, 4, 8, 16, 32, 64):
+            for min_sep in (0.1, 0.4):
+                o_b, v_b, ovf = pick_onsets_from_envelope(
+                    jnp.asarray(env), SR, 512, min_sep, 32,
+                    backtrack=False, cand_budget=budget)
+                if bool(ovf):
+                    continue
+                o_f, v_f, _ = pick_onsets_from_envelope(
+                    jnp.asarray(env), SR, 512, min_sep, 32,
+                    backtrack=False, cand_budget=0)
+                np.testing.assert_array_equal(np.asarray(v_b),
+                                              np.asarray(v_f))
+                np.testing.assert_array_equal(np.asarray(o_b),
+                                              np.asarray(o_f))
+                checked_unflagged += 1
+    assert checked_unflagged > 0  # the property was actually exercised

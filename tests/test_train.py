@@ -402,3 +402,20 @@ def test_loader_cache_arrays_are_read_only(tmp_path):
     wavs, _, _, _ = loader.load_audio_dataset()
     with pytest.raises(ValueError):
         wavs[0][0] = 1.0
+
+
+def test_scanned_epoch_honors_inplace_mutation_between_trains(rng):
+    """The scanned-epoch device upload is scoped to one train() call:
+    mutating the loader's arrays IN PLACE between calls (object identity
+    unchanged) must be trained on, exactly as the per-batch path would."""
+    n, d, k = 64, 6, 2
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    y = rng.integers(0, k, n)
+    dl = ArrayDataLoader(X, y, 32, seed=0)
+    tr = Trainer(MLP(num_features=d, hidden_dim=8, num_hidden_layers=1,
+                     num_classes=k), dl, seed=0)
+    tr.train(epochs=1, verbose=False)
+    X[:] = X + 100.0  # in-place: same object, new content
+    tr.train(epochs=1, verbose=False)
+    np.testing.assert_allclose(
+        np.asarray(tr._dev_data[3]).mean(), X.mean(), rtol=1e-5)

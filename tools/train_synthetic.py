@@ -103,7 +103,9 @@ def main():
                 + (f"_str{args.stressor_prob:g}"
                    if args.stressor_prob > 0 else "")
                 + (f"_{args.family}" if args.family != "mixed" else "")
-                + (f"_ch{args.channel_prob:g}"
+                + ((f"_ch{args.channel_prob:g}"
+                    if args.channel_draw == "mix"
+                    else f"_chc{args.channel_prob:g}")
                    if args.channel_prob > 0 else "")
                 + ".gtckpt.npz")
 
