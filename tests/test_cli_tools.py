@@ -487,3 +487,127 @@ def test_data_root_env_override(tmp_path):
     lines = out.stdout.strip().splitlines()
     assert lines[0] == str(tmp_path / "elsewhere")
     assert lines[1] == str(tmp_path / "elsewhere" / "checkpoints")
+
+
+def _start_http(kwargs):
+    import threading
+    import serve as serve_mod
+    holder: list = []
+    th = threading.Thread(
+        target=serve_mod.serve_http,
+        kwargs=dict(port=0, verbose=False, server_holder=holder, **kwargs),
+        daemon=True)
+    th.start()
+    for _ in range(200):
+        if holder:
+            break
+        time.sleep(0.05)
+    assert holder, "http server never bound"
+    return holder, th, holder[0].server_address[1]
+
+
+def test_serve_http_micro_batches_concurrent_requests(tmp_path):
+    """--http_batch: concurrent POSTs rendezvous into ONE batched device
+    dispatch (transcribe_files) instead of serializing one-by-one."""
+    import json
+    import threading
+    import urllib.request
+
+    calls: list[int] = []
+
+    class Stub:
+        def transcribe(self, path):
+            calls.append(1)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            calls.append(len(paths))
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), batch=4, window_s=2.0))
+    body = _riff_wav(tmp_path / "r.wav").read_bytes()
+    out: list = []
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=body,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out.append((resp.status, json.loads(resp.read())))
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(4)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=120)
+        assert len(out) == 4
+        assert all(s == 200 and r["labels"] == ["A2"] for s, r in out)
+        assert sum(calls) == 4          # every request served once
+        assert len(calls) < 4           # …and they actually coalesced
+        assert max(calls) >= 2
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)
+
+
+def test_serve_http_micro_batch_end_to_end(tmp_path):
+    """Micro-batched mode with the real ensemble: two concurrent POSTs
+    ride the batched fused program and both get correct labels; a bad
+    body in a batch fails alone (per-request fallback), not its
+    neighbor."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    holder, th, port = _start_http(dict(batch=2, window_s=1.0))
+    body = _riff_wav(tmp_path / "r.wav").read_bytes()
+    out: list = []
+
+    def post(data):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=data,
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                out.append((resp.status, json.loads(resp.read())))
+        except urllib.error.HTTPError as e:
+            out.append((e.code, json.loads(e.read())))
+
+    try:
+        threads = [threading.Thread(target=post, args=(body,))
+                   for _ in range(2)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=300)
+        assert [s for s, _ in out] == [200, 200]
+        assert all(r["labels"] == ["A2", "G3"] for _, r in out)
+
+        # one good + one garbage body, concurrently: good survives
+        out.clear()
+        threads = [threading.Thread(target=post, args=(b,))
+                   for b in (body, b"not a wav" * 9)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=300)
+        codes = sorted(s for s, _ in out)
+        assert codes == [200, 400], out
+        good = next(r for s, r in out if s == 200)
+        assert good["labels"] == ["A2", "G3"]
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)
+
+
+def test_serve_http_batch_flags_require_http(monkeypatch):
+    import serve as serve_mod
+    monkeypatch.setattr("sys.argv",
+                        ["serve.py", "--in_dir", "i", "--out_dir", "o",
+                         "--http_batch", "4"])
+    with pytest.raises(SystemExit):
+        serve_mod.main()

@@ -138,7 +138,8 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
 
 def serve_http(port: int = 8080, host: str = "127.0.0.1",
                transcriber=None, verbose: bool = True,
-               server_holder: list | None = None):
+               server_holder: list | None = None, batch: int = 1,
+               window_s: float = 0.025):
     """HTTP transcription endpoint (stdlib `http.server`, no new deps):
 
     - ``POST /transcribe`` — body is a whole ``.wav`` file; responds with
@@ -150,17 +151,83 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
 
     ``port=0`` binds a free port. ``server_holder`` (tests) receives the
     server object before ``serve_forever`` so another thread can
-    ``shutdown()`` it. One device dispatch runs at a time (the handler
-    pool serializes on a lock); throughput-oriented deployments should
-    front this with the watch-folder ``--batch`` path, which amortizes
-    waves of files into one dispatch."""
+    ``shutdown()`` it.
+
+    ``batch=1`` (default): one device dispatch at a time, handlers
+    serialize on a lock. ``batch>1``: cross-request micro-batching —
+    concurrent POSTs rendezvous for up to ``window_s`` and ride ONE
+    batched fused device program (``Transcriber.transcribe_files``), the
+    same amortization the watch-folder ``--batch`` path gets for file
+    waves. A request never waits out the window alone unless others are
+    already queued behind it; a batched failure falls back per-request
+    so one bad body cannot fail its neighbors."""
     import http.server
+    import queue as queue_mod
     import tempfile
     import threading
     from gat_tpu.infer import Transcriber
 
     t = transcriber or Transcriber()
     lock = threading.Lock()
+
+    class _MicroBatcher:
+        """Rendezvous point: handler threads submit paths, one dispatcher
+        thread groups them into transcribe_files waves."""
+
+        def __init__(self, t, batch: int, window_s: float):
+            self.t, self.batch, self.window = t, batch, window_s
+            self.q: queue_mod.Queue = queue_mod.Queue()
+            threading.Thread(target=self._run, daemon=True).start()
+
+        def submit(self, path) -> dict:
+            done = threading.Event()
+            slot: dict = {"done": done}
+            self.q.put((path, slot))
+            done.wait()
+            return slot
+
+        def _drain_wave(self) -> list:
+            wave = [self.q.get()]  # block for the first request
+            deadline = time.monotonic() + self.window
+            while len(wave) < self.batch:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    wave.append(self.q.get(timeout=rem))
+                except queue_mod.Empty:
+                    break
+            return wave
+
+        def _run(self):
+            while True:
+                wave = self._drain_wave()
+                try:
+                    if len(wave) == 1:
+                        results = [self.t.transcribe(wave[0][0])]
+                    else:
+                        results = self.t.transcribe_files(
+                            [p for p, _ in wave])
+                    for (_, slot), r in zip(wave, results):
+                        slot["result"] = r
+                except Exception as e:
+                    if len(wave) == 1:
+                        wave[0][1]["exc"] = e
+                    else:
+                        # a batched read/decode failure must not take the
+                        # neighbors down — retry each request on its own,
+                        # handing each handler ITS OWN exception to
+                        # classify
+                        for p, slot in wave:
+                            try:
+                                slot["result"] = self.t.transcribe(p)
+                            except Exception as e2:
+                                slot["exc"] = e2
+                finally:
+                    for _, slot in wave:
+                        slot["done"].set()
+
+    batcher = _MicroBatcher(t, batch, window_s) if batch > 1 else None
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -207,8 +274,22 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                     f.write(data)
                     f.flush()
-                    with lock:  # one graph dispatch at a time
-                        result = t.transcribe(f.name)
+                    if batcher is not None:
+                        slot = batcher.submit(f.name)
+                        if "exc" in slot:
+                            raise slot["exc"]
+                        result = slot["result"]
+                        if not result.get("labels"):
+                            # match the single-dispatch silence contract
+                            # (transcribe raises; transcribe_files
+                            # returns an empty result instead)
+                            self._json(200, {"labels": [],
+                                             "error": "no clips survived "
+                                                      "slicing"})
+                            return
+                    else:
+                        with lock:  # one graph dispatch at a time
+                            result = t.transcribe(f.name)
             except ValueError as e:
                 # silence (no clips survived slicing) is valid content →
                 # 200 with empty labels, matching batch semantics; any
@@ -260,6 +341,13 @@ def main():
                          "serving-speed lever for content of known onset "
                          "density; truncation sets onset_overflow in the "
                          "result JSON, never silent)")
+    ap.add_argument("--http_batch", type=int, default=1,
+                    help="with --http: micro-batch up to N concurrent "
+                         "requests into one batched device dispatch")
+    ap.add_argument("--http_window_ms", type=float, default=25.0,
+                    help="with --http_batch>1: rendezvous window — how "
+                         "long a request waits for companions once "
+                         "another is queued")
     args = ap.parse_args()
     t = None
     if args.pitch_prior > 0:
@@ -279,8 +367,11 @@ def main():
         if ignored:
             ap.error(f"--http does not support {', '.join(ignored)} "
                      "(watch-folder flags)")
-        serve_http(args.http, transcriber=t)
+        serve_http(args.http, transcriber=t, batch=args.http_batch,
+                   window_s=args.http_window_ms / 1000.0)
         return 0
+    if args.http_batch != 1 or args.http_window_ms != 25.0:
+        ap.error("--http_batch/--http_window_ms require --http")
     if args.in_dir is None or args.out_dir is None:
         ap.error("--in_dir and --out_dir are required without --http")
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
