@@ -611,3 +611,54 @@ def test_serve_http_batch_flags_require_http(monkeypatch):
                          "--http_batch", "4"])
     with pytest.raises(SystemExit):
         serve_mod.main()
+
+
+def test_serve_http_metrics_endpoint(tmp_path):
+    """GET /metrics exposes Prometheus-format counters: request codes,
+    wall summary, device dispatches and files-per-dispatch (so
+    micro-batch efficiency is observable in production)."""
+    import threading
+    import urllib.request
+
+    calls: list[int] = []
+
+    class Stub:
+        def transcribe(self, path):
+            calls.append(1)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            calls.append(len(paths))
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), batch=4, window_s=2.0))
+    base = f"http://127.0.0.1:{port}"
+    body = _riff_wav(tmp_path / "r.wav").read_bytes()
+
+    def post():
+        req = urllib.request.Request(f"{base}/transcribe", data=body,
+                                     method="POST")
+        urllib.request.urlopen(req, timeout=120).read()
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(3)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=120)
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            text = r.read().decode()
+        lines = dict(ln.rsplit(" ", 1) for ln in text.splitlines()
+                     if ln and not ln.startswith("#"))
+        assert lines['gat_http_requests_total{code="200"}'] == "3"
+        assert lines["gat_http_request_seconds_count"] == "3"
+        assert int(lines["gat_dispatch_files_sum"]) == 3
+        # coalescing observable: fewer dispatches than files
+        assert int(lines["gat_device_dispatches_total"]) < 3
+        assert float(lines["gat_http_request_seconds_sum"]) > 0.0
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)

@@ -148,6 +148,9 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
       clips survive slicing) is a 200 with empty labels + error text,
       matching batch semantics; an undecodable body is a 400.
     - ``GET /healthz`` — ``{"ok": true}`` liveness probe.
+    - ``GET /metrics`` — Prometheus text format: requests by status
+      code, request-wall summary, device dispatches, files per dispatch
+      (micro-batching efficiency = files_sum / dispatches).
 
     ``port=0`` binds a free port. ``server_holder`` (tests) receives the
     server object before ``serve_forever`` so another thread can
@@ -169,6 +172,33 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
 
     t = transcriber or Transcriber()
     lock = threading.Lock()
+
+    # /metrics observability (Prometheus text format, stdlib only)
+    mlock = threading.Lock()
+    metrics = {"codes": {}, "req_s_sum": 0.0, "req_count": 0,
+               "dispatches": 0, "dispatch_files": 0}
+
+    def _count_dispatch(nfiles: int):
+        with mlock:
+            metrics["dispatches"] += 1
+            metrics["dispatch_files"] += nfiles
+
+    def _render_metrics() -> str:
+        with mlock:
+            lines = ["# TYPE gat_http_requests_total counter"]
+            for code in sorted(metrics["codes"]):
+                lines.append(f'gat_http_requests_total{{code="{code}"}} '
+                             f'{metrics["codes"][code]}')
+            lines += [
+                "# TYPE gat_http_request_seconds summary",
+                f"gat_http_request_seconds_sum {metrics['req_s_sum']:.6f}",
+                f"gat_http_request_seconds_count {metrics['req_count']}",
+                "# TYPE gat_device_dispatches_total counter",
+                f"gat_device_dispatches_total {metrics['dispatches']}",
+                "# TYPE gat_dispatch_files_sum counter",
+                f"gat_dispatch_files_sum {metrics['dispatch_files']}",
+            ]
+        return "\n".join(lines) + "\n"
 
     class _MicroBatcher:
         """Rendezvous point: handler threads submit paths, one dispatcher
@@ -203,6 +233,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             while True:
                 wave = self._drain_wave()
                 try:
+                    _count_dispatch(len(wave))
                     if len(wave) == 1:
                         results = [self.t.transcribe(wave[0][0])]
                     else:
@@ -220,6 +251,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                         # classify
                         for p, slot in wave:
                             try:
+                                _count_dispatch(1)
                                 slot["result"] = self.t.transcribe(p)
                             except Exception as e2:
                                 slot["exc"] = e2
@@ -235,6 +267,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 print(f"[serve.http] {fmt % args}")
 
         def _json(self, code: int, payload: dict):
+            with mlock:
+                metrics["codes"][code] = metrics["codes"].get(code, 0) + 1
             body = json.dumps(payload, indent=2).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -245,10 +279,27 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True})
+            elif self.path == "/metrics":
+                body = _render_metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            t0 = time.perf_counter()
+            try:
+                self._do_post()
+            finally:
+                with mlock:
+                    metrics["req_s_sum"] += time.perf_counter() - t0
+                    metrics["req_count"] += 1
+
+        def _do_post(self):
             if self.path != "/transcribe":
                 self._json(404, {"error": f"unknown path {self.path}"})
                 return
@@ -289,6 +340,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                             return
                     else:
                         with lock:  # one graph dispatch at a time
+                            _count_dispatch(1)
                             result = t.transcribe(f.name)
             except ValueError as e:
                 # silence (no clips survived slicing) is valid content →
