@@ -61,6 +61,7 @@ def test_fix_length():
     assert out[:, 10:].sum() == 0
 
 
+@pytest.mark.slow
 def test_matches_scipy_resample_poly_across_ratios(rng):
     """The gather-free formulations (banded-GEMM decimation for up==1,
     per-phase strided slices otherwise) must match scipy.signal's

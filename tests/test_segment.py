@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gat_tpu.ops.onset import detect_onsets, peak_pick_mask
@@ -75,6 +76,7 @@ def test_compacted_scan_matches_full_scan(rng):
         np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
 
 
+@pytest.mark.slow
 def test_compacted_scan_matches_full_on_random_envelopes(rng):
     """Property check at the envelope level: for random spiky envelopes
     (many raw candidates, clustered peaks, flat stretches) the compacted
@@ -300,7 +302,9 @@ def test_overflow_flag_is_sound_on_random_envelopes(rng):
     from gat_tpu.ops.onset import pick_onsets_from_envelope
     checked_unflagged = 0
     for trial in range(12):
-        t = int(rng.integers(80, 400))
+        # two fixed lengths (not random) so jit signatures cache across
+        # trials — random t compiled ~144 programs and took 76 s
+        t = (128, 384)[trial % 2]
         env = np.maximum(0, rng.normal(0.1, 0.3, t)).astype(np.float32)
         env[rng.integers(0, t, t // 6)] += rng.uniform(0.5, 3.0, t // 6)
         for budget in (2, 4, 8, 16, 32, 64):

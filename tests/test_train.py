@@ -243,6 +243,7 @@ def test_load_legacy_checkpoint_without_fingerprint(tmp_path, rng, capsys):
     onp.testing.assert_array_equal(onp.asarray(before), onp.asarray(after))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("model_kind", ["mlp", "cnn"])
 def test_scanned_epoch_matches_per_batch_loop(rng, model_kind):
     """The one-dispatch-per-epoch scan (VERDICT r2 §next-5) must be
