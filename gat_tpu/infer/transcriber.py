@@ -270,7 +270,9 @@ class Transcriber:
         carry n_valid=0 → no onsets). When a bucket holds several FULL
         waves, they run as ONE device dispatch via a lax.scan over the
         (K, B, n) super-batch — the micro-batch amortization from the
-        clip path. Files with no surviving clips yield a result with
+        clip path; K is decomposed into power-of-two chunks so it is
+        log-bounded like B and n (a raw K would compile a fresh program
+        per distinct wave count). Files with no surviving clips yield a result with
         empty labels instead of raising (batch semantics). Returns one
         result dict per input path, in order.
 
