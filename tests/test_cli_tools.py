@@ -662,3 +662,53 @@ def test_serve_http_metrics_endpoint(tmp_path):
     finally:
         holder[0].shutdown()
         th.join(timeout=10)
+
+
+def test_serve_http_micro_batch_stress_many_waves(tmp_path):
+    """Liveness under load: 24 concurrent POSTs through a batch-4
+    micro-batcher drain as several sequential waves — every request is
+    served exactly once, none deadlocks waiting on the rendezvous."""
+    import json
+    import threading
+    import urllib.request
+
+    calls: list[int] = []
+
+    class Stub:
+        def transcribe(self, path):
+            calls.append(1)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            calls.append(len(paths))
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), batch=4, window_s=0.05))
+    body = _riff_wav(tmp_path / "r.wav").read_bytes()
+    out: list = []
+    olock = threading.Lock()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=body,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            r = json.loads(resp.read())
+            with olock:
+                out.append((resp.status, r["labels"]))
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(24)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=120)
+        assert len(out) == 24
+        assert all(s == 200 and lab == ["A2"] for s, lab in out)
+        assert sum(calls) == 24  # exactly once each, no drops/dupes
+        assert max(calls) <= 4   # wave cap respected
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)
