@@ -22,6 +22,7 @@ is_slice_loud_enough, save_clip, slice_and_save) on top of the jit ops.
 from __future__ import annotations
 
 import functools
+import warnings
 from pathlib import Path
 
 import jax
@@ -29,7 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import TARGET_SR, CLIP_DURATION, SLICER_CONFIG
-from ..ops.onset import detect_onsets
+# aliased: AudioSlicer.detect_onsets would otherwise shadow this name at
+# the module level and call itself by accident after any refactor
+from ..ops.onset import detect_onsets as _detect_onsets_op
 from ..ops.resample import resample
 from ..utils.wavio import read_wav, write_wav
 from . import gating
@@ -132,7 +135,7 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
     # reference's own default hop of 512 (ref slicing.py:106,150-151)
     y_gated = gating.gate_waveform(y, min_db, hop_length=hop_length,
                                    n_valid_samples=n_valid_samples)
-    onsets, ovalid, overflow = detect_onsets(
+    onsets, ovalid, overflow = _detect_onsets_op(
         y_gated, sr=sr, hop_length=512,
         min_sep=min_sep, max_onsets=max_onsets,
         n_valid_samples=n_valid_samples, cand_budget=cand_budget)
@@ -167,9 +170,14 @@ class AudioSlicer:
     @staticmethod
     def detect_onsets(y, sr: int = 11025, hop_len: int = 512,
                       min_sep: float = 0.25, max_onsets: int = 64):
-        onsets, valid, _ = detect_onsets(jnp.asarray(y), sr=sr,
-                                         hop_length=hop_len, min_sep=min_sep,
-                                         max_onsets=max_onsets)
+        onsets, valid, overflow = _detect_onsets_op(
+            jnp.asarray(y), sr=sr, hop_length=hop_len, min_sep=min_sep,
+            max_onsets=max_onsets)
+        if bool(overflow):
+            warnings.warn(
+                f"[detect_onsets] onset budget truncated detections "
+                f"(max_onsets={max_onsets}; earliest kept) — raise the "
+                f"budget for exhaustive results", stacklevel=2)
         return [int(s) for s, v in zip(np.asarray(onsets), np.asarray(valid))
                 if v]
 
@@ -201,11 +209,16 @@ class AudioSlicer:
         detected onset sample indices (ref sliceNsave, slicing.py:147-165,
         including its clip filename pattern)."""
         y, sr = self.load_wav(audio_path, target_sr)
-        clips, kept, onsets, ovalid, times, _overflow = segment_waveform(
+        clips, kept, onsets, ovalid, times, overflow = segment_waveform(
             jnp.asarray(y), sr=sr, hop_length=hop_len, length_sec=length_sec,
             min_sep=min_sep, min_db=min_db_threshold,
             min_slice_rms_db=min_slice_rms_db,
             attack_skip_sec=attack_skip_sec, max_onsets=max_onsets)
+        if bool(overflow):
+            warnings.warn(
+                f"[slice_and_save] onset budget truncated detections for "
+                f"{audio_path} (max_onsets={max_onsets}; earliest kept) — "
+                f"later notes were NOT sliced", stacklevel=2)
         clips, kept = np.asarray(clips), np.asarray(kept)
         onsets, ovalid, times = (np.asarray(onsets), np.asarray(ovalid),
                                  np.asarray(times))

@@ -27,14 +27,29 @@ def _song(onsets_s, freqs, dur=3.0, note_len=0.45):
 
 
 def _peak_pick_direct(x, pre_max, post_max, pre_avg, post_avg, delta, wait):
-    """Direct numpy replication of the librosa.util.peak_pick recipe."""
+    """Direct numpy replication of the librosa.util.peak_pick recipe,
+    INCLUDING its boundary handling: maximum filter padded with x.min()
+    (mode='constant', cval=x.min()) and the explicit truncated-window
+    mean corrections librosa applies over the first pre_avg and last
+    post_avg frames (librosa/util/utils.py peak_pick)."""
     import scipy.ndimage as ndi
     max_origin = int(np.ceil(0.5 * (pre_max - post_max)))
     avg_origin = int(np.ceil(0.5 * (pre_avg - post_avg)))
     mov_max = ndi.maximum_filter1d(x, int(pre_max + post_max),
-                                   mode="constant", origin=max_origin)
+                                   mode="constant", origin=max_origin,
+                                   cval=x.min())
     mov_avg = ndi.uniform_filter1d(x, int(pre_avg + post_avg),
                                    mode="nearest", origin=avg_origin)
+    n = 0
+    while n - pre_avg < 0 and n < x.shape[0]:  # head correction
+        start = max(n - pre_avg, 0)
+        mov_avg[n] = np.mean(x[start:n + post_avg])
+        n += 1
+    n = max(x.shape[0] - post_avg, 0)
+    while n < x.shape[0]:  # tail correction
+        start = max(n - pre_avg, 0)
+        mov_avg[n] = np.mean(x[start:x.shape[0]])
+        n += 1
     det = x * (x == mov_max)
     det = det * (det >= mov_avg + delta)
     peaks, last = [], -np.inf
@@ -54,6 +69,39 @@ def test_peak_pick_matches_direct(rng):
         keep = np.asarray(peak_pick_mask(jnp.asarray(env), **params))
         ref = _peak_pick_direct(env, **params)
         np.testing.assert_array_equal(np.flatnonzero(keep), ref)
+
+
+def test_peak_pick_boundary_parity(rng):
+    """librosa corrects the moving average to TRUNCATED means over the
+    first pre_avg / last post_avg frames — a moderate peak at the very
+    start or end of the envelope is kept or dropped by that correction.
+    Exercise peaks inside both boundary regions, plus a negative
+    envelope (mov-max cval=x.min(), nonzero-detection semantics)."""
+    params = dict(pre_max=3, post_max=1, pre_avg=4, post_avg=5,
+                  delta=0.07, wait=2)
+    cases = []
+    # isolated leading peak in the corrected head region: librosa's
+    # truncated mean (v/5) admits peaks the uncorrected 9-frame
+    # edge-replicated mean (~5v/9) would reject
+    for v in (0.09, 0.12, 0.157, 0.2):
+        env = np.zeros(64, np.float32)
+        env[0] = v
+        cases.append(env)
+        env2 = np.zeros(64, np.float32)
+        env2[63] = v  # trailing peak in the corrected tail region
+        cases.append(env2)
+        env3 = np.zeros(64, np.float32)
+        env3[2], env3[61] = v, v  # inside head/tail windows, not the edge
+        cases.append(env3)
+    for trial in range(4):  # negative stretches: the public-API case
+        env = rng.normal(-1.0, 0.5, 96).astype(np.float32)
+        env[rng.integers(0, 96, 6)] += rng.uniform(0.5, 2.0, 6)
+        cases.append(env)
+    for env in cases:
+        keep = np.asarray(peak_pick_mask(jnp.asarray(env), **params))
+        ref = _peak_pick_direct(env, **params)
+        np.testing.assert_array_equal(np.flatnonzero(keep), ref,
+                                      err_msg=f"env head={env[:6]}")
 
 
 def test_compacted_scan_matches_full_scan(rng):
@@ -323,3 +371,27 @@ def test_overflow_flag_is_sound_on_random_envelopes(rng):
                                               np.asarray(o_f))
                 checked_unflagged += 1
     assert checked_unflagged > 0  # the property was actually exercised
+
+
+def test_padded_detection_matches_exact_ring_to_end():
+    """Batching invariance on audio that RINGS TO THE FINAL SAMPLE (the
+    bucketed transcribe_files case): n_valid_samples must reproduce the
+    unpadded run exactly — the padded path reconstructs the centered
+    STFT's reflect edge and truncates the peak-pick filters and
+    backtrack minima at the valid end."""
+    y = _song([0.5, 1.2, 1.9], [110.0, 220.0, 330.0], dur=2.4)
+    # a last note whose decay continues through the final sample
+    note = make_pluck(196.0, SR, 0.6, seed=7)
+    y2 = np.concatenate([y, note[: int(0.35 * SR)]])
+    o1, v1, _ = detect_onsets(jnp.asarray(y2), sr=SR)
+    ypad = np.concatenate([y2, np.zeros(int(1.3 * SR), np.float32)])
+    o2, v2, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
+                              n_valid_samples=jnp.asarray(len(y2)))
+    np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
+                                  np.asarray(o2)[np.asarray(v2)])
+
+
+def test_cand_budget_rejects_negative():
+    y = _song([0.5], [110.0])
+    with pytest.raises(ValueError, match="cand_budget"):
+        detect_onsets(jnp.asarray(y), sr=SR, cand_budget=-1)
