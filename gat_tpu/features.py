@@ -54,7 +54,11 @@ def encode_labels(labels):
     return encoded, len(classes), reverse_map
 
 
-def normalize_volume(y: jax.Array, eps: float = 1e-9) -> jax.Array:
+_VOLUME_EPS = 1e-9  # shared by normalize_volume and the fused front-end
+# (which applies the same 1/(rms+eps) as a spectrum scale, by linearity)
+
+
+def normalize_volume(y: jax.Array, eps: float = _VOLUME_EPS) -> jax.Array:
     """Per-clip RMS volume normalization (ref features.py:124-126)."""
     rms = jnp.sqrt(jnp.mean(y * y, axis=-1, keepdims=True))
     return y / (rms + eps)
@@ -85,7 +89,7 @@ def _fused_mfcc_mean_and_pitch(clips: jax.Array, sr: int, n_mfcc: int,
     t = 1 + (pad.shape[-1] - n_fft) // hop
     cre, cim = spectral.block_coeffs(pad, n_fft, hop, t)
     rms = jnp.sqrt(jnp.mean(clips * clips, axis=-1, keepdims=True))
-    s = 1.0 / (rms + 1e-9)
+    s = 1.0 / (rms + _VOLUME_EPS)
 
     sm = s if normalize_audio_volume else jnp.ones_like(s)
     are, aim = spectral.combine_blocks(cre, cim, n_fft, hop, t)
@@ -212,11 +216,14 @@ class FeatureBuilder:
 
     # ----- inference paths ----------------------------------------------
     def extract_inference_features(self, audio_loader, mfcc_params=None,
-                                   melspec_params=None, scaler=None):
+                                   melspec_params=_USE_CONFIG, scaler=None):
         """Checkpoint-param-driven extraction for a directory of clips
-        (ref features.py:130-158). Returns (mfcc (N, D), melspec NHWC)."""
+        (ref features.py:130-158). Returns (mfcc (N, D), melspec NHWC).
+        melspec_params=None skips the mel branch (MLP-only operation),
+        matching the from_clips/from_audio siblings."""
         mfcc_params = mfcc_params or dict(MFCC_CONFIG.__dict__)
-        melspec_params = melspec_params or dict(MELSPEC_CONFIG.__dict__)
+        if melspec_params is _USE_CONFIG:
+            melspec_params = dict(MELSPEC_CONFIG.__dict__)
         wavs, _, _, _ = audio_loader.load_audio_dataset(pad_to_max=True)
         clips = jnp.asarray(np.stack(wavs))
         return self.extract_inference_features_from_clips(

@@ -32,6 +32,7 @@ __all__ = [
     "power_to_db_librosa", "amplitude_to_db_torchaudio",
     "dct_ii_matrix", "melspectrogram_librosa", "melspectrogram_torchaudio",
     "mfcc", "n_frames", "set_stft_backend", "stft_backend",
+    "set_matmul_dtype", "matmul_dtype",
 ]
 
 # ---------------------------------------------------------------------------
@@ -266,6 +267,18 @@ def stft(y: jax.Array, n_fft: int = 2048, hop_length: int | None = None,
     if win_length < n_fft:  # center-pad window to n_fft (librosa semantics)
         lpad = (n_fft - win_length) // 2
         win = jnp.pad(win, (lpad, n_fft - win_length - lpad))
+    if stft_backend() == "matmul":
+        # same MXU GEMM route as power_spectrogram, kept complex:
+        # X @ C + i·(X @ S) == rfft(X) for real X (_rdft_np)
+        c_m, s_m = _rdft_np(n_fft)
+        fw = (frames * win).astype(_MATMUL_DTYPE)
+        re = jnp.einsum("...tn,nf->...tf", fw,
+                        jnp.asarray(c_m, _MATMUL_DTYPE),
+                        preferred_element_type=jnp.float32)
+        im = jnp.einsum("...tn,nf->...tf", fw,
+                        jnp.asarray(s_m, _MATMUL_DTYPE),
+                        preferred_element_type=jnp.float32)
+        return jax.lax.complex(re, im)
     return jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
 
 

@@ -159,12 +159,11 @@ def _cmnd_block(y_padded: jax.Array, frame_length: int, hop_length: int,
     # (hop-strided reshapes of y², no gathers).
     y2 = y_padded.astype(jnp.float32) ** 2
     if max_period <= hop_length:
-        kb = win_length // hop_length
+        # kb and last as computed for the ACF half above
         nb = n_frames + kb - 1
         bsum = y2[..., :nb * hop_length].reshape(
             y2.shape[:-1] + (nb, hop_length)).sum(-1)
         e0 = sum(bsum[..., j:j + n_frames] for j in range(kb))
-        last = (n_frames - 1) * hop_length
         e0 = (e0 - y2[..., 0:last + 1:hop_length]
               + y2[..., win_length:win_length + last + 1:hop_length])
         rows1 = y2[..., 1:1 + n_frames * hop_length].reshape(
@@ -225,9 +224,12 @@ def yin(y: jax.Array, fmin: float = 50.0, fmax: float = 1000.0,
     max_period = min(int(math.ceil(sr / fmin)),
                      frame_length - win_length - 1)
 
+    # hop < win: the sliding-energy rows need win+1+n_frames·hop samples,
+    # which hop == win can exceed by one hop (reshape trace error)
     use_block = (stft_backend() == "matmul"
                  and win_length == frame_length // 2
-                 and win_length % hop_length == 0)
+                 and win_length % hop_length == 0
+                 and hop_length < win_length)
     if use_block:
         n_frames = 1 + (y.shape[-1] - frame_length) // hop_length
         cmnd = _cmnd_block(y, frame_length, hop_length, n_frames,

@@ -13,6 +13,8 @@ batches gate identically to exact-length audio.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -60,7 +62,18 @@ def dynamic_thresholds(rms_db: jax.Array, valid: jax.Array,
 def rms_gate(y: jax.Array, hop_length: int = 512,
              n_valid_samples: jax.Array | None = None) -> jax.Array:
     """Dynamic frame-RMS gate: mask frames below gate_db, expand to
-    samples by frame repetition (ref slicing.py:78-91)."""
+    samples by frame repetition (ref slicing.py:78-91). Batched input
+    maps over leading axes (thresholds are per-item, as they must be —
+    percentiles of one recording's own RMS distribution)."""
+    if y.ndim > 1:
+        gate = functools.partial(rms_gate, hop_length=hop_length)
+        if n_valid_samples is None:
+            return jax.vmap(gate)(y.reshape(-1, y.shape[-1])) \
+                .reshape(y.shape)
+        nv = jnp.broadcast_to(jnp.asarray(n_valid_samples), y.shape[:-1])
+        return jax.vmap(gate)(y.reshape(-1, y.shape[-1]),
+                              n_valid_samples=nv.reshape(-1)) \
+            .reshape(y.shape)
     rms_db = rms_db_envelope(y, hop_length=hop_length)
     t = rms_db.shape[-1]
     if n_valid_samples is None:

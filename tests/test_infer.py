@@ -278,3 +278,21 @@ def test_wave_clip_budget_exact_below_and_flags_above(tmp_path,
     assert max(counts) - min(counts) <= 1
     for rs, re_ in zip(starved, exact):
         assert rs["labels"] == re_["labels"][:len(rs["labels"])]
+
+
+def test_extract_inference_features_mlp_only(tmp_path):
+    """melspec_params=None on the DIRECTORY path skips the mel branch
+    (MLP-only operation), matching the from_clips/from_audio contract —
+    it used to coalesce None into the config defaults and run the CNN
+    front-end anyway."""
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.data.synth import synthesize_note_dataset
+    from gat_tpu.features import FeatureBuilder
+
+    ds = synthesize_note_dataset(tmp_path / "ds", class_names=["A3"],
+                                 variants_per_class=2, verbose=False)
+    loader = AudioDatasetLoader([ds], target_sr=11025, duration=0.5)
+    mf, ms = FeatureBuilder().extract_inference_features(
+        loader, melspec_params=None)
+    assert ms is None
+    assert mf.shape[0] == 2

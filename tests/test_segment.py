@@ -395,3 +395,20 @@ def test_cand_budget_rejects_negative():
     y = _song([0.5], [110.0])
     with pytest.raises(ValueError, match="cand_budget"):
         detect_onsets(jnp.asarray(y), sr=SR, cand_budget=-1)
+
+
+def test_rms_gate_batched_matches_per_item(rng):
+    """rms_gate on (B, n) input must equal per-item calls (thresholds are
+    percentiles of each recording's own RMS distribution)."""
+    Y = rng.normal(0, 0.1, (3, 8192)).astype(np.float32)
+    Y[1] *= 5.0
+    out = np.asarray(gating.rms_gate(jnp.asarray(Y)))
+    for i in range(3):
+        np.testing.assert_array_equal(
+            out[i], np.asarray(gating.rms_gate(jnp.asarray(Y[i]))))
+    nv = jnp.asarray([8192, 4096, 6000])
+    out_v = np.asarray(gating.rms_gate(jnp.asarray(Y), n_valid_samples=nv))
+    for i, n in enumerate([8192, 4096, 6000]):
+        np.testing.assert_array_equal(
+            out_v[i], np.asarray(gating.rms_gate(jnp.asarray(Y[i]),
+                                 n_valid_samples=jnp.asarray(n))))

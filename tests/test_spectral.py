@@ -1,4 +1,5 @@
 import numpy as np
+import jax.numpy as jnp
 import pytest
 import scipy.fftpack
 import scipy.signal
@@ -153,3 +154,21 @@ def test_nyquist_trim_is_numerically_equivalent(rng):
             np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
         finally:
             spectral.set_stft_backend("fft")
+
+
+def test_stft_matmul_backend_matches_fft():
+    """The public complex stft() honors the matmul backend (TPUs have no
+    FFT unit) and matches the fft route."""
+    from gat_tpu.ops import spectral
+    rng = np.random.default_rng(3)
+    y = rng.normal(0, 0.3, 9000).astype(np.float32)
+    old = spectral.stft_backend()
+    try:
+        spectral.set_stft_backend("matmul")
+        z_mm = np.asarray(spectral.stft(jnp.asarray(y), 2048, 512))
+        spectral.set_stft_backend("fft")
+        z_ff = np.asarray(spectral.stft(jnp.asarray(y), 2048, 512))
+    finally:
+        spectral.set_stft_backend(old)
+    assert z_mm.dtype == np.complex64
+    np.testing.assert_allclose(z_mm, z_ff, atol=2e-3)

@@ -1,4 +1,5 @@
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from gat_tpu.ops.yin import yin, yin_pitch, estimate_note
@@ -84,3 +85,21 @@ def test_estimate_note_edge_cases():
     # unicode sharp by default (librosa convention), ASCII on request
     assert estimate_note(466.16)[1] == "A♯4"
     assert estimate_note(466.16, unicode=False)[1] == "A#4"
+
+
+def test_yin_hop_equals_win_matches_fft_backend():
+    """hop_length == win_length used to crash the block (matmul) path at
+    trace time; it must fall back and agree with the fft backend."""
+    from gat_tpu.ops import spectral
+    from gat_tpu.ops.yin import yin
+    y = np.sin(2 * np.pi * 196.0 * np.arange(4096) / 22050).astype(
+        np.float32)
+    old = spectral.stft_backend()
+    try:
+        spectral.set_stft_backend("matmul")
+        f_mm = np.asarray(yin(jnp.asarray(y), sr=22050, hop_length=1024))
+        spectral.set_stft_backend("fft")
+        f_ff = np.asarray(yin(jnp.asarray(y), sr=22050, hop_length=1024))
+    finally:
+        spectral.set_stft_backend(old)
+    np.testing.assert_allclose(f_mm, f_ff, rtol=5e-3)
