@@ -108,6 +108,8 @@ def resample(y: jax.Array, orig_sr: int, target_sr: int,
 
     batch_shape = y.shape[:-1]
     n = y.shape[-1]
+    if n == 0:  # empty data chunk: m = ceil(0·up/down) = 0, not a crash
+        return jnp.zeros(batch_shape + (0,), jnp.float32)
     hp, delta, pos, lpad, rpad, m = _polyphase_plan(n, up, down, zeros, beta)
 
     x = y.reshape((-1, 1, n)).astype(jnp.float32)

@@ -41,10 +41,15 @@ def _load():
                                      _SRC.stat().st_mtime
                                      > _LIB.stat().st_mtime):
                 _LIB.parent.mkdir(parents=True, exist_ok=True)
+                # compile to a per-process temp path and publish with an
+                # atomic rename: a concurrent process must never CDLL a
+                # half-written library
+                tmp = _LIB.with_suffix(f".tmp{os.getpid()}.so")
                 subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB),
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp),
                      str(_SRC)],
                     check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(str(_LIB))
             lib.wav_probe.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -163,6 +168,7 @@ def read_wav_batch(paths, max_workers: int | None = None):
                 pass  # unusual subtype → python path
         return read_wav(p)
 
+    paths = list(paths)  # accept generators, like write_wav_batch
     workers = max_workers or min(16, (os.cpu_count() or 4))
     if len(paths) <= 1 or workers == 1:
         return [one(p) for p in paths]

@@ -65,6 +65,11 @@ def read_wav(path: str | os.PathLike, mono: bool = True) -> tuple[np.ndarray, in
         # True format is the first 2 bytes of the 16-byte SubFormat GUID.
         (audio_format,) = struct.unpack_from("<H", fmt, 24)
 
+    # a truncated data chunk (interrupted copy) may not be a whole number
+    # of samples — decode the intact ones, as the native codec does
+    width = max(bits_per_sample // 8, 1)
+    raw = raw[: (len(raw) // width) * width]
+
     if audio_format == _WAVE_FORMAT_PCM:
         if bits_per_sample == 8:
             x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
@@ -73,7 +78,7 @@ def read_wav(path: str | os.PathLike, mono: bool = True) -> tuple[np.ndarray, in
             x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
         elif bits_per_sample == 24:
             b = np.frombuffer(raw, dtype=np.uint8)
-            b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+            b = b.reshape(-1, 3)
             # sign-extend 24-bit little-endian into int32
             x32 = (b[:, 0].astype(np.int32)
                    | (b[:, 1].astype(np.int32) << 8)
@@ -148,8 +153,16 @@ def write_wav(path: str | os.PathLike, audio: np.ndarray, sr: int,
     byte_rate = sr * block_align
     fmt = struct.pack("<HHIIHH", fmt_code, n_channels, sr, byte_rate,
                       block_align, bits)
+    extra = []
+    if fmt_code == _WAVE_FORMAT_IEEE_FLOAT:
+        # non-PCM formats: 18-byte fmt (cbSize=0) + fact chunk with the
+        # frame count — strict libsndfile-family readers reject format-3
+        # files without them (same layout as native/wav_codec.cpp)
+        fmt += struct.pack("<H", 0)
+        n_frames = len(payload) // block_align if block_align else 0
+        extra = [b"fact", struct.pack("<I", 4), struct.pack("<I", n_frames)]
     chunks = b"".join([
-        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"fmt ", struct.pack("<I", len(fmt)), fmt, *extra,
         b"data", struct.pack("<I", len(payload)), payload,
         b"" if len(payload) % 2 == 0 else b"\x00",
     ])

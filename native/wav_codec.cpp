@@ -67,6 +67,15 @@ int parse(const char* path, Wav& w, bool want_data) {
                 std::fclose(f);
                 return -2;
             }
+            // clamp to the remaining file bytes like the data chunk: a
+            // corrupt 4 GiB fmt-size field must not drive an allocation
+            long pos = std::ftell(f);
+            long remaining = (pos >= 0 && file_len > pos)
+                ? file_len - pos : 0;
+            if (static_cast<long>(size) > remaining) {
+                std::fclose(f);
+                return -2;  // fmt chunk extends past EOF: corrupt
+            }
             std::vector<uint8_t> fmt(size);
             if (std::fread(fmt.data(), 1, size, f) != size) break;
             std::memcpy(&w.format, fmt.data(), 2);
@@ -111,8 +120,7 @@ int parse(const char* path, Wav& w, bool want_data) {
             std::fseek(f, size, SEEK_CUR);
         }
         if (size & 1) std::fseek(f, 1, SEEK_CUR);
-        if (have_fmt && have_data && !want_data) break;
-        if (have_fmt && have_data && want_data) break;
+        if (have_fmt && have_data) break;
     }
     std::fclose(f);
     if (!have_fmt || !have_data) return -2;

@@ -30,6 +30,12 @@ def _cases(tmp_path, rng):
                           + b"fmt " + struct.pack("<I", 16)
                           + struct.pack("<HHIIHH", 0x77, 1, 8000, 8000, 1, 8)
                           + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    # huge FMT-size field with a tiny file: must not drive a 4 GiB
+    # allocation (std::bad_alloc through the FFI would kill the process)
+    cases["huge_fmt"] = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+                         + b"fmt " + struct.pack("<I", 0xFFFFFFF0)
+                         + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                         + b"data" + struct.pack("<I", 0))
     # random mutations of a valid file
     from gat_tpu.utils.wavio import write_wav
     good = tmp_path / "good.wav"
@@ -65,3 +71,19 @@ def test_native_decoder_never_crashes(tmp_path, rng):
             assert y.dtype == np.float32
         except (ValueError, FileNotFoundError):
             pass
+
+
+def test_truncated_pcm16_decodes_partially(tmp_path, rng):
+    """A data chunk cut mid-sample (interrupted copy) decodes the intact
+    samples in BOTH decoders instead of crashing the dataset load."""
+    from gat_tpu.utils.wavio import write_wav
+    good = tmp_path / "t.wav"
+    write_wav(good, rng.uniform(-0.5, 0.5, 256).astype(np.float32), 8000)
+    cut = tmp_path / "cut.wav"
+    cut.write_bytes(good.read_bytes()[:-1])  # one byte short
+    y, sr = read_wav(cut)
+    assert sr == 8000 and len(y) == 255
+    if native_wav.native_available():
+        yn, srn = native_wav.read_wav_native(cut)
+        assert srn == 8000 and len(yn) == 255
+        np.testing.assert_allclose(yn, y, atol=1e-6)

@@ -1,4 +1,5 @@
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from gat_tpu.ops.resample import resample, fix_length
@@ -88,3 +89,12 @@ def test_matches_scipy_resample_poly_across_ratios(rng):
     np.testing.assert_allclose(
         np.asarray(resample(xb, 22050, 11025))[2],
         np.asarray(resample(xb[2], 22050, 11025)), atol=1e-6)
+
+
+def test_resample_empty_input():
+    """A zero-length signal (empty data chunk) resamples to the librosa
+    length contract m = ceil(0·up/down) = 0 instead of crashing."""
+    out = resample(jnp.zeros((0,), jnp.float32), 22050, 11025)
+    assert out.shape == (0,)
+    out2 = resample(jnp.zeros((2, 0), jnp.float32), 8000, 22050)
+    assert out2.shape == (2, 0)

@@ -52,3 +52,39 @@ def test_stdlib_wave_compat(tmp_path, rng):
 def test_missing_file():
     with pytest.raises(FileNotFoundError):
         read_wav("/nonexistent/x.wav")
+
+
+def test_float_wav_has_fact_chunk_and_cbsize(tmp_path, rng):
+    """Python-path FLOAT files carry the 18-byte fmt (cbSize=0) + fact
+    chunk strict non-PCM readers require — same layout as the native
+    encoder — and still round-trip through both decoders."""
+    import struct
+    from gat_tpu.utils import native_wav
+    y = rng.uniform(-0.5, 0.5, 300).astype(np.float32)
+    p = tmp_path / "f.wav"
+    write_wav(p, y, 8000, subtype="FLOAT")
+    b = p.read_bytes()
+    i = b.index(b"fmt ")
+    (fmt_size,) = struct.unpack_from("<I", b, i + 4)
+    assert fmt_size == 18
+    (cbsize,) = struct.unpack_from("<H", b, i + 8 + 16)
+    assert cbsize == 0
+    j = b.index(b"fact")
+    (n_frames,) = struct.unpack_from("<I", b, j + 8)
+    assert n_frames == 300
+    got, sr = read_wav(p)
+    np.testing.assert_array_equal(got, y)
+    if native_wav.native_available():
+        got_n, sr_n = native_wav.read_wav_native(p)
+        np.testing.assert_array_equal(got_n, y)
+
+
+def test_read_wav_batch_accepts_generator(tmp_path, rng):
+    from gat_tpu.utils.native_wav import read_wav_batch
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"g{i}.wav"
+        write_wav(p, rng.uniform(-0.5, 0.5, 64).astype(np.float32), 8000)
+        paths.append(p)
+    out = read_wav_batch(p for p in paths)
+    assert len(out) == 3 and all(sr == 8000 for _, sr in out)
