@@ -27,8 +27,8 @@ __all__ = ["make_sharded_transcribe", "make_sharded_transcribe_files",
 
 def mlp_tp_shardings(params: dict, mesh: Mesh) -> dict:
     """Tensor-parallel layout for the MLP: hidden activations sharded over
-    `model` — dense_0 kernel column-sharded, dense_1 row+column, the
-    output projection row-sharded (XLA inserts the final all-reduce)."""
+    `model` — dense_0 kernel column-sharded, every later dense kernel
+    row-sharded (XLA inserts the final all-reduce)."""
     def spec_for(path, leaf):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         if leaf.ndim == 2:  # kernels

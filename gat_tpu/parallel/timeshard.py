@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -34,20 +35,26 @@ def _local_log_mel(chunk: jax.Array, sr: int, hop: int, n_fft: int,
                    n_mels: int) -> jax.Array:
     """Un-padded framing of an extended chunk → log-mel rows (Tl, M).
     (librosa melspectrogram semantics minus the center pad, which the
-    caller applied globally.)"""
+    caller applied globally.) Same Nyquist-bin trim as
+    melspectrogram_librosa: the filterbank carries zero weight at bin
+    n_fft//2, so the DFT GEMMs emit f_keep = 1024 = 8×128 MXU-aligned
+    bins instead of a ragged 1025."""
+    fb_np = np.asarray(spectral.mel_filterbank_librosa(sr, n_fft, n_mels))
+    f_keep = spectral._last_nonzero_bin(fb_np) + 1
     frames = spectral.frame(chunk, n_fft, hop)
     win = spectral.hann_window(n_fft)
     if spectral.stft_backend() == "matmul":
         c_m, s_m = spectral._rdft_np(n_fft)
+        c_m, s_m = c_m[:, :f_keep], s_m[:, :f_keep]
         re = jnp.einsum("tn,nf->tf", frames * win, jnp.asarray(c_m),
                         preferred_element_type=jnp.float32)
         im = jnp.einsum("tn,nf->tf", frames * win, jnp.asarray(s_m),
                         preferred_element_type=jnp.float32)
         power = re * re + im * im
     else:
-        power = jnp.abs(jnp.fft.rfft(frames * win, n_fft, axis=-1)) ** 2
-    fb = jnp.asarray(spectral.mel_filterbank_librosa(sr, n_fft, n_mels))
-    mel = jnp.einsum("tf,mf->tm", power, fb,
+        power = jnp.abs(jnp.fft.rfft(frames * win, n_fft,
+                                     axis=-1))[..., :f_keep] ** 2
+    mel = jnp.einsum("tf,mf->tm", power, jnp.asarray(fb_np[:, :f_keep]),
                      preferred_element_type=jnp.float32)
     return mel
 
@@ -99,6 +106,17 @@ def onset_envelope_timesharded(y: jax.Array, mesh: Mesh, sr: int,
     return env[:t_global]
 
 
+@functools.partial(jax.jit, static_argnames=("sr", "hop_length", "min_sep",
+                                             "max_onsets"))
+def _pick_jit(env: jax.Array, sr: int, hop_length: int, min_sep: float,
+              max_onsets: int):
+    # jit at THIS call site (not on the shared helper itself, whose other
+    # callers inline it into larger fused graphs): eager dispatch of its
+    # ~30 ops over the tunneled TPU would cost ~1 s per call (CLAUDE.md)
+    return pick_onsets_from_envelope(env, sr, hop_length, min_sep,
+                                     max_onsets)
+
+
 def detect_onsets_timesharded(y: jax.Array, mesh: Mesh, sr: int = 22050,
                               hop_length: int = 512, min_sep: float = 0.3,
                               max_onsets: int = 256):
@@ -106,8 +124,7 @@ def detect_onsets_timesharded(y: jax.Array, mesh: Mesh, sr: int = 22050,
     sequence-parallel; the tiny sequential half (normalization, peak
     pick, backtrack, min-separation) is the same shared helper the
     single-device path uses (ref detect_onsets semantics,
-    slicing.py:106-122). Returns (onsets, valid, overflow) like
-    detect_onsets."""
+    slicing.py:106-122), jit-compiled here so it runs as one dispatch.
+    Returns (onsets, valid, overflow) like detect_onsets."""
     env = onset_envelope_timesharded(y, mesh, sr, hop_length)
-    return pick_onsets_from_envelope(env, sr, hop_length, min_sep,
-                                     max_onsets)
+    return _pick_jit(env, sr, hop_length, min_sep, max_onsets)

@@ -130,7 +130,10 @@ class LiveTranscriber:
         if not self.buffer.is_full():
             if not force or self.buffer.size() <= self.min_slice_len:
                 return 0
-        buf = self.buffer.get_buffer()  # snapshot copy
+        # atomic (snapshot, absolute start): the mic thread keeps pushing
+        # while we detect onsets, so the consumed prefix must be cleared
+        # by absolute position, not a snapshot-relative index
+        buf, start_abs = self.buffer.snapshot()
         onsets = self.detect_onsets(buf)
         queued = 0
         h_idx = 0
@@ -153,7 +156,7 @@ class LiveTranscriber:
             else:
                 h_idx = onsets[0]
                 del onsets[:1]
-        self.buffer.clear_from(h_idx + 1 if h_idx else 0)
+        self.buffer.clear_until(start_abs + (h_idx + 1 if h_idx else 0))
         return queued
 
     def inference(self, audio: np.ndarray, sr_in: int | None = None):

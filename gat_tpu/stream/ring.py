@@ -27,6 +27,7 @@ class RingBuffer:
         self._buf = np.zeros(self.maxlen, dtype=np.float32)
         self._start = 0      # index of oldest sample
         self._size = 0
+        self._total = 0      # samples ever pushed (absolute position)
         self._lock = threading.Lock()
 
     def push(self, data: np.ndarray) -> None:
@@ -36,6 +37,7 @@ class RingBuffer:
         if n == 0:
             return
         with self._lock:
+            self._total += n
             if n >= self.maxlen:
                 self._buf[:] = data[-self.maxlen:]
                 self._start = 0
@@ -59,15 +61,23 @@ class RingBuffer:
 
     def get_buffer(self) -> np.ndarray:
         """Snapshot copy, oldest→newest."""
+        return self.snapshot()[0]
+
+    def snapshot(self) -> tuple[np.ndarray, int]:
+        """(snapshot copy, absolute position of its first sample) — taken
+        atomically, so a consumer can later clear_until() positions from
+        THIS snapshot even if the producer pushed meanwhile (a
+        snapshot-relative clear_from would drop unconsumed audio that
+        slid in during processing)."""
         with self._lock:
             idx = (self._start + np.arange(self._size)) % self.maxlen
-            return self._buf[idx].copy()
+            return self._buf[idx].copy(), self._total - self._size
 
     def get_slice(self, i: int, j: int) -> np.ndarray:
         """Copy of [i, j) in logical (oldest-first) coordinates; empty when
         out of range (ref ring get_slice semantics)."""
         with self._lock:
-            if i > self._size or j > self._size:
+            if i < 0 or j < i or i > self._size or j > self._size:
                 return np.zeros((0,), dtype=np.float32)
             idx = (self._start + np.arange(i, j)) % self.maxlen
             return self._buf[idx].copy()
@@ -84,8 +94,20 @@ class RingBuffer:
             self._size = 0
 
     def clear_from(self, idx: int) -> None:
-        """Drop the first `idx` samples (the consumed prefix)."""
+        """Drop the first `idx` samples (the consumed prefix). NOTE: idx
+        is relative to the ring's CURRENT contents — with a concurrent
+        producer, prefer clear_until() with a position from snapshot()."""
         with self._lock:
             idx = max(0, min(int(idx), self._size))
             self._start = (self._start + idx) % self.maxlen
             self._size -= idx
+
+    def clear_until(self, abs_pos: int) -> None:
+        """Drop every sample whose absolute position (samples ever pushed,
+        see snapshot()) is < abs_pos. Safe under concurrent push: samples
+        that arrived after the consumer's snapshot are never dropped."""
+        with self._lock:
+            cur_start = self._total - self._size
+            drop = max(0, min(int(abs_pos) - cur_start, self._size))
+            self._start = (self._start + drop) % self.maxlen
+            self._size -= drop

@@ -73,11 +73,15 @@ class ScanStreamer:
         k_slots = self.max_notes_per_chunk
 
         def step(carry, chunk_x):
-            ring, state = carry  # state = [last emitted onset, ring base]
+            # rel_last: last EMITTED onset relative to ring[0] — kept
+            # ring-relative (not global) so arbitrarily long streams
+            # never overflow int32; the host reconstructs absolute time
+            # from the chunk index (unbounded Python ints)
+            ring, rel_last = carry
             ring = jnp.concatenate([ring[chunk:], chunk_x])
-            base = state[1]  # global index of ring[0]
-            onsets, valid, _ovf = detect_onsets(ring, sr=sr, min_sep=0.0,
-                                                max_onsets=k_slots)
+            rel_last = jnp.maximum(rel_last - chunk, -(2 ** 30))
+            onsets, valid, ovf = detect_onsets(ring, sr=sr, min_sep=0.0,
+                                               max_onsets=k_slots)
             # candidate clips for every budget slot (dynamic_slice clamps
             # out-of-range starts; such slots are masked out below anyway)
             clips = jax.vmap(
@@ -92,23 +96,20 @@ class ScanStreamer:
             # across chunks (onsets arrive sorted ascending)
             def sel(last, oe):
                 o, e = oe
-                take = e & (base + o - last >= min_sep_n)
-                return jnp.where(take, base + o, last), take
+                take = e & (o - last >= min_sep_n)
+                return jnp.where(take, o, last), take
 
-            new_last, takes = jax.lax.scan(sel, state[0], (onsets, eligible))
+            new_last, takes = jax.lax.scan(sel, rel_last, (onsets, eligible))
             probs = ensemble(clips)  # one batched forward for all slots
-            carry = (ring, jnp.stack([new_last, base + chunk]))
-            return carry, (probs, base + onsets, takes)
+            return (ring, new_last), (probs, onsets, takes, ovf)
 
         @functools.partial(jax.jit)
         def run(chunks):
             ring0 = jnp.zeros(ring_n, jnp.float32)
-            # carry[0]: last emitted onset (global); carry[1]: ring[0]'s
-            # global sample index for the upcoming step
-            last0 = jnp.asarray([-10 ** 9, -self.context], jnp.int32)
-            _, (probs, onsets, emits) = jax.lax.scan(
+            last0 = jnp.asarray(-(2 ** 30), jnp.int32)
+            _, (probs, onsets, emits, ovf) = jax.lax.scan(
                 step, (ring0, last0), chunks)
-            return probs, onsets, emits
+            return probs, onsets, emits, ovf
 
         return run
 
@@ -123,22 +124,31 @@ class ScanStreamer:
         pad = n_chunks * self.chunk - len(y)
         chunks = np.pad(np.asarray(y, np.float32), (0, pad)) \
             .reshape(n_chunks, self.chunk)
-        probs, onsets, emits = self._scan_fn(jnp.asarray(chunks))
+        probs, onsets, emits, ovf = self._scan_fn(jnp.asarray(chunks))
         # (n_chunks, k_slots, …) → flat note stream; slots are time-ordered
-        # within a chunk, so the flattened order is globally ascending
+        # within a chunk, so the flattened order is globally ascending.
+        # Onsets are ring-relative; absolute time comes from the chunk
+        # index (Python ints — no 27-hour int32 ceiling on device)
+        k = probs.shape[1]
         probs = np.asarray(probs).reshape(-1, probs.shape[-1])
-        onsets = np.asarray(onsets).reshape(-1)
+        onsets = np.asarray(onsets).reshape(-1).astype(np.int64)
         emits = np.asarray(emits).reshape(-1)
+        ovf = np.asarray(ovf)
         rm = self.transcriber.predictor.reverse_map
         out = []
-        for p, o, e in zip(probs, onsets, emits):
+        for i, (p, o, e) in enumerate(zip(probs, onsets, emits)):
             if not e:
                 continue
+            step_i = i // k
             idx = int(p.argmax())
             out.append({
-                "onset_s": float(o) / self.sr,
+                "onset_s": (step_i * self.chunk - self.context + int(o))
+                / self.sr,
                 "labels": [rm[idx] if rm else idx],
                 "confidences": np.asarray([p[idx]]),
                 "probs": p[None],
+                # the per-chunk onset budget truncated detections — this
+                # chunk's note list may not be exhaustive (never silent)
+                "onset_overflow": bool(ovf[step_i]),
             })
         return out

@@ -87,3 +87,29 @@ def test_scan_stream_single_note_mid_stream(streamer):
     out = streamer.transcribe_stream(y)
     assert len(out) == 1
     assert out[0]["labels"] == ["G3"]
+
+
+def test_scan_stream_results_carry_overflow_flag(streamer):
+    """Every streamed note exposes onset_overflow (the per-chunk budget
+    signal) — False on clean content; dense content with a tiny budget
+    flags instead of silently dropping notes."""
+    y = np.zeros(int(2.5 * SR), np.float32)
+    n = make_pluck(196.0, SR, 0.45, seed=1)
+    y[SR:SR + len(n)] += n
+    out = streamer.transcribe_stream(y)
+    assert out and all(r["onset_overflow"] is False for r in out)
+
+    from gat_tpu.infer import Transcriber
+    from gat_tpu.stream.scan import ScanStreamer
+    dense = np.zeros(int(3.0 * SR), np.float32)
+    for k in range(10):
+        p = make_pluck(110.0 * (1 + (k % 3)), SR, 0.2, seed=k)
+        fade = int(0.3 * len(p))
+        p[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int((0.2 + 0.25 * k) * SR)
+        dense[s:s + len(p)] += p
+    tiny = ScanStreamer(Transcriber(), sr=SR, min_sep=0.0,
+                        max_notes_per_chunk=2)
+    out_d = tiny.transcribe_stream(dense)
+    assert any(r["onset_overflow"] for r in out_d), \
+        [(r["onset_s"], r["onset_overflow"]) for r in out_d]

@@ -165,7 +165,7 @@ def test_live_mic_loop_with_fake_sounddevice(monkeypatch):
     # loaded machine a stalled poll can lap the 1.5 s ring and drop a
     # note, so allow a bounded number of reruns before declaring failure
     labels = []
-    for _ in range(3):
+    for _ in range(4):
         live.buffer.clear()
         live.results.clear()
         results = live.live(duration=4.5)
@@ -174,3 +174,32 @@ def test_live_mic_loop_with_fake_sounddevice(monkeypatch):
             break
     assert len(labels) >= 2, f"too few notes transcribed live: {labels}"
     assert set(labels) <= set(played.values()), labels
+
+
+def test_ring_clear_until_is_push_safe():
+    """clear_until drops by ABSOLUTE position: samples pushed after the
+    consumer's snapshot are never dropped (the live-mic staleness race —
+    a snapshot-relative clear_from would eat the next note's attack)."""
+    from gat_tpu.stream.ring import RingBuffer
+    rb = RingBuffer(8)
+    rb.push(np.arange(8, dtype=np.float32))           # full: abs [0, 8)
+    snap, start = rb.snapshot()
+    assert start == 0
+    np.testing.assert_array_equal(snap, np.arange(8))
+    rb.push(np.asarray([100.0, 101.0], np.float32))   # ring now abs [2,10)
+    rb.clear_until(start + 5)  # consume snapshot prefix [0, 5)
+    # only [5, 10) remain — 100/101 (pushed after the snapshot) intact
+    np.testing.assert_array_equal(rb.get_buffer(),
+                                  [5.0, 6.0, 7.0, 100.0, 101.0])
+    # clearing an already-evicted range is a no-op
+    rb.clear_until(3)
+    assert rb.size() == 5
+
+
+def test_ring_get_slice_rejects_negative():
+    from gat_tpu.stream.ring import RingBuffer
+    rb = RingBuffer(8)
+    rb.push(np.arange(5, dtype=np.float32))
+    assert rb.get_slice(-3, 2).size == 0
+    assert rb.get_slice(4, 2).size == 0
+    np.testing.assert_array_equal(rb.get_slice(1, 3), [1.0, 2.0])
