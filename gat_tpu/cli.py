@@ -62,6 +62,11 @@ def main(argv=None):
                              "robustness)")
     args = parser.parse_args(argv)
 
+    # persistent XLA cache: on real TPU backends first-compile is minutes
+    # per jit signature; cached reruns are seconds
+    from .utils.jaxenv import enable_compilation_cache
+    enable_compilation_cache()
+
     from .infer import Transcriber
     transcriber = Transcriber(mlp_ckpt=args.mlp_ckpt,
                               cnn_ckpt=args.cnn_ckpt,

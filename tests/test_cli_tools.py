@@ -712,3 +712,25 @@ def test_serve_http_micro_batch_stress_many_waves(tmp_path):
     finally:
         holder[0].shutdown()
         th.join(timeout=10)
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Entry-point cache helper: explicit dir wins, creates it, and a
+    later no-arg call leaves an already-configured dir untouched."""
+    import jax
+    from gat_tpu.utils.jaxenv import enable_compilation_cache
+    orig = getattr(jax.config, "jax_compilation_cache_dir", None)
+    try:
+        d = tmp_path / "cache" / "deep"
+        assert enable_compilation_cache(d) == str(d)
+        assert d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
+        # no-arg call respects the existing configuration
+        assert enable_compilation_cache() == str(d)
+        # env var beats the existing configuration
+        d2 = tmp_path / "env_cache"
+        monkeypatch.setenv("GAT_TPU_JAX_CACHE", str(d2))
+        assert enable_compilation_cache() == str(d2)
+        assert d2.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)

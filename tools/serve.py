@@ -401,6 +401,11 @@ def main():
                          "long a request waits for companions once "
                          "another is queued")
     args = ap.parse_args()
+    # persistent XLA cache: steady-state serving recompiles nothing, but
+    # process restarts on real TPUs would otherwise pay minutes of
+    # first-compile per (B, n) program signature
+    from gat_tpu.utils.jaxenv import enable_compilation_cache
+    enable_compilation_cache()
     t = None
     if args.pitch_prior > 0:
         from gat_tpu.infer import Transcriber
