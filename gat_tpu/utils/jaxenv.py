@@ -16,8 +16,8 @@ from pathlib import Path
 __all__ = ["enable_compilation_cache"]
 
 
-def enable_compilation_cache(cache_dir: str | os.PathLike | None = None
-                             ) -> str | None:
+def enable_compilation_cache(cache_dir: str | os.PathLike | None = None,
+                             include_cpu: bool = False) -> str | None:
     """Point JAX's persistent compilation cache at a writable directory.
 
     Resolution order: explicit arg > $GAT_TPU_JAX_CACHE > an already-
@@ -26,8 +26,21 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None
     enabled (read-only home, ancient jax) — entry points treat that as
     a soft failure because the cache is an optimization, not a
     dependency.
+
+    CPU backends are skipped unless `include_cpu`: CPU compiles are
+    fast, and XLA:CPU AOT cache entries pin exact host machine features
+    — reloading them warns about possible SIGILL on any feature drift.
+    The cache is for accelerator backends, where a fused-graph compile
+    costs minutes.
     """
     import jax
+
+    if not include_cpu:
+        platforms = (jax.config.jax_platforms
+                     or os.environ.get("JAX_PLATFORMS", ""))
+        if platforms == "cpu" or \
+                (not platforms and jax.default_backend() == "cpu"):
+            return None
 
     if cache_dir is None:
         cache_dir = os.environ.get("GAT_TPU_JAX_CACHE")

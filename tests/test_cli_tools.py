@@ -721,16 +721,42 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
     from gat_tpu.utils.jaxenv import enable_compilation_cache
     orig = getattr(jax.config, "jax_compilation_cache_dir", None)
     try:
+        # the suite runs on the CPU backend: the helper must decline
+        # (XLA:CPU AOT cache entries pin host machine features and warn
+        # about SIGILL on reload — and CPU compiles are fast anyway)
+        assert enable_compilation_cache(tmp_path / "nope") is None
         d = tmp_path / "cache" / "deep"
-        assert enable_compilation_cache(d) == str(d)
+        assert enable_compilation_cache(d, include_cpu=True) == str(d)
         assert d.is_dir()
         assert jax.config.jax_compilation_cache_dir == str(d)
         # no-arg call respects the existing configuration
-        assert enable_compilation_cache() == str(d)
+        assert enable_compilation_cache(include_cpu=True) == str(d)
         # env var beats the existing configuration
         d2 = tmp_path / "env_cache"
         monkeypatch.setenv("GAT_TPU_JAX_CACHE", str(d2))
-        assert enable_compilation_cache() == str(d2)
+        assert enable_compilation_cache(include_cpu=True) == str(d2)
         assert d2.is_dir()
     finally:
         jax.config.update("jax_compilation_cache_dir", orig)
+
+
+def test_serve_warmup_compiles_serving_programs(capsys):
+    """--warmup's engine: synthesizes plucks per duration and pushes them
+    through the real serving calls (batched wave program + single-file
+    fallback) without error; the warm plucks produce real notes, so this
+    also smoke-checks the result path."""
+    import serve as serve_mod
+    from gat_tpu.infer import Transcriber
+    t = Transcriber()
+    serve_mod.warmup(t, [1.0, 2.0], batch=2)
+    out = capsys.readouterr().out
+    assert "warmed 1s x2" in out and "warmed 2s x2" in out
+
+
+def test_serve_warmup_flag_rejects_garbage(monkeypatch, capsys):
+    import serve as serve_mod
+    monkeypatch.setattr(sys, "argv",
+                        ["serve.py", "--http", "0", "--warmup", "4,banana"])
+    with pytest.raises(SystemExit):
+        serve_mod.main()
+    assert "comma-separated seconds" in capsys.readouterr().err

@@ -17,6 +17,7 @@ Usage:
     python tools/serve.py --in_dir incoming/ --out_dir results/
     python tools/serve.py --in_dir incoming/ --out_dir results/ --once
     python tools/serve.py --http 8080
+    python tools/serve.py --http 8080 --warmup 4,60   # pre-compile
 """
 from __future__ import annotations
 
@@ -42,6 +43,52 @@ def result_to_json(result: dict) -> dict:
         # — consumers must not treat the label list as exhaustive then
         "onset_overflow": bool(result.get("onset_overflow", False)),
     }
+
+
+def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
+           verbose: bool = True) -> None:
+    """Pre-compile the serving device programs before traffic arrives.
+
+    For each requested duration, synthesizes `batch` pluck WAVs (real
+    onsets, so the result path is exercised too) and pushes them through
+    the exact serving calls: `transcribe_files` (the batched wave
+    program for that duration bucket) and `transcribe` (the single-file
+    fallback). First requests then hit warm jit caches; with the
+    persistent XLA cache enabled (main() does), later process restarts
+    skip the compiles entirely.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from gat_tpu.config import TARGET_SR
+    from gat_tpu.data.synth import karplus_strong
+    from gat_tpu.utils.wavio import write_wav
+
+    sr = TARGET_SR
+    with tempfile.TemporaryDirectory() as td:
+        for dur in durations_s:
+            y = np.zeros(int(float(dur) * sr), np.float32)
+            p = np.asarray(karplus_strong(196.0, sr, min(0.5, float(dur)),
+                                          seed=7), np.float32)[0]
+            fade = max(1, int(0.3 * len(p)))
+            p[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+            y[: len(p)] += p
+            paths = []
+            for b in range(max(int(batch), 1)):
+                wav = Path(td) / f"warm_{dur:g}_{b}.wav"
+                write_wav(wav, y, sr)
+                paths.append(wav)
+            t0 = time.perf_counter()
+            if batch > 1:
+                t.transcribe_files(paths, cand_budget=cand_budget)
+            try:
+                t.transcribe(paths[0])
+            except ValueError:
+                pass  # compile happened; result-shape quirks don't matter
+            if verbose:
+                print(f"[serve] warmed {float(dur):g}s x{batch} "
+                      f"({time.perf_counter() - t0:.1f}s)")
 
 
 def serve(in_dir: Path, out_dir: Path, once: bool = False,
@@ -400,6 +447,11 @@ def main():
                     help="with --http_batch>1: rendezvous window — how "
                          "long a request waits for companions once "
                          "another is queued")
+    ap.add_argument("--warmup", type=str, default=None, metavar="SECS",
+                    help="comma-separated durations (s) to pre-compile "
+                         "before serving, e.g. --warmup 4,60 — first "
+                         "requests then hit warm jit caches (and the "
+                         "persistent XLA cache across restarts)")
     args = ap.parse_args()
     # persistent XLA cache: steady-state serving recompiles nothing, but
     # process restarts on real TPUs would otherwise pay minutes of
@@ -410,6 +462,21 @@ def main():
     if args.pitch_prior > 0:
         from gat_tpu.infer import Transcriber
         t = Transcriber(pitch_prior_weight=args.pitch_prior)
+    def _warm(batch: int):
+        if not args.warmup:
+            return t
+        try:
+            durs = [float(x) for x in args.warmup.split(",") if x.strip()]
+        except ValueError:
+            ap.error(f"--warmup expects comma-separated seconds, got "
+                     f"{args.warmup!r}")
+        tw = t
+        if tw is None:
+            from gat_tpu.infer import Transcriber
+            tw = Transcriber()
+        warmup(tw, durs, batch=batch, cand_budget=args.cand_budget)
+        return tw
+
     if args.http is not None:
         # watch-folder flags have no effect on the HTTP server — reject
         # them loudly instead of silently running a different config
@@ -424,7 +491,8 @@ def main():
         if ignored:
             ap.error(f"--http does not support {', '.join(ignored)} "
                      "(watch-folder flags)")
-        serve_http(args.http, transcriber=t, batch=args.http_batch,
+        serve_http(args.http, transcriber=_warm(args.http_batch),
+                   batch=args.http_batch,
                    window_s=args.http_window_ms / 1000.0)
         return 0
     if args.http_batch != 1 or args.http_window_ms != 25.0:
@@ -432,7 +500,8 @@ def main():
     if args.in_dir is None or args.out_dir is None:
         ap.error("--in_dir and --out_dir are required without --http")
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
-          transcriber=t, batch=args.batch, cand_budget=args.cand_budget)
+          transcriber=_warm(args.batch), batch=args.batch,
+          cand_budget=args.cand_budget)
     return 0
 
 
