@@ -95,12 +95,20 @@ def _peak_candidates(env: jax.Array, pre_max: int, post_max: int,
     mov_max = jax.lax.reduce_window(
         x_ext, -jnp.inf, jax.lax.max, (size,), (1,), "VALID")
 
-    # moving average: truncated-window mean via one exclusive cumsum
+    # moving average: truncated-window mean via one exclusive cumsum of
+    # the MEAN-CENTERED envelope (identical in exact arithmetic; in
+    # float32 a raw prefix sum grows ~linearly with t, so hour-scale
+    # envelopes would put csum at ~1e4-1e5 where a window difference
+    # carries meaningful ulp error — centered, the prefix stays near
+    # zero and the window error bound is t-independent)
+    x_mean = jnp.sum(x_sum) / jnp.maximum(nvf, 1).astype(env.dtype)
+    x_c = x_sum - x_mean if valid is None else \
+        jnp.where(valid, x_sum - x_mean, 0.0)
     csum = jnp.concatenate([jnp.zeros((1,), env.dtype),
-                            jnp.cumsum(x_sum, axis=-1)])
+                            jnp.cumsum(x_c, axis=-1)])
     a = jnp.clip(idx - pre_avg, 0, nvf)
     b = jnp.clip(idx + post_avg, 0, nvf)
-    mov_avg = (jnp.take(csum, b) - jnp.take(csum, a)) \
+    mov_avg = x_mean + (jnp.take(csum, b) - jnp.take(csum, a)) \
         / jnp.maximum(b - a, 1).astype(env.dtype)
 
     det = jnp.where(env == mov_max, env, 0.0)

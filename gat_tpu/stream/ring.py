@@ -54,10 +54,13 @@ class RingBuffer:
 
     def pop(self) -> None:
         """Drop the newest sample (reference surface parity,
-        ref transcribe_live.py:51-52)."""
+        ref transcribe_live.py:51-52). Un-pushes it from the absolute
+        position count too, preserving the snapshot()/clear_until()
+        invariant (oldest sample's abs position == _total - _size)."""
         with self._lock:
             if self._size:
                 self._size -= 1
+                self._total -= 1
 
     def get_buffer(self) -> np.ndarray:
         """Snapshot copy, oldest→newest."""

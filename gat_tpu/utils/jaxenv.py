@@ -36,8 +36,12 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None,
     import jax
 
     if not include_cpu:
-        platforms = (jax.config.jax_platforms
-                     or os.environ.get("JAX_PLATFORMS", ""))
+        # jax.config is authoritative; the JAX_PLATFORMS env var is NOT
+        # consulted — site hooks can pin the backend regardless of it
+        # (this repo's dev machine does), and default_backend() reflects
+        # whatever actually won. Entry points initialize the backend
+        # moments later anyway, so asking for it here costs nothing.
+        platforms = jax.config.jax_platforms
         if platforms == "cpu" or \
                 (not platforms and jax.default_backend() == "cpu"):
             return None

@@ -412,3 +412,33 @@ def test_rms_gate_batched_matches_per_item(rng):
         np.testing.assert_array_equal(
             out_v[i], np.asarray(gating.rms_gate(jnp.asarray(Y[i]),
                                  n_valid_samples=jnp.asarray(n))))
+
+
+def test_peak_pick_long_envelope_conditioning(rng):
+    """Hour-scale envelopes: the moving average must not lose precision
+    to the prefix-sum magnitude. A raw float32 cumsum of a ~0.9-offset
+    300k-frame envelope reaches ~2.7e5 where one ulp is ~0.03 — window
+    differences would carry ~1e-2 error, flipping peaks whose margin to
+    mov_avg + delta is small. The mean-centered cumsum keeps the error
+    t-independent; engineered ±2e-4-margin peaks must match the float64
+    direct reference exactly."""
+    t = 300_000
+    delta, params = 0.07, dict(pre_max=2, post_max=2, pre_avg=4,
+                               post_avg=5, delta=0.07, wait=10)
+    env = (0.9 + rng.uniform(0.0, 0.002, t)).astype(np.float32)
+    # flat background around each peak so the truncated-window mean is
+    # analytic: mean = bg + (peak - bg)/9 → threshold at delta*9/8
+    thresh = delta * 9 / 8
+    expected_kept = []
+    for k, pos in enumerate(range(5_000, t - 5_000, 9_973)):
+        env[pos - 8:pos + 9] = 0.9
+        margin = 2e-4 if k % 2 == 0 else -2e-4
+        env[pos] = 0.9 + thresh + margin
+        if margin > 0:
+            expected_kept.append(pos)
+    keep = np.flatnonzero(np.asarray(peak_pick_mask(jnp.asarray(env),
+                                                    **params)))
+    ref = _peak_pick_direct(env.astype(np.float64), **params)
+    np.testing.assert_array_equal(keep, ref)
+    # the engineered positive-margin peaks are all among them
+    assert set(expected_kept) <= set(keep.tolist())

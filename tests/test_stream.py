@@ -203,3 +203,20 @@ def test_ring_get_slice_rejects_negative():
     assert rb.get_slice(-3, 2).size == 0
     assert rb.get_slice(4, 2).size == 0
     np.testing.assert_array_equal(rb.get_slice(1, 3), [1.0, 2.0])
+
+
+def test_ring_pop_preserves_absolute_positions():
+    """pop() un-pushes the newest sample: the absolute position of the
+    oldest sample (snapshot()'s second return) must be unaffected, so a
+    clear_until() from a pre-pop snapshot still drops exactly the
+    consumed prefix."""
+    from gat_tpu.stream.ring import RingBuffer
+    rb = RingBuffer(8)
+    rb.push(np.arange(6, dtype=np.float32))
+    rb.pop()
+    snap, start = rb.snapshot()
+    assert start == 0
+    np.testing.assert_array_equal(snap, np.arange(5))
+    rb.push(np.asarray([50.0], np.float32))
+    rb.clear_until(start + 2)
+    np.testing.assert_array_equal(rb.get_buffer(), [2.0, 3.0, 4.0, 50.0])
