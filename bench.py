@@ -505,8 +505,35 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
     }
 
 
+def _device_or_bail(timeout_s: float) -> None:
+    """Initialize the backend with a bound: a dead TPU tunnel makes
+    jax.devices() hang forever, which would stall the whole bench run.
+    The probe runs in a daemon thread (jax caches the backend, so the
+    real run pays no second init); on timeout, ONE error JSON line is
+    emitted — same contract as a measurement — and the process exits."""
+    import threading
+
+    ok = threading.Event()
+
+    def _probe():
+        import jax
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(json.dumps({
+            "metric": "batch_throughput", "value": 0.0,
+            "unit": "audio_s/s", "vs_baseline": 0.0,
+            "error": f"device backend unavailable (no response in "
+                     f"{timeout_s:.0f}s — TPU tunnel down?)",
+        }))
+        os._exit(1)
+
+
 def main():
     import jax
+    _device_or_bail(float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "900")))
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     if os.environ.get("BENCH_MODE") == "files":
