@@ -760,3 +760,31 @@ def test_serve_warmup_flag_rejects_garbage(monkeypatch, capsys):
     with pytest.raises(SystemExit):
         serve_mod.main()
     assert "comma-separated seconds" in capsys.readouterr().err
+
+
+def test_serve_http_rejects_oversized_body(tmp_path):
+    """Bodies past --http_max_mb get a 413 BEFORE being buffered, so a
+    rogue Content-Length cannot make the handler allocate gigabytes."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    class Stub:
+        def transcribe(self, p):
+            raise AssertionError("oversized body must never reach the "
+                                 "transcriber")
+
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), max_body_mb=0.001))  # 1 KB cap
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=b"x" * 4096,
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 413
+        body = json.loads(exc_info.value.read())
+        assert "exceeds" in body["error"]
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)

@@ -186,14 +186,15 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
 def serve_http(port: int = 8080, host: str = "127.0.0.1",
                transcriber=None, verbose: bool = True,
                server_holder: list | None = None, batch: int = 1,
-               window_s: float = 0.025):
+               window_s: float = 0.025, max_body_mb: float = 256.0):
     """HTTP transcription endpoint (stdlib `http.server`, no new deps):
 
     - ``POST /transcribe`` — body is a whole ``.wav`` file; responds with
       the same result JSON the watch-folder mode writes (labels,
       confidences, onsets, YIN baseline, onset_overflow). Silence (no
       clips survive slicing) is a 200 with empty labels + error text,
-      matching batch semantics; an undecodable body is a 400.
+      matching batch semantics; an undecodable body is a 400; a body
+      larger than ``max_body_mb`` is a 413, rejected before buffering.
     - ``GET /healthz`` — ``{"ok": true}`` liveness probe.
     - ``GET /metrics`` — Prometheus text format: requests by status
       code, request-wall summary, device dispatches, files per dispatch
@@ -367,6 +368,14 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             if n <= 0:
                 self._json(400, {"labels": [], "error": "empty body"})
                 return
+            if n > max_body_mb * 1024 * 1024:
+                # bound host memory: a rogue Content-Length must not make
+                # the handler buffer gigabytes (256 MB ≈ 100 min of
+                # 22.05 kHz PCM16 — far past any single transcription)
+                self._json(413, {"labels": [],
+                                 "error": f"body {n} bytes exceeds the "
+                                          f"{max_body_mb:g} MB limit"})
+                return
             data = self.rfile.read(n)
             try:
                 with tempfile.NamedTemporaryFile(suffix=".wav") as f:
@@ -447,6 +456,9 @@ def main():
                     help="with --http_batch>1: rendezvous window — how "
                          "long a request waits for companions once "
                          "another is queued")
+    ap.add_argument("--http_max_mb", type=float, default=256.0,
+                    help="with --http: reject request bodies larger than "
+                         "this many MB with a 413 (bounds host memory)")
     ap.add_argument("--warmup", type=str, default=None, metavar="SECS",
                     help="comma-separated durations (s) to pre-compile "
                          "before serving, e.g. --warmup 4,60 — first "
@@ -493,10 +505,13 @@ def main():
                      "(watch-folder flags)")
         serve_http(args.http, transcriber=_warm(args.http_batch),
                    batch=args.http_batch,
-                   window_s=args.http_window_ms / 1000.0)
+                   window_s=args.http_window_ms / 1000.0,
+                   max_body_mb=args.http_max_mb)
         return 0
-    if args.http_batch != 1 or args.http_window_ms != 25.0:
-        ap.error("--http_batch/--http_window_ms require --http")
+    if args.http_batch != 1 or args.http_window_ms != 25.0 \
+            or args.http_max_mb != 256.0:
+        ap.error("--http_batch/--http_window_ms/--http_max_mb "
+                 "require --http")
     if args.in_dir is None or args.out_dir is None:
         ap.error("--in_dir and --out_dir are required without --http")
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
