@@ -56,6 +56,11 @@ def main(argv=None):
                              "(the v0 CLI's model choice)")
     parser.add_argument("--live", action="store_true",
                         help="Stream from the microphone instead of a file")
+    parser.add_argument("--stream", action="store_true",
+                        help="Transcribe --audio through the streaming "
+                             "scan engine (device-side lax.scan over "
+                             "0.5 s chunks — the --live compute path, "
+                             "run offline with per-chunk note emission)")
     parser.add_argument("--pitch_prior", type=float, default=0.0,
                         help="YIN pitch-prior mixture weight (0 disables;"
                              " 0.4 recommended for unseen-timbre "
@@ -76,6 +81,9 @@ def main(argv=None):
     if args.model == "mlp":
         transcriber.model_ckpts.pop("cnn", None)
 
+    if args.live and args.stream:
+        parser.error("--live (microphone) and --stream (offline file "
+                     "streaming) are mutually exclusive")
     if args.live:
         from .stream import LiveTranscriber
         LiveTranscriber(transcriber).live()
@@ -98,6 +106,36 @@ def main(argv=None):
 
     out_dir = Path(args.out) if args.out else INFERENCE_OUTPUT_ROOT
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.stream:
+        import numpy as np
+
+        from .ops.resample import resample
+        from .stream import ScanStreamer
+        from .utils.wavio import read_wav
+
+        streamer = ScanStreamer(transcriber)
+        for p in audio_paths:
+            y, sr_in = read_wav(p)
+            if sr_in != streamer.sr:
+                y = np.asarray(resample(y, sr_in, streamer.sr))
+            notes = streamer.transcribe_stream(np.asarray(y, np.float32))
+            print(f"\nStreamed Transcription — {p.name}:")
+            print("Onset(s) |  Label |  Confidence")
+            for r in notes:
+                flag = "  [onset budget hit]" if r["onset_overflow"] else ""
+                print(f"{r['onset_s']:8.3f}  {r['labels'][0]:>5}  "
+                      f"(conf={float(r['confidences'][0]):.2f}){flag}")
+            if not notes:
+                print("(no notes emitted)")
+            if args.save_results:
+                out_file = out_dir / f"{p.stem}_stream_transcription.txt"
+                with out_file.open("w", encoding="utf-8") as f:
+                    for r in notes:
+                        f.write(f"{r['onset_s']:.4f},{r['labels'][0]},"
+                                f"{float(r['confidences'][0]):.4f}\n")
+                print(f"Saved streamed transcription to {out_file}")
+        return 0
 
     used_stems: dict[str, int] = {}
 

@@ -788,3 +788,27 @@ def test_serve_http_rejects_oversized_body(tmp_path):
     finally:
         holder[0].shutdown()
         th.join(timeout=10)
+
+
+def test_cli_stream_mode(tmp_path, capsys):
+    """--stream runs the device-scan streaming engine on a file: notes
+    emitted with onset timestamps, results savable."""
+    p = _riff_wav(tmp_path / "riff.wav")
+    rc = cli_main(["--audio", str(p), "--out", str(tmp_path / "out"),
+                   "--stream", "--save_results"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Streamed Transcription" in out
+    assert "A2" in out and "G3" in out
+    txt = (tmp_path / "out" / "riff_stream_transcription.txt").read_text()
+    labels = [line.split(",")[1] for line in txt.strip().splitlines()]
+    assert "A2" in labels and "G3" in labels
+    # streamed onsets are absolute timestamps near the synth positions
+    first_onset = float(txt.split(",")[0])
+    assert 0.3 < first_onset < 0.6
+
+
+def test_cli_stream_and_live_conflict(tmp_path):
+    p = _riff_wav(tmp_path / "r.wav")
+    with pytest.raises(SystemExit):
+        cli_main(["--audio", str(p), "--stream", "--live"])
