@@ -27,6 +27,7 @@ _LAZY = {
     "TrainingManager": ".train",
     "Trainer": ".train",
     "LiveTranscriber": ".stream",
+    "ScanStreamer": ".stream",
     "MLP": ".models",
     "CNN": ".models",
 }
