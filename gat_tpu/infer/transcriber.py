@@ -291,12 +291,20 @@ class Transcriber:
         decoded = read_wav_batch(paths)  # threaded native decode
         buckets: dict[int, list[tuple[int, jnp.ndarray, int]]] = {}
         for idx, (y_raw, sr_in) in enumerate(decoded):
-            n_raw = int(np.asarray(y_raw).shape[-1])
+            y_np = np.asarray(y_raw, np.float32)
+            n_raw = int(y_np.shape[-1])
             sec = max(1, -(-n_raw // sr_in))  # whole seconds (ceil)
             bsec = 1 << (sec - 1).bit_length()  # duration bucket (pow2 s)
-            y = fix_length(jnp.asarray(y_raw, jnp.float32), sec * sr_in)
-            y = resample(y, sr_in, target_sr)  # length = sec · target_sr
-            y = fix_length(y, bsec * target_sr)
+            if n_raw < sec * sr_in:
+                # whole-second pad on the HOST, pre-upload: device-side
+                # padding would compile a fresh jnp.pad program per raw
+                # length, so steady-state serving of never-seen lengths
+                # would recompile forever; quantized to whole seconds,
+                # the device signatures (resample + bucket pad) are the
+                # bounded (sec, sr_in)/(sec, bsec) families
+                y_np = np.pad(y_np, (0, sec * sr_in - n_raw))
+            y = resample(jnp.asarray(y_np), sr_in, target_sr)
+            y = fix_length(y, bsec * target_sr)  # sec·target_sr → bucket
             nv = -(-n_raw * target_sr // sr_in)
             buckets.setdefault(bsec, []).append((idx, y, nv))
 
@@ -400,12 +408,20 @@ class Transcriber:
         save_clips always uses the two-stage path (the clips must visit
         the host anyway)."""
         y, sr_in = read_wav(audio_path)
-        y22 = jnp.asarray(np.asarray(resample(y, sr_in, target_sr)))
 
         if fused and not save_clips:
-            n = int(y22.shape[-1])
-            bucket = max(1, -(-n // target_sr)) * target_sr
-            y_pad = fix_length(y22, bucket)
+            # whole-second host pad BEFORE resample (see transcribe_files:
+            # keeps the device program signatures quantized to whole
+            # seconds instead of one per raw length; the polyphase filter
+            # zero-extends edges either way, so the first n samples are
+            # identical — regression-tested in test_infer)
+            y_np = np.asarray(y, np.float32)
+            n_raw = int(y_np.shape[-1])
+            sec = max(1, -(-n_raw // sr_in))
+            if n_raw < sec * sr_in:
+                y_np = np.pad(y_np, (0, sec * sr_in - n_raw))
+            y_pad = resample(jnp.asarray(y_np), sr_in, target_sr)
+            n = -(-n_raw * target_sr // sr_in)  # true resampled length
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets)
             probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = run(
                 y_pad, jnp.asarray(n))
@@ -413,6 +429,7 @@ class Transcriber:
                                       onsets, times, target_sr,
                                       overflow=ovf)
 
+        y22 = jnp.asarray(np.asarray(resample(y, sr_in, target_sr)))
         clips, kept, onsets, ovalid, times, overflow = segment_waveform(
             y22, sr=target_sr, length_sec=clip_duration,
             max_onsets=max_onsets)

@@ -296,3 +296,46 @@ def test_extract_inference_features_mlp_only(tmp_path):
         loader, melspec_params=None)
     assert ms is None
     assert mf.shape[0] == 2
+
+
+def test_serving_signatures_quantized_to_whole_seconds(tmp_path,
+                                                       transcriber):
+    """Never-seen raw lengths must NOT compile new device programs when
+    they fall in an already-served whole-second bucket: padding to whole
+    seconds happens on the host pre-upload, so steady-state serving of
+    arbitrary-length files is compile-free (a device-side pad would key
+    one jnp.pad program per raw sample count)."""
+    import logging
+
+    import jax
+
+    p1 = tmp_path / "a.wav"
+    p2 = tmp_path / "b.wav"
+    two = NOTES[:3]  # onsets 0.4/1.1 fit; 1.8 feeds the last-onset quirk
+    write_wav(p1, _riff(notes=two, dur=2.31), SR)   # sec bucket 3
+    write_wav(p2, _riff(notes=two, dur=2.73), SR)   # same bucket, new len
+    transcriber.transcribe_files([p1])   # warm every (B=1, sec=2) program
+    transcriber.transcribe(p1, fused=True)
+
+    records: list[str] = []
+
+    class _H(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    h = _H()
+    logger = logging.getLogger("jax")
+    old_level = logger.level
+    jax.config.update("jax_log_compiles", True)
+    logger.addHandler(h)
+    logger.setLevel(logging.DEBUG)
+    try:
+        r = transcriber.transcribe_files([p2])
+        rf = transcriber.transcribe(p2, fused=True)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.removeHandler(h)
+        logger.setLevel(old_level)
+    assert r[0]["labels"] and rf["labels"]
+    compiles = [m for m in records if m.startswith("Compiling")]
+    assert not compiles, compiles
