@@ -513,21 +513,33 @@ def _device_or_bail(timeout_s: float) -> None:
     emitted — same contract as a measurement — and the process exits."""
     import threading
 
-    ok = threading.Event()
+    done = threading.Event()
+    err: list[str] = []
 
     def _probe():
-        import jax
-        jax.devices()
-        ok.set()
+        try:
+            import jax
+            jax.devices()
+        except Exception as e:  # fast failure: surface the real cause
+            err.append(f"{type(e).__name__}: {e}")
+        done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    if not ok.wait(timeout_s):
+    if not done.wait(timeout_s) or err:
+        mode = os.environ.get("BENCH_MODE", "")
+        metric = {
+            "files": "batched_file_throughput", "file": "file_latency",
+            "train": "train_step_throughput", "stream": "stream_chunk",
+            "latency": "p50_latency", "stages": "stage_partition",
+        }.get(mode, "audio_seconds_transcribed_per_sec_per_chip")
+        reason = err[0] if err else (f"no response in {timeout_s:.0f}s "
+                                     "— TPU tunnel down?")
         print(json.dumps({
-            "metric": "batch_throughput", "value": 0.0,
-            "unit": "audio_s/s", "vs_baseline": 0.0,
-            "error": f"device backend unavailable (no response in "
-                     f"{timeout_s:.0f}s — TPU tunnel down?)",
-        }))
+            "metric": metric, "value": 0.0, "unit": "audio_s/s",
+            "vs_baseline": 0.0,
+            "error": f"device backend unavailable ({reason})",
+        }), flush=True)
+        sys.stdout.flush()
         os._exit(1)
 
 

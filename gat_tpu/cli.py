@@ -67,6 +67,12 @@ def main(argv=None):
                              "robustness)")
     args = parser.parse_args(argv)
 
+    if args.live and args.stream:
+        # flag-only validation belongs before the (expensive) checkpoint
+        # loads below
+        parser.error("--live (microphone) and --stream (offline file "
+                     "streaming) are mutually exclusive")
+
     # persistent XLA cache: on real TPU backends first-compile is minutes
     # per jit signature; cached reruns are seconds
     from .utils.jaxenv import enable_compilation_cache
@@ -81,9 +87,6 @@ def main(argv=None):
     if args.model == "mlp":
         transcriber.model_ckpts.pop("cnn", None)
 
-    if args.live and args.stream:
-        parser.error("--live (microphone) and --stream (offline file "
-                     "streaming) are mutually exclusive")
     if args.live:
         from .stream import LiveTranscriber
         LiveTranscriber(transcriber).live()
@@ -107,6 +110,16 @@ def main(argv=None):
     out_dir = Path(args.out) if args.out else INFERENCE_OUTPUT_ROOT
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    used_stems: dict[str, int] = {}
+
+    def _out_name(audio_path: Path, kind: str = "transcription") -> Path:
+        """Stem-keyed output path, disambiguated when two inputs share
+        a stem (a/take.wav + b/take.wav must not clobber each other)."""
+        n = used_stems.get(audio_path.stem, 0)
+        used_stems[audio_path.stem] = n + 1
+        suffix = "" if n == 0 else f"_{n}"
+        return out_dir / f"{audio_path.stem}{suffix}_{kind}.txt"
+
     if args.stream:
         import numpy as np
 
@@ -129,23 +142,13 @@ def main(argv=None):
             if not notes:
                 print("(no notes emitted)")
             if args.save_results:
-                out_file = out_dir / f"{p.stem}_stream_transcription.txt"
+                out_file = _out_name(p, kind="stream_transcription")
                 with out_file.open("w", encoding="utf-8") as f:
                     for r in notes:
                         f.write(f"{r['onset_s']:.4f},{r['labels'][0]},"
                                 f"{float(r['confidences'][0]):.4f}\n")
                 print(f"Saved streamed transcription to {out_file}")
         return 0
-
-    used_stems: dict[str, int] = {}
-
-    def _out_name(audio_path: Path) -> Path:
-        """Stem-keyed output path, disambiguated when two inputs share
-        a stem (a/take.wav + b/take.wav must not clobber each other)."""
-        n = used_stems.get(audio_path.stem, 0)
-        used_stems[audio_path.stem] = n + 1
-        suffix = "" if n == 0 else f"_{n}"
-        return out_dir / f"{audio_path.stem}{suffix}_transcription.txt"
 
     def _emit(audio_path: Path, result: dict, header: str = "") -> None:
         labels = result["labels"]

@@ -129,6 +129,13 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
                                 cand_budget=cand_budget)
 
     def run(ys, n_valids):
+        # exact-zero tail past each file's true length: whole-second
+        # padding happens BEFORE the polyphase resampler (host pad,
+        # transcribe_files), whose edge continuation leaks nonzero
+        # samples into [n_valid, bucket); a clip window crossing EOF
+        # must see zeros for bit parity with the unpadded two-stage path
+        ys = jnp.where(jnp.arange(ys.shape[-1])[None, :]
+                       < n_valids[:, None], ys, 0.0)
         clips, kept, onsets, ovalid, times, overflow = jax.vmap(_segment)(
             ys, n_valids)
         b, k, length = clips.shape

@@ -145,6 +145,12 @@ class Transcriber:
 
         @jax.jit
         def run(y, n_valid):
+            # exact-zero tail past the true length: the caller pads to a
+            # whole second BEFORE resampling (host pad), so the polyphase
+            # edge continuation leaks into [n_valid, bucket); a clip
+            # window crossing EOF must see zeros for bit parity with the
+            # unpadded two-stage path
+            y = jnp.where(jnp.arange(y.shape[-1]) < n_valid, y, 0.0)
             clips, kept, onsets, ovalid, times, overflow = segment_waveform(
                 y, sr=target_sr, length_sec=clip_duration,
                 max_onsets=max_onsets, n_valid_samples=n_valid)

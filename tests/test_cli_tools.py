@@ -791,16 +791,24 @@ def test_serve_http_rejects_oversized_body(tmp_path):
 
 
 def test_cli_stream_mode(tmp_path, capsys):
-    """--stream runs the device-scan streaming engine on a file: notes
-    emitted with onset timestamps, results savable."""
-    p = _riff_wav(tmp_path / "riff.wav")
-    rc = cli_main(["--audio", str(p), "--out", str(tmp_path / "out"),
+    """--stream runs the device-scan streaming engine on files: notes
+    emitted with onset timestamps, results savable, same-stem inputs
+    disambiguated like the non-stream path."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    p1 = _riff_wav(tmp_path / "a" / "riff.wav")
+    p2 = _riff_wav(tmp_path / "b" / "riff.wav")
+    rc = cli_main(["--audio", str(p1), str(p2),
+                   "--out", str(tmp_path / "out"),
                    "--stream", "--save_results"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "Streamed Transcription" in out
     assert "A2" in out and "G3" in out
-    txt = (tmp_path / "out" / "riff_stream_transcription.txt").read_text()
+    outs = sorted((tmp_path / "out").glob("riff*_stream_transcription.txt"))
+    assert [o.name for o in outs] == ["riff_1_stream_transcription.txt",
+                                      "riff_stream_transcription.txt"]
+    txt = outs[1].read_text()
     labels = [line.split(",")[1] for line in txt.strip().splitlines()]
     assert "A2" in labels and "G3" in labels
     # streamed onsets are absolute timestamps near the synth positions

@@ -314,8 +314,6 @@ def test_serving_signatures_quantized_to_whole_seconds(tmp_path,
     two = NOTES[:3]  # onsets 0.4/1.1 fit; 1.8 feeds the last-onset quirk
     write_wav(p1, _riff(notes=two, dur=2.31), SR)   # sec bucket 3
     write_wav(p2, _riff(notes=two, dur=2.73), SR)   # same bucket, new len
-    transcriber.transcribe_files([p1])   # warm every (B=1, sec=2) program
-    transcriber.transcribe(p1, fused=True)
 
     records: list[str] = []
 
@@ -330,6 +328,16 @@ def test_serving_signatures_quantized_to_whole_seconds(tmp_path,
     logger.addHandler(h)
     logger.setLevel(logging.DEBUG)
     try:
+        # warm every (B=1, sec=3) program — and use the compiles this
+        # triggers as the positive control that the capture mechanism
+        # actually sees jax's compile logs (otherwise the zero-compile
+        # assertion below could pass vacuously after a jax upgrade)
+        transcriber.transcribe_files([p1])
+        transcriber.transcribe(p1, fused=True)
+        warm_compiles = [m for m in records if m.startswith("Compiling")]
+        assert warm_compiles, "compile-log capture saw nothing during "\
+            "warm-up — the mechanism is broken, not the serving path"
+        n_warm = len(records)
         r = transcriber.transcribe_files([p2])
         rf = transcriber.transcribe(p2, fused=True)
     finally:
@@ -337,5 +345,40 @@ def test_serving_signatures_quantized_to_whole_seconds(tmp_path,
         logger.removeHandler(h)
         logger.setLevel(old_level)
     assert r[0]["labels"] and rf["labels"]
-    compiles = [m for m in records if m.startswith("Compiling")]
+    compiles = [m for m in records[n_warm:] if m.startswith("Compiling")]
     assert not compiles, compiles
+
+
+def test_fused_parity_with_energy_at_eof(tmp_path, transcriber):
+    """Non-whole-second 44.1 kHz file with sustained energy right at EOF:
+    the fused paths pad to whole seconds BEFORE resampling, so polyphase
+    edge continuation leaks nonzero samples past the true length — the
+    programs' entry mask must zero [n, bucket) or a clip window crossing
+    EOF diverges from the unpadded two-stage path."""
+    sr_in = 44100
+    y = np.zeros(int(1.7 * sr_in), np.float32)
+    for t0, f in [(0.3, 110.0), (0.85, 146.83)]:
+        n = make_pluck(f, sr_in, 0.45, seed=int(f))
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int(t0 * sr_in)
+        y[s:s + len(n)] += n
+    # sustained tone to the very last sample (no fade): its clip window
+    # crosses EOF, and the resampler's continuation past EOF is nonzero
+    s = int(1.25 * sr_in)
+    t = np.arange(len(y) - s, dtype=np.float32) / sr_in
+    tail = (0.3 * np.sin(2 * np.pi * 196.0 * t)).astype(np.float32)
+    tail[:256] *= np.linspace(0, 1, 256, dtype=np.float32)
+    y[s:] += tail
+    p = tmp_path / "eof.wav"
+    write_wav(p, y, sr_in)
+    r_f = transcriber.transcribe(p, fused=True)
+    r_2 = transcriber.transcribe(p, fused=False)
+    rs = transcriber.transcribe_files([p])[0]
+    assert r_f["labels"] == r_2["labels"] == rs["labels"]
+    np.testing.assert_allclose(r_f["confidences"], r_2["confidences"],
+                               atol=1e-6)
+    np.testing.assert_allclose(rs["confidences"], r_2["confidences"],
+                               atol=1e-6)
+    np.testing.assert_allclose(r_f["per_model_probs"]["mlp"],
+                               r_2["per_model_probs"]["mlp"], atol=1e-6)

@@ -194,7 +194,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
       confidences, onsets, YIN baseline, onset_overflow). Silence (no
       clips survive slicing) is a 200 with empty labels + error text,
       matching batch semantics; an undecodable body is a 400; a body
-      larger than ``max_body_mb`` is a 413, rejected before buffering.
+      larger than ``max_body_mb`` is a 413 (drained in bounded chunks and
+      discarded — never buffered — so the client actually receives it).
     - ``GET /healthz`` — ``{"ok": true}`` liveness probe.
     - ``GET /metrics`` — Prometheus text format: requests by status
       code, request-wall summary, device dispatches, files per dispatch
@@ -310,6 +311,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     batcher = _MicroBatcher(t, batch, window_s) if batch > 1 else None
 
     class Handler(http.server.BaseHTTPRequestHandler):
+        timeout = 120  # bounds reads from stalled clients (incl. drains)
+
         def log_message(self, fmt, *args):  # quiet by default
             if verbose:
                 print(f"[serve.http] {fmt % args}")
@@ -371,7 +374,21 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             if n > max_body_mb * 1024 * 1024:
                 # bound host memory: a rogue Content-Length must not make
                 # the handler buffer gigabytes (256 MB ≈ 100 min of
-                # 22.05 kHz PCM16 — far past any single transcription)
+                # 22.05 kHz PCM16 — far past any single transcription).
+                # Drain in bounded chunks first — replying and closing
+                # with an unread body makes the kernel RST the socket
+                # while the client is still in send(), and it would see
+                # a connection reset instead of the 413. A stalled
+                # sender is bounded by the handler's socket timeout.
+                remaining = n
+                try:
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                except OSError:
+                    pass  # client gave up mid-body; still answer if we can
                 self._json(413, {"labels": [],
                                  "error": f"body {n} bytes exceeds the "
                                           f"{max_body_mb:g} MB limit"})
