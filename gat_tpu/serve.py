@@ -1,0 +1,538 @@
+#!/usr/bin/env python
+"""Batch transcription service: watch a directory, transcribe arrivals,
+emit JSON results.
+
+The production-serving driver the reference never had (its entry points
+are a CLI and a mic loop): new `.wav` files dropped into `--in_dir` are
+transcribed with the shipped ensemble and a `<stem>.json` result (labels,
+confidences, onsets, YIN baseline) is written to `--out_dir`. Files are
+processed in arrival batches; the hot path reuses the Transcriber's
+cached jit graphs, so steady-state cost per file is one device dispatch.
+
+`--http PORT` serves the same transcription over HTTP instead (stdlib
+only): `POST /transcribe` with a `.wav` body returns the result JSON,
+`GET /healthz` reports liveness.
+
+Usage (`gat-serve` once pip-installed; `python -m gat_tpu.serve` or the
+`tools/serve.py` shim from a checkout):
+    gat-serve --in_dir incoming/ --out_dir results/
+    gat-serve --in_dir incoming/ --out_dir results/ --once
+    gat-serve --http 8080
+    gat-serve --http 8080 --warmup 4,60   # pre-compile
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import time
+from pathlib import Path
+
+
+def result_to_json(result: dict) -> dict:
+    return {
+        "labels": list(result["labels"]),
+        "confidences": [float(c) for c in result["confidences"]],
+        "onsets_s": [float(t) for t in result.get("onsets_s", [])],
+        "yin": [{"pitch_hz": hz, **info}
+                for hz, info in result.get("dsp_info", [])],
+        # True iff an onset budget truncated detections (earliest kept)
+        # — consumers must not treat the label list as exhaustive then
+        "onset_overflow": bool(result.get("onset_overflow", False)),
+    }
+
+
+def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
+           verbose: bool = True) -> None:
+    """Pre-compile the serving device programs before traffic arrives.
+
+    For each requested duration, synthesizes `batch` pluck WAVs (real
+    onsets, so the result path is exercised too) and pushes them through
+    the exact serving calls: `transcribe_files` (the batched wave
+    program for that duration bucket) and `transcribe` (the single-file
+    fallback). First requests then hit warm jit caches; with the
+    persistent XLA cache enabled (main() does), later process restarts
+    skip the compiles entirely.
+    """
+    import tempfile
+
+    import numpy as np
+
+    from .config import TARGET_SR
+    from .data.synth import karplus_strong
+    from .utils.wavio import write_wav
+
+    sr = TARGET_SR
+    with tempfile.TemporaryDirectory() as td:
+        for dur in durations_s:
+            y = np.zeros(int(float(dur) * sr), np.float32)
+            p = np.asarray(karplus_strong(196.0, sr, min(0.5, float(dur)),
+                                          seed=7), np.float32)[0]
+            fade = max(1, int(0.3 * len(p)))
+            p[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+            y[: len(p)] += p
+            paths = []
+            for b in range(max(int(batch), 1)):
+                wav = Path(td) / f"warm_{dur:g}_{b}.wav"
+                write_wav(wav, y, sr)
+                paths.append(wav)
+            t0 = time.perf_counter()
+            if batch > 1:
+                t.transcribe_files(paths, cand_budget=cand_budget)
+            try:
+                t.transcribe(paths[0])
+            except ValueError:
+                pass  # compile happened; result-shape quirks don't matter
+            if verbose:
+                print(f"[serve] warmed {float(dur):g}s x{batch} "
+                      f"({time.perf_counter() - t0:.1f}s)")
+
+
+def serve(in_dir: Path, out_dir: Path, once: bool = False,
+          poll_s: float = 0.5, transcriber=None, verbose: bool = True,
+          batch: int = 1, cand_budget: int | None = None):
+    from .infer import Transcriber
+    t = transcriber or Transcriber()
+    in_dir.mkdir(parents=True, exist_ok=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    done: set[str] = set()
+    stop = {"flag": False}
+
+    def _sigint(_sig, _frm):
+        stop["flag"] = True
+
+    if not once:
+        signal.signal(signal.SIGINT, _sigint)
+        if verbose:
+            print(f"[serve] watching {in_dir} → {out_dir} "
+                   "(Ctrl+C to stop)")
+
+    def _write(p: Path, result: dict, t0: float, wave_n: int = 1):
+        out_path = out_dir / f"{p.stem}.json"
+        if result.get("labels"):
+            out_path.write_text(json.dumps(result_to_json(result),
+                                           indent=2))
+            status = ",".join(result["labels"])
+        else:
+            err = result.get("error", "no clips survived slicing")
+            out_path.write_text(json.dumps(
+                {"labels": [], "error": err}, indent=2))
+            status = ("(no notes)" if "clips survived" in err
+                      else f"(error: {err.split(':')[0]})")
+        if verbose:
+            # t0 is taken once per wave: report the wave's elapsed time
+            # divided over its files, not the whole wave per file
+            ms = (time.perf_counter() - t0) * 1000 / max(wave_n, 1)
+            tag = f"{ms:.0f} ms" if wave_n == 1 else \
+                f"{ms:.1f} ms/file, wave of {wave_n}"
+            print(f"[serve] {p.name} → {status} ({tag})")
+
+    def _one_file(p: Path) -> dict:
+        try:
+            return t.transcribe(p)
+        except ValueError as e:  # e.g. silence: no clips survived
+            return {"labels": [], "error": str(e)}
+        except Exception as e:
+            return {"labels": [], "error": f"{type(e).__name__}: {e}"}
+
+    processed = 0
+    while not stop["flag"]:
+        pending = sorted(p for p in in_dir.glob("*.wav")
+                         if p.name not in done)
+        singles: list[Path] = []
+        if batch > 1 and len(pending) > 1:
+            # similar-length files batch together: every new
+            # (max-length-bucket, batch) pair is a fresh XLA compile and
+            # one 300 s outlier would pad a whole wave of 3 s files
+            def _size(p: Path) -> int:
+                try:  # a watch-folder file can vanish between glob+stat
+                    return p.stat().st_size
+                except OSError:
+                    return 0
+            pending.sort(key=_size)
+        # batch >1: whole arrival waves go through the batched fused
+        # multi-file program (one device dispatch per `batch` files)
+        while batch > 1 and len(pending) > 1:
+            wave, pending = pending[:batch], pending[batch:]
+            t0 = time.perf_counter()
+            try:
+                results = t.transcribe_files(wave, cand_budget=cand_budget)
+            except Exception:
+                # one bad file fails the whole batched read — only THIS
+                # wave falls back to the per-file path; later waves
+                # keep batching
+                singles.extend(wave)
+                continue
+            for p, r in zip(wave, results):
+                _write(p, r, t0, wave_n=len(wave))
+                done.add(p.name)
+                processed += 1
+        for p in singles + pending:
+            t0 = time.perf_counter()
+            _write(p, _one_file(p), t0)
+            done.add(p.name)
+            processed += 1
+        if once:
+            break
+        time.sleep(poll_s)
+    if verbose:
+        print(f"[serve] stopped after {processed} files")
+    return processed
+
+
+def serve_http(port: int = 8080, host: str = "127.0.0.1",
+               transcriber=None, verbose: bool = True,
+               server_holder: list | None = None, batch: int = 1,
+               window_s: float = 0.025, max_body_mb: float = 256.0):
+    """HTTP transcription endpoint (stdlib `http.server`, no new deps):
+
+    - ``POST /transcribe`` — body is a whole ``.wav`` file; responds with
+      the same result JSON the watch-folder mode writes (labels,
+      confidences, onsets, YIN baseline, onset_overflow). Silence (no
+      clips survive slicing) is a 200 with empty labels + error text,
+      matching batch semantics; an undecodable body is a 400; a body
+      larger than ``max_body_mb`` is a 413 (drained in bounded chunks and
+      discarded — never buffered — so the client actually receives it).
+    - ``GET /healthz`` — ``{"ok": true}`` liveness probe.
+    - ``GET /metrics`` — Prometheus text format: requests by status
+      code, request-wall summary, device dispatches, files per dispatch
+      (micro-batching efficiency = files_sum / dispatches).
+
+    ``port=0`` binds a free port. ``server_holder`` (tests) receives the
+    server object before ``serve_forever`` so another thread can
+    ``shutdown()`` it.
+
+    ``batch=1`` (default): one device dispatch at a time, handlers
+    serialize on a lock. ``batch>1``: cross-request micro-batching —
+    concurrent POSTs rendezvous for up to ``window_s`` and ride ONE
+    batched fused device program (``Transcriber.transcribe_files``), the
+    same amortization the watch-folder ``--batch`` path gets for file
+    waves. A request never waits out the window alone unless others are
+    already queued behind it; a batched failure falls back per-request
+    so one bad body cannot fail its neighbors."""
+    import http.server
+    import queue as queue_mod
+    import tempfile
+    import threading
+    from .infer import Transcriber
+
+    t = transcriber or Transcriber()
+    lock = threading.Lock()
+
+    # /metrics observability (Prometheus text format, stdlib only)
+    mlock = threading.Lock()
+    metrics = {"codes": {}, "req_s_sum": 0.0, "req_count": 0,
+               "dispatches": 0, "dispatch_files": 0}
+
+    def _count_dispatch(nfiles: int):
+        with mlock:
+            metrics["dispatches"] += 1
+            metrics["dispatch_files"] += nfiles
+
+    def _render_metrics() -> str:
+        with mlock:
+            lines = ["# TYPE gat_http_requests_total counter"]
+            for code in sorted(metrics["codes"]):
+                lines.append(f'gat_http_requests_total{{code="{code}"}} '
+                             f'{metrics["codes"][code]}')
+            lines += [
+                "# TYPE gat_http_request_seconds summary",
+                f"gat_http_request_seconds_sum {metrics['req_s_sum']:.6f}",
+                f"gat_http_request_seconds_count {metrics['req_count']}",
+                "# TYPE gat_device_dispatches_total counter",
+                f"gat_device_dispatches_total {metrics['dispatches']}",
+                "# TYPE gat_dispatch_files_sum counter",
+                f"gat_dispatch_files_sum {metrics['dispatch_files']}",
+            ]
+        return "\n".join(lines) + "\n"
+
+    class _MicroBatcher:
+        """Rendezvous point: handler threads submit paths, one dispatcher
+        thread groups them into transcribe_files waves."""
+
+        def __init__(self, t, batch: int, window_s: float):
+            self.t, self.batch, self.window = t, batch, window_s
+            self.q: queue_mod.Queue = queue_mod.Queue()
+            threading.Thread(target=self._run, daemon=True).start()
+
+        def submit(self, path) -> dict:
+            done = threading.Event()
+            slot: dict = {"done": done}
+            self.q.put((path, slot))
+            done.wait()
+            return slot
+
+        def _drain_wave(self) -> list:
+            wave = [self.q.get()]  # block for the first request
+            deadline = time.monotonic() + self.window
+            while len(wave) < self.batch:
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    wave.append(self.q.get(timeout=rem))
+                except queue_mod.Empty:
+                    break
+            return wave
+
+        def _run(self):
+            while True:
+                wave = self._drain_wave()
+                try:
+                    _count_dispatch(len(wave))
+                    if len(wave) == 1:
+                        results = [self.t.transcribe(wave[0][0])]
+                    else:
+                        results = self.t.transcribe_files(
+                            [p for p, _ in wave])
+                    for (_, slot), r in zip(wave, results):
+                        slot["result"] = r
+                except Exception as e:
+                    if len(wave) == 1:
+                        wave[0][1]["exc"] = e
+                    else:
+                        # a batched read/decode failure must not take the
+                        # neighbors down — retry each request on its own,
+                        # handing each handler ITS OWN exception to
+                        # classify
+                        for p, slot in wave:
+                            try:
+                                _count_dispatch(1)
+                                slot["result"] = self.t.transcribe(p)
+                            except Exception as e2:
+                                slot["exc"] = e2
+                finally:
+                    for _, slot in wave:
+                        slot["done"].set()
+
+    batcher = _MicroBatcher(t, batch, window_s) if batch > 1 else None
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        timeout = 120  # bounds reads from stalled clients (incl. drains)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            if verbose:
+                print(f"[serve.http] {fmt % args}")
+
+        def _json(self, code: int, payload: dict):
+            with mlock:
+                metrics["codes"][code] = metrics["codes"].get(code, 0) + 1
+            body = json.dumps(payload, indent=2).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/metrics":
+                body = _render_metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            t0 = time.perf_counter()
+            try:
+                self._do_post()
+            finally:
+                with mlock:
+                    metrics["req_s_sum"] += time.perf_counter() - t0
+                    metrics["req_count"] += 1
+
+        def _do_post(self):
+            if self.path != "/transcribe":
+                self._json(404, {"error": f"unknown path {self.path}"})
+                return
+            cl = self.headers.get("Content-Length")
+            if cl is None:
+                # stdlib BaseHTTPRequestHandler does not decode chunked
+                # bodies — require a length rather than misread the stream
+                self._json(411, {"labels": [],
+                                 "error": "Content-Length required "
+                                          "(chunked bodies unsupported)"})
+                return
+            try:
+                n = int(cl)
+            except ValueError:
+                self._json(400, {"labels": [],
+                                 "error": f"bad Content-Length: {cl!r}"})
+                return
+            if n <= 0:
+                self._json(400, {"labels": [], "error": "empty body"})
+                return
+            if n > max_body_mb * 1024 * 1024:
+                # bound host memory: a rogue Content-Length must not make
+                # the handler buffer gigabytes (256 MB ≈ 100 min of
+                # 22.05 kHz PCM16 — far past any single transcription).
+                # Drain in bounded chunks first — replying and closing
+                # with an unread body makes the kernel RST the socket
+                # while the client is still in send(), and it would see
+                # a connection reset instead of the 413. A stalled
+                # sender is bounded by the handler's socket timeout.
+                remaining = n
+                try:
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            break
+                        remaining -= len(chunk)
+                except OSError:
+                    pass  # client gave up mid-body; still answer if we can
+                self._json(413, {"labels": [],
+                                 "error": f"body {n} bytes exceeds the "
+                                          f"{max_body_mb:g} MB limit"})
+                return
+            data = self.rfile.read(n)
+            try:
+                with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+                    f.write(data)
+                    f.flush()
+                    if batcher is not None:
+                        slot = batcher.submit(f.name)
+                        if "exc" in slot:
+                            raise slot["exc"]
+                        result = slot["result"]
+                        if not result.get("labels"):
+                            # match the single-dispatch silence contract
+                            # (transcribe raises; transcribe_files
+                            # returns an empty result instead)
+                            self._json(200, {"labels": [],
+                                             "error": "no clips survived "
+                                                      "slicing"})
+                            return
+                    else:
+                        with lock:  # one graph dispatch at a time
+                            _count_dispatch(1)
+                            result = t.transcribe(f.name)
+            except ValueError as e:
+                # silence (no clips survived slicing) is valid content →
+                # 200 with empty labels, matching batch semantics; any
+                # other ValueError is a bad body (e.g. not a RIFF) → 400
+                code = 200 if "clips survived" in str(e) else 400
+                self._json(code, {"labels": [], "error": str(e)})
+                return
+            except Exception as e:
+                # not a recognized bad-body error → server fault, 5xx
+                # (clients/monitors must not treat it as a caller mistake)
+                self._json(500, {"labels": [],
+                                 "error": f"{type(e).__name__}: {e}"})
+                return
+            self._json(200, result_to_json(result))
+
+    srv = http.server.ThreadingHTTPServer((host, port), Handler)
+    if server_holder is not None:
+        server_holder.append(srv)
+    if verbose:
+        print(f"[serve] http on {host}:{srv.server_address[1]} "
+              "(POST /transcribe, GET /healthz; Ctrl+C to stop)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in_dir", type=Path)
+    ap.add_argument("--out_dir", type=Path)
+    ap.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="serve an HTTP endpoint instead of watching a "
+                         "directory: POST /transcribe with a .wav body "
+                         "returns the transcription JSON")
+    ap.add_argument("--once", action="store_true",
+                    help="process current contents and exit")
+    ap.add_argument("--poll_s", type=float, default=0.5)
+    ap.add_argument("--pitch_prior", type=float, default=0.0,
+                    help="YIN pitch-prior mixture weight (0 disables)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="files per device dispatch (>1 routes arrival "
+                         "waves through the batched fused multi-file "
+                         "program)")
+    ap.add_argument("--cand_budget", type=int, default=None,
+                    help="onset candidate-scan budget per file (the "
+                         "serving-speed lever for content of known onset "
+                         "density; truncation sets onset_overflow in the "
+                         "result JSON, never silent)")
+    ap.add_argument("--http_batch", type=int, default=1,
+                    help="with --http: micro-batch up to N concurrent "
+                         "requests into one batched device dispatch")
+    ap.add_argument("--http_window_ms", type=float, default=25.0,
+                    help="with --http_batch>1: rendezvous window — how "
+                         "long a request waits for companions once "
+                         "another is queued")
+    ap.add_argument("--http_max_mb", type=float, default=256.0,
+                    help="with --http: reject request bodies larger than "
+                         "this many MB with a 413 (bounds host memory)")
+    ap.add_argument("--warmup", type=str, default=None, metavar="SECS",
+                    help="comma-separated durations (s) to pre-compile "
+                         "before serving, e.g. --warmup 4,60 — first "
+                         "requests then hit warm jit caches (and the "
+                         "persistent XLA cache across restarts)")
+    args = ap.parse_args()
+    # persistent XLA cache: steady-state serving recompiles nothing, but
+    # process restarts on real TPUs would otherwise pay minutes of
+    # first-compile per (B, n) program signature
+    from .utils.jaxenv import enable_compilation_cache
+    enable_compilation_cache()
+    t = None
+    if args.pitch_prior > 0:
+        from .infer import Transcriber
+        t = Transcriber(pitch_prior_weight=args.pitch_prior)
+    def _warm(batch: int):
+        if not args.warmup:
+            return t
+        try:
+            durs = [float(x) for x in args.warmup.split(",") if x.strip()]
+        except ValueError:
+            ap.error(f"--warmup expects comma-separated seconds, got "
+                     f"{args.warmup!r}")
+        tw = t
+        if tw is None:
+            from .infer import Transcriber
+            tw = Transcriber()
+        warmup(tw, durs, batch=batch, cand_budget=args.cand_budget)
+        return tw
+
+    if args.http is not None:
+        # watch-folder flags have no effect on the HTTP server — reject
+        # them loudly instead of silently running a different config
+        ignored = [n for n, bad in [
+            ("--in_dir", args.in_dir is not None),
+            ("--out_dir", args.out_dir is not None),
+            ("--once", args.once),
+            ("--poll_s", args.poll_s != 0.5),
+            ("--batch", args.batch != 1),
+            ("--cand_budget", args.cand_budget is not None),
+        ] if bad]
+        if ignored:
+            ap.error(f"--http does not support {', '.join(ignored)} "
+                     "(watch-folder flags)")
+        serve_http(args.http, transcriber=_warm(args.http_batch),
+                   batch=args.http_batch,
+                   window_s=args.http_window_ms / 1000.0,
+                   max_body_mb=args.http_max_mb)
+        return 0
+    if args.http_batch != 1 or args.http_window_ms != 25.0 \
+            or args.http_max_mb != 256.0:
+        ap.error("--http_batch/--http_window_ms/--http_max_mb "
+                 "require --http")
+    if args.in_dir is None or args.out_dir is None:
+        ap.error("--in_dir and --out_dir are required without --http")
+    serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
+          transcriber=_warm(args.batch), batch=args.batch,
+          cand_budget=args.cand_budget)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
