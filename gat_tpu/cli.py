@@ -36,6 +36,9 @@ def _pick_file_dialog() -> Path | None:
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Guitar Audio Transcriber — TPU-native")
+    from . import __version__
+    parser.add_argument("--version", action="version",
+                        version=f"gat_tpu {__version__}")
     parser.add_argument("--audio", type=str, nargs="+", default=None,
                         help="Path(s) to input .wav file(s); several "
                              "paths batch through ONE device program "

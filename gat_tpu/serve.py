@@ -442,7 +442,10 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
 
 
 def main():
+    from . import __version__
     ap = argparse.ArgumentParser()
+    ap.add_argument("--version", action="version",
+                    version=f"gat_tpu {__version__}")
     ap.add_argument("--in_dir", type=Path)
     ap.add_argument("--out_dir", type=Path)
     ap.add_argument("--http", type=int, default=None, metavar="PORT",
