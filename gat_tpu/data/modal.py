@@ -122,7 +122,8 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
     perturbations (they are post-render warps, not renderers);
     `channel` applies data/channel.py acquisition stressors (room IR,
     pickup EQ, background noise)."""
-    from .synth import _STRESSORS, DEFAULT_CLASS_NAMES, _variant_seed
+    from .synth import (_MIX_KEYS, _STRESSORS, DEFAULT_CLASS_NAMES,
+                        _variant_seed)
     from ..utils.native_wav import write_wav_batch
 
     out_root = Path(out_root)
@@ -142,8 +143,12 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
                               seed=_variant_seed(seed, ci, i,
                                                  variants_per_class))[0]
             if stressor is not None:
+                # 'mix' draws from synth.py's FROZEN _MIX_KEYS tuple, not
+                # _STRESSORS' live keys: published seeded modal eval sets
+                # must not move when a stressor is added later, and the
+                # mix population must match synth 'mix' (no palm_mute)
                 which = (stressor if stressor != "mix" else
-                         list(_STRESSORS)[int(rng.integers(len(_STRESSORS)))])
+                         _MIX_KEYS[int(rng.integers(len(_MIX_KEYS)))])
                 sig = _STRESSORS[which](sig, sr, rng)
             if channel is not None:
                 from .channel import apply_channel

@@ -6,7 +6,9 @@ The production-serving driver the reference never had (its entry points
 are a CLI and a mic loop): new `.wav` files dropped into `--in_dir` are
 transcribed with the shipped ensemble and a `<stem>.json` result (labels,
 confidences, onsets, YIN baseline) is written to `--out_dir`. Files are
-processed in arrival batches; the hot path reuses the Transcriber's
+processed in arrival batches; a file is only picked up once its size is
+stable across two polls, so a WAV still being copied in is never
+transcribed as a truncated prefix. The hot path reuses the Transcriber's
 cached jit graphs, so steady-state cost per file is one device dispatch.
 
 `--http PORT` serves the same transcription over HTTP instead (stdlib
@@ -48,11 +50,15 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
 
     For each requested duration, synthesizes `batch` pluck WAVs (real
     onsets, so the result path is exercised too) and pushes them through
-    the exact serving calls: `transcribe_files` (the batched wave
-    program for that duration bucket) and `transcribe` (the single-file
-    fallback). First requests then hit warm jit caches; with the
-    persistent XLA cache enabled (main() does), later process restarts
-    skip the compiles entirely.
+    the exact serving calls: `transcribe_files` at EVERY power-of-two
+    wave size up to `batch` — a partial rendezvous (2 concurrent POSTs
+    under --http_batch 4, a remainder wave in the watch folder) pads B
+    to the next power of two, so warming only the full-batch program
+    would leave partial waves to eat a minutes-long first compile under
+    live traffic — and `transcribe` (the single-file fallback). First
+    requests then hit warm jit caches; with the persistent XLA cache
+    enabled (main() does), later process restarts skip the compiles
+    entirely.
     """
     import tempfile
 
@@ -78,7 +84,10 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 paths.append(wav)
             t0 = time.perf_counter()
             if batch > 1:
-                t.transcribe_files(paths, cand_budget=cand_budget)
+                b = 1
+                while b <= max(int(batch), 1):
+                    t.transcribe_files(paths[:b], cand_budget=cand_budget)
+                    b *= 2
             try:
                 t.transcribe(paths[0])
             except ValueError:
@@ -90,18 +99,31 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
 
 def serve(in_dir: Path, out_dir: Path, once: bool = False,
           poll_s: float = 0.5, transcriber=None, verbose: bool = True,
-          batch: int = 1, cand_budget: int | None = None):
+          batch: int = 1, cand_budget: int | None = None,
+          poll_hook=None):
+    """Watch-folder loop. `poll_hook` (tests) is called after every poll
+    with the running processed count; returning True stops the loop —
+    the seam that lets the copy-stability gate be exercised
+    deterministically without signals or wall-clock sleeps."""
     from .infer import Transcriber
     t = transcriber or Transcriber()
     in_dir.mkdir(parents=True, exist_ok=True)
     out_dir.mkdir(parents=True, exist_ok=True)
     done: set[str] = set()
+    # copy-stability gate: a producer copying a large WAV in can span
+    # several polls, and the decoders deliberately tolerate truncated
+    # data chunks (partial-transfer recovery) — so a mid-copy file would
+    # transcribe CLEANLY, write a silently-wrong prefix result, and be
+    # marked done forever. A file is only eligible once its size is
+    # unchanged since the previous poll (skipped under --once: a single
+    # pass over a static directory has nothing to wait for).
+    seen_size: dict[str, int] = {}
     stop = {"flag": False}
 
     def _sigint(_sig, _frm):
         stop["flag"] = True
 
-    if not once:
+    if not once and poll_hook is None:  # tests keep pytest's handler
         signal.signal(signal.SIGINT, _sigint)
         if verbose:
             print(f"[serve] watching {in_dir} → {out_dir} "
@@ -137,19 +159,25 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
 
     processed = 0
     while not stop["flag"]:
-        pending = sorted(p for p in in_dir.glob("*.wav")
-                         if p.name not in done)
+        sizes: dict[str, int] = {}
+        pending: list[Path] = []
+        for p in sorted(in_dir.glob("*.wav")):
+            if p.name in done:
+                continue
+            try:  # a watch-folder file can vanish between glob and stat
+                size = p.stat().st_size
+            except OSError:
+                continue
+            sizes[p.name] = size
+            if once or seen_size.get(p.name) == size:
+                pending.append(p)  # stable since last poll → eligible
+        seen_size = sizes
         singles: list[Path] = []
         if batch > 1 and len(pending) > 1:
             # similar-length files batch together: every new
             # (max-length-bucket, batch) pair is a fresh XLA compile and
             # one 300 s outlier would pad a whole wave of 3 s files
-            def _size(p: Path) -> int:
-                try:  # a watch-folder file can vanish between glob+stat
-                    return p.stat().st_size
-                except OSError:
-                    return 0
-            pending.sort(key=_size)
+            pending.sort(key=lambda p: sizes[p.name])
         # batch >1: whole arrival waves go through the batched fused
         # multi-file program (one device dispatch per `batch` files)
         while batch > 1 and len(pending) > 1:
@@ -174,6 +202,8 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             processed += 1
         if once:
             break
+        if poll_hook is not None and poll_hook(processed):
+            break
         time.sleep(poll_s)
     if verbose:
         print(f"[serve] stopped after {processed} files")
@@ -195,8 +225,10 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
       discarded — never buffered — so the client actually receives it).
     - ``GET /healthz`` — ``{"ok": true}`` liveness probe.
     - ``GET /metrics`` — Prometheus text format: requests by status
-      code, request-wall summary, device dispatches, files per dispatch
-      (micro-batching efficiency = files_sum / dispatches).
+      code, request-wall summary, successful device dispatches, files
+      per successful dispatch (micro-batching efficiency = files_sum /
+      dispatches; failed attempts are excluded so per-request retries
+      after a bad-body batch cannot inflate the ratio).
 
     ``port=0`` binds a free port. ``server_holder`` (tests) receives the
     server object before ``serve_forever`` so another thread can
@@ -207,9 +239,11 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     concurrent POSTs rendezvous for up to ``window_s`` and ride ONE
     batched fused device program (``Transcriber.transcribe_files``), the
     same amortization the watch-folder ``--batch`` path gets for file
-    waves. A request never waits out the window alone unless others are
-    already queued behind it; a batched failure falls back per-request
-    so one bad body cannot fail its neighbors."""
+    waves. The first request of a wave pays up to ``window_s`` of added
+    latency waiting for companions (the rendezvous cost of batching —
+    size ``window_s`` to your traffic's arrival spacing); the wave
+    dispatches early the moment it fills. A batched failure falls back
+    per-request so one bad body cannot fail its neighbors."""
     import http.server
     import queue as queue_mod
     import tempfile
@@ -279,12 +313,17 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             while True:
                 wave = self._drain_wave()
                 try:
-                    _count_dispatch(len(wave))
                     if len(wave) == 1:
                         results = [self.t.transcribe(wave[0][0])]
                     else:
                         results = self.t.transcribe_files(
                             [p for p, _ in wave])
+                    # counted on success only: a batched attempt that
+                    # fails (typically in host-side read/decode, before
+                    # any device work) must not ALSO count its
+                    # per-request retries, or the files/dispatches
+                    # efficiency ratio reads inflated
+                    _count_dispatch(len(wave))
                     for (_, slot), r in zip(wave, results):
                         slot["result"] = r
                 except Exception as e:
@@ -297,8 +336,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                         # classify
                         for p, slot in wave:
                             try:
-                                _count_dispatch(1)
                                 slot["result"] = self.t.transcribe(p)
+                                _count_dispatch(1)
                             except Exception as e2:
                                 slot["exc"] = e2
                 finally:
@@ -410,8 +449,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                             return
                     else:
                         with lock:  # one graph dispatch at a time
-                            _count_dispatch(1)
                             result = t.transcribe(f.name)
+                            _count_dispatch(1)
             except ValueError as e:
                 # silence (no clips survived slicing) is valid content →
                 # 200 with empty labels, matching batch semantics; any
@@ -471,8 +510,9 @@ def main():
                          "requests into one batched device dispatch")
     ap.add_argument("--http_window_ms", type=float, default=25.0,
                     help="with --http_batch>1: rendezvous window — how "
-                         "long a request waits for companions once "
-                         "another is queued")
+                         "long the first request of a wave waits for "
+                         "companions before dispatching (added latency "
+                         "bound; size to your traffic's arrival spacing)")
     ap.add_argument("--http_max_mb", type=float, default=256.0,
                     help="with --http: reject request bodies larger than "
                          "this many MB with a 413 (bounds host memory)")

@@ -820,3 +820,143 @@ def test_cli_stream_and_live_conflict(tmp_path):
     p = _riff_wav(tmp_path / "r.wav")
     with pytest.raises(SystemExit):
         cli_main(["--audio", str(p), "--stream", "--live"])
+
+
+def test_serve_copy_stability_gate(tmp_path):
+    """A WAV still being copied into the watch folder must NOT be
+    transcribed as a truncated prefix (the decoders deliberately
+    tolerate short data chunks, so a mid-copy file decodes cleanly and
+    would be silently wrong AND marked done forever). Files become
+    eligible only once their size is stable across two polls."""
+    import serve as serve_mod
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    full = _riff_wav(tmp_path / "src.wav").read_bytes()
+    target = in_dir / "grow.wav"
+    target.write_bytes(full[: len(full) // 2])  # producer mid-copy
+
+    seen_sizes: list[int] = []
+
+    class Stub:
+        def transcribe(self, path):
+            seen_sizes.append(Path(path).stat().st_size)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    polls = {"n": 0}
+
+    def hook(processed):
+        polls["n"] += 1
+        if polls["n"] == 1:
+            # first poll saw the half-copied file: must not be processed
+            assert processed == 0 and not seen_sizes
+            target.write_bytes(full)  # copy completes
+            return False
+        if polls["n"] == 2:
+            # size changed between polls → still ineligible
+            assert processed == 0 and not seen_sizes
+            return False
+        assert processed == 1  # stable across polls 2→3 → processed
+        return True
+
+    n = serve_mod.serve(in_dir, out_dir, once=False, poll_s=0.0,
+                        transcriber=Stub(), verbose=False, poll_hook=hook)
+    assert n == 1
+    assert seen_sizes == [len(full)]  # transcribed the COMPLETE file
+
+
+def test_serve_warmup_covers_partial_wave_programs():
+    """warmup(batch=N) must compile every power-of-two wave size up to
+    N, not just the full batch: a partial rendezvous (2 concurrent
+    POSTs under --http_batch 4) pads B to the next power of two and
+    would otherwise hit a cold program under live traffic."""
+    import serve as serve_mod
+
+    wave_sizes: list[int] = []
+    singles: list[int] = []
+
+    class Stub:
+        def transcribe_files(self, paths, **kw):
+            wave_sizes.append(len(paths))
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+        def transcribe(self, path):
+            singles.append(1)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    serve_mod.warmup(Stub(), [1.0], batch=4, verbose=False)
+    assert wave_sizes == [1, 2, 4]
+    assert singles == [1]
+
+
+def test_serve_http_metrics_count_successful_dispatches_only(tmp_path):
+    """A failed batched attempt must not count toward the dispatch
+    counters on top of its per-request retries — the documented
+    files_sum/dispatches micro-batching ratio would read inflated."""
+    import json
+    import threading
+    import urllib.request
+
+    class Stub:
+        def transcribe_files(self, paths, **kw):
+            raise RuntimeError("batched decode blew up")
+
+        def transcribe(self, path):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), batch=4, window_s=2.0))
+    base = f"http://127.0.0.1:{port}"
+    body = _riff_wav(tmp_path / "r.wav").read_bytes()
+    out: list = []
+
+    def post():
+        req = urllib.request.Request(f"{base}/transcribe", data=body,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            out.append(resp.status)
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(4)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=120)
+        assert out == [200] * 4
+        with urllib.request.urlopen(f"{base}/metrics", timeout=30) as r:
+            text = r.read().decode()
+        lines = dict(ln.rsplit(" ", 1) for ln in text.splitlines()
+                     if ln and not ln.startswith("#"))
+        # every file was ultimately served by its own successful retry
+        # (or a successful singleton wave): dispatches == files == 4,
+        # with NO extra count for the failed batched attempt
+        assert int(lines["gat_device_dispatches_total"]) == 4
+        assert int(lines["gat_dispatch_files_sum"]) == 4
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=10)
+
+
+def test_modal_mix_stressor_frozen_against_registry_growth(tmp_path,
+                                                           monkeypatch):
+    """Seeded modal 'mix' eval sets must not move when a new stressor is
+    later added to synth._STRESSORS — the mix draw comes from the frozen
+    _MIX_KEYS tuple (same contract synth.py documents for its own mix)."""
+    from gat_tpu.data import synth
+    from gat_tpu.data.modal import render_modal_dataset
+
+    kw = dict(class_names=["E2", "A2"], variants_per_class=2,
+              duration=0.3, seed=11, stressor="mix")
+    render_modal_dataset(tmp_path / "a", **kw)
+    baseline = {p.name: p.read_bytes()
+                for p in sorted((tmp_path / "a").rglob("*.wav"))}
+    assert len(baseline) == 4
+
+    grown = dict(synth._STRESSORS)
+    grown["zz_new"] = lambda sig, sr, rng: sig * 0.5
+    monkeypatch.setattr(synth, "_STRESSORS", grown)
+    render_modal_dataset(tmp_path / "b", **kw)
+    again = {p.name: p.read_bytes()
+             for p in sorted((tmp_path / "b").rglob("*.wav"))}
+    assert again == baseline
