@@ -88,6 +88,11 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 while b <= max(int(batch), 1):
                     t.transcribe_files(paths[:b], cand_budget=cand_budget)
                     b *= 2
+                if batch & (batch - 1):
+                    # non-power-of-two batch: a full rendezvous of
+                    # `batch` pads B past the largest b warmed above
+                    # (3 files → B=4), so warm the exact full wave too
+                    t.transcribe_files(paths, cand_budget=cand_budget)
             try:
                 t.transcribe(paths[0])
             except ValueError:
@@ -100,15 +105,24 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
 def serve(in_dir: Path, out_dir: Path, once: bool = False,
           poll_s: float = 0.5, transcriber=None, verbose: bool = True,
           batch: int = 1, cand_budget: int | None = None,
-          poll_hook=None):
-    """Watch-folder loop. `poll_hook` (tests) is called after every poll
-    with the running processed count; returning True stops the loop —
-    the seam that lets the copy-stability gate be exercised
-    deterministically without signals or wall-clock sleeps."""
+          archive_dir: Path | None = None, poll_hook=None):
+    """Watch-folder loop. `archive_dir` moves each processed input
+    there — for long-running deployments it keeps `in_dir` (and so the
+    per-poll glob/stat cost) bounded by the arrival rate instead of the
+    service lifetime. Without it, processed files stay in `in_dir` and
+    are skipped via the `done` set, which is pruned to the directory's
+    current contents each poll (deleting a processed file externally
+    frees its entry; re-creating the same name reprocesses it).
+    `poll_hook` (tests) is called after every poll with the running
+    processed count; returning True stops the loop — the seam that lets
+    the copy-stability gate be exercised deterministically without
+    signals or wall-clock sleeps."""
     from .infer import Transcriber
     t = transcriber or Transcriber()
     in_dir.mkdir(parents=True, exist_ok=True)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if archive_dir is not None:
+        archive_dir.mkdir(parents=True, exist_ok=True)
     done: set[str] = set()
     # copy-stability gate: a producer copying a large WAV in can span
     # several polls, and the decoders deliberately tolerate truncated
@@ -157,11 +171,23 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
         except Exception as e:
             return {"labels": [], "error": f"{type(e).__name__}: {e}"}
 
+    def _finish(p: Path):
+        if archive_dir is not None:
+            try:
+                import shutil
+                shutil.move(str(p), str(archive_dir / p.name))
+                return  # gone from in_dir — nothing to remember
+            except OSError:
+                pass  # fall back to the done set
+        done.add(p.name)
+
     processed = 0
     while not stop["flag"]:
         sizes: dict[str, int] = {}
         pending: list[Path] = []
+        current: set[str] = set()
         for p in sorted(in_dir.glob("*.wav")):
+            current.add(p.name)
             if p.name in done:
                 continue
             try:  # a watch-folder file can vanish between glob and stat
@@ -172,6 +198,9 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
             if once or seen_size.get(p.name) == size:
                 pending.append(p)  # stable since last poll → eligible
         seen_size = sizes
+        # prune: `done` tracks only files still present, so memory stays
+        # bounded by the directory's size over an unbounded service life
+        done &= current
         singles: list[Path] = []
         if batch > 1 and len(pending) > 1:
             # similar-length files batch together: every new
@@ -193,12 +222,12 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
                 continue
             for p, r in zip(wave, results):
                 _write(p, r, t0, wave_n=len(wave))
-                done.add(p.name)
+                _finish(p)
                 processed += 1
         for p in singles + pending:
             t0 = time.perf_counter()
             _write(p, _one_file(p), t0)
-            done.add(p.name)
+            _finish(p)
             processed += 1
         if once:
             break
@@ -491,6 +520,10 @@ def main():
                     help="serve an HTTP endpoint instead of watching a "
                          "directory: POST /transcribe with a .wav body "
                          "returns the transcription JSON")
+    ap.add_argument("--archive_dir", type=Path, default=None,
+                    help="move processed inputs here — keeps --in_dir "
+                         "(and the per-poll scan cost) bounded by the "
+                         "arrival rate on long-running deployments")
     ap.add_argument("--once", action="store_true",
                     help="process current contents and exit")
     ap.add_argument("--poll_s", type=float, default=0.5)
@@ -553,6 +586,7 @@ def main():
             ("--in_dir", args.in_dir is not None),
             ("--out_dir", args.out_dir is not None),
             ("--once", args.once),
+            ("--archive_dir", args.archive_dir is not None),
             ("--poll_s", args.poll_s != 0.5),
             ("--batch", args.batch != 1),
             ("--cand_budget", args.cand_budget is not None),
@@ -573,7 +607,7 @@ def main():
         ap.error("--in_dir and --out_dir are required without --http")
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,
           transcriber=_warm(args.batch), batch=args.batch,
-          cand_budget=args.cand_budget)
+          cand_budget=args.cand_budget, archive_dir=args.archive_dir)
     return 0
 
 

@@ -960,3 +960,49 @@ def test_modal_mix_stressor_frozen_against_registry_growth(tmp_path,
     again = {p.name: p.read_bytes()
              for p in sorted((tmp_path / "b").rglob("*.wav"))}
     assert again == baseline
+
+
+def test_serve_warmup_nonpow2_batch_warms_padded_full_wave():
+    """--http_batch 3: a full rendezvous of 3 pads B to 4 — a program
+    the power-of-two warm loop (1, 2) alone would never compile."""
+    import serve as serve_mod
+
+    wave_sizes: list[int] = []
+
+    class Stub:
+        def transcribe_files(self, paths, **kw):
+            wave_sizes.append(len(paths))
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+        def transcribe(self, path):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    serve_mod.warmup(Stub(), [1.0], batch=3, verbose=False)
+    # 3 files exercise the same padded B=4 program live waves of 3 hit
+    assert wave_sizes == [1, 2, 3]
+
+
+def test_serve_archive_dir_moves_processed_inputs(tmp_path):
+    """--archive_dir: processed inputs leave the watch folder, so the
+    per-poll scan stays bounded on long-running deployments (and the
+    done set holds nothing for archived files)."""
+    import json
+    import serve as serve_mod
+
+    in_dir, out_dir, arch = tmp_path / "in", tmp_path / "out", \
+        tmp_path / "arch"
+    in_dir.mkdir()
+    _riff_wav(in_dir / "a.wav")
+
+    class Stub:
+        def transcribe(self, path):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    n = serve_mod.serve(in_dir, out_dir, once=True, verbose=False,
+                        transcriber=Stub(), archive_dir=arch)
+    assert n == 1
+    assert not list(in_dir.glob("*.wav"))          # moved out
+    assert (arch / "a.wav").exists()               # preserved
+    r = json.loads((out_dir / "a.json").read_text())
+    assert r["labels"] == ["A2"]
