@@ -51,10 +51,12 @@ def _window_view(x: jax.Array, size: int, left: int, right: int,
 
 
 def median_filter1d(x: jax.Array, size: int = 5) -> jax.Array:
-    """scipy.ndimage.median_filter default semantics (mode='reflect')."""
+    """scipy.ndimage.median_filter default semantics (mode='reflect').
+    Even sizes pick the upper-middle order statistic like scipy's rank
+    filter — NOT the two-middle average jnp.median would take."""
     left = size // 2
     w = _window_view(x, size, left, size - 1 - left, "reflect")
-    return jnp.median(w, axis=-1)
+    return jnp.sort(w, axis=-1)[..., size // 2]
 
 
 def maximum_filter1d(x: jax.Array, size: int, origin: int = 0,
@@ -77,7 +79,9 @@ def uniform_filter1d(x: jax.Array, size: int, origin: int = 0,
 def masked_percentile(x: jax.Array, q: float, mask: jax.Array) -> jax.Array:
     """np.percentile(x[mask], q) with linear interpolation, computed under
     jit with a traced valid-count (static shapes: invalid entries sort to
-    +inf). x, mask: (..., n) → (...,)."""
+    +inf). x, mask: (..., n) → (...,). An all-False mask yields NaN (the
+    traced analog of np.percentile's empty-input error — a loud sentinel
+    rather than a plausible-looking finite number)."""
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
     xs = jnp.sort(jnp.where(mask, x, big), axis=-1)
     count = jnp.sum(mask, axis=-1)
@@ -88,4 +92,5 @@ def masked_percentile(x: jax.Array, q: float, mask: jax.Array) -> jax.Array:
     xlo = jnp.take_along_axis(xs, lo[..., None], axis=-1)[..., 0]
     xhi = jnp.take_along_axis(xs, hi[..., None], axis=-1)[..., 0]
     xhi = jnp.where(hi >= count, xlo, xhi)  # don't interpolate into padding
-    return xlo + frac * (xhi - xlo)
+    out = xlo + frac * (xhi - xlo)
+    return jnp.where(count > 0, out, jnp.asarray(jnp.nan, x.dtype))

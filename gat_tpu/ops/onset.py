@@ -24,12 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spectral import melspectrogram_librosa, power_to_db_librosa
+from .spectral import (TINY32 as _TINY32, melspectrogram_librosa,
+                       power_to_db_librosa)
 
 __all__ = ["onset_strength", "peak_pick_mask", "backtrack_indices",
            "pick_onsets_from_envelope", "detect_onsets"]
-
-_TINY32 = 1.1754944e-38
 
 
 def onset_strength(y: jax.Array, sr: int, hop_length: int = 512,

@@ -57,7 +57,9 @@ def note_to_midi(name: str) -> int:
         idx += 1 if rest[0] in "#♯" else -1
         rest = rest[1:]
     octave = int(rest)
-    return (octave + 1) * 12 + (idx % 12)
+    # no pitch-class wrap: accidentals carry across the octave boundary
+    # (librosa semantics — 'Cb4' is 59, one below C4; 'B#3' is 60)
+    return (octave + 1) * 12 + idx
 
 
 def string_fret_to_note(string: int, fret: int, unicode: bool = False) -> str:

@@ -45,13 +45,19 @@ __all__ = [
 _STFT_BACKEND = "auto"
 _MATMUL_DTYPE = jnp.float32  # bfloat16 doubles MXU rate; fp32 accumulate
 
+# np.finfo(np.float32).tiny — librosa's util.tiny denominator guard.
+# Shared by the YIN CMND and onset-envelope normalizations: one source
+# of truth so the A/B parity paths can never drift apart.
+TINY32 = 1.1754944e-38
+
 
 def set_matmul_dtype(dtype) -> None:
     """GEMM input dtype for the matmul backend (float32 or bfloat16);
     accumulation stays float32 via preferred_element_type."""
     global _MATMUL_DTYPE
-    _MATMUL_DTYPE = jnp.dtype(dtype)
-    jax.clear_caches()
+    if jnp.dtype(dtype) != _MATMUL_DTYPE:  # no-op calls must not drop
+        _MATMUL_DTYPE = jnp.dtype(dtype)   # every compiled program
+        jax.clear_caches()
 
 
 def matmul_dtype():
@@ -72,7 +78,10 @@ def stft_backend() -> str:
     if _STFT_BACKEND != "auto":
         return _STFT_BACKEND
     platform = jax.default_backend()
-    return "matmul" if platform not in ("cpu",) else "fft"
+    # fft where a native FFT exists (pocketfft on CPU, cuFFT on GPU —
+    # the DFT GEMM would do ~n/log n more MACs there); matmul on TPU
+    # and TPU-like tunneled backends, which have no FFT unit
+    return "fft" if platform in ("cpu", "gpu", "cuda", "rocm") else "matmul"
 
 
 @functools.lru_cache(maxsize=8)

@@ -24,12 +24,12 @@ import numpy as _np
 import jax
 import jax.numpy as jnp
 
-from .spectral import (frame, _pad_center, _rdft_np, stft_backend,
-                       block_coeffs, combine_blocks)
+from .spectral import (TINY32 as _TINY32, frame, _pad_center,
+                       _rdft_np, stft_backend, block_coeffs,
+                       combine_blocks)
 
 __all__ = ["yin", "yin_pitch", "estimate_note"]
 
-_TINY32 = 1.1754944e-38  # np.finfo(np.float32).tiny — librosa's util.tiny
 
 
 def _irdft_lags_np(n_fft: int, lag_start: int, n_lags: int):

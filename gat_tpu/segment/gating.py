@@ -34,12 +34,50 @@ def sample_db_gate(y: jax.Array, min_db: float = -45.0) -> jax.Array:
 
 
 def rms_db_envelope(y: jax.Array, frame_length: int = 2048,
-                    hop_length: int = 512, smooth: bool = True) -> jax.Array:
-    """Median-smoothed frame RMS in dB (ref slicing.py:44-56)."""
-    rms = rms_frames(y, frame_length, hop_length, pad_mode="reflect")
+                    hop_length: int = 512, smooth: bool = True,
+                    n_valid_samples: jax.Array | None = None) -> jax.Array:
+    """Median-smoothed frame RMS in dB (ref slicing.py:44-56).
+
+    `n_valid_samples` (1-D input only) makes a zero-padded batch slot
+    produce BIT-IDENTICAL envelope values for every valid frame to
+    running the exact-length audio alone. Two boundary effects need
+    reconstruction (unlike the onset envelope, whose STFT zero-pads —
+    see ops/onset.py): (a) the frame RMS reflect-pads at the signal end
+    (ref passes pad_mode='reflect'), so the true signal's mirror is
+    written into the padding before framing; (b) the median smoother
+    reflects at the envelope end, so the last valid frames' windows get
+    the mirrored envelope values, not the padded tail's. Requires
+    n_valid_samples ≥ frame_length (every serving bucket satisfies this;
+    shorter valid regions would need multiple reflections)."""
+    if n_valid_samples is None:
+        rms = rms_frames(y, frame_length, hop_length, pad_mode="reflect")
+        rms_db = 20.0 * jnp.log10(rms + _EPS)
+        if smooth:
+            rms_db = median_filter1d(rms_db, 5)
+        return rms_db
+    assert y.ndim == 1, "n_valid_samples path is per-signal (vmap batches)"
+    half = frame_length // 2
+    n = y.shape[-1]
+    nv = jnp.asarray(n_valid_samples, jnp.int32)
+    y = y * (jnp.arange(n) < nv).astype(y.dtype)  # guarantee zero tail
+    # (a) write the true end's reflect pad into [nv, nv+half): the extra
+    # `half` zeros guarantee the dynamic write never clamps (numpy
+    # 'reflect' mirrors without repeating the edge: pad[j] = y[nv-2-j])
+    ye = jnp.concatenate([y, jnp.zeros((half,), y.dtype)])
+    seg = jax.lax.dynamic_slice(y, (nv - 1 - half,), (half,))
+    ye = jax.lax.dynamic_update_slice(ye, jnp.flip(seg), (nv,))
+    t_out = 1 + n // hop_length  # frame count of the unextended call
+    rms = rms_frames(ye, frame_length, hop_length,
+                     pad_mode="reflect")[..., :t_out]
     rms_db = 20.0 * jnp.log10(rms + _EPS)
     if smooth:
-        rms_db = median_filter1d(rms_db, 5)
+        # (b) scipy 'reflect' (numpy symmetric) at the valid envelope
+        # end: positions nvf, nvf+1 take env[nvf-1], env[nvf-2]
+        nvf = 1 + nv // hop_length
+        seg2 = jax.lax.dynamic_slice(rms_db, (nvf - 2,), (2,))
+        ee = jnp.concatenate([rms_db, jnp.zeros((2,), rms_db.dtype)])
+        ee = jax.lax.dynamic_update_slice(ee, jnp.flip(seg2), (nvf,))
+        rms_db = median_filter1d(ee, 5)[..., :t_out]
     return rms_db
 
 
@@ -74,7 +112,8 @@ def rms_gate(y: jax.Array, hop_length: int = 512,
         return jax.vmap(gate)(y.reshape(-1, y.shape[-1]),
                               n_valid_samples=nv.reshape(-1)) \
             .reshape(y.shape)
-    rms_db = rms_db_envelope(y, hop_length=hop_length)
+    rms_db = rms_db_envelope(y, hop_length=hop_length,
+                             n_valid_samples=n_valid_samples)
     t = rms_db.shape[-1]
     if n_valid_samples is None:
         valid = jnp.ones((t,), bool)
@@ -84,6 +123,10 @@ def rms_gate(y: jax.Array, hop_length: int = 512,
     gate_db, _, _ = dynamic_thresholds(rms_db, valid)
     frame_mask = rms_db > gate_db
     mask = jnp.repeat(frame_mask, hop_length)[:y.shape[-1]]
+    if n_valid_samples is not None:
+        # invalid frames may read loud reconstructed-reflection values;
+        # the tail must stay silent regardless of what the caller padded
+        mask = mask & (jnp.arange(y.shape[-1]) < n_valid_samples)
     return y * mask.astype(y.dtype)
 
 

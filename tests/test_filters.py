@@ -53,3 +53,27 @@ def test_rms_frames_matches_direct(rng):
     ref = np.array([np.sqrt(np.mean(xp[i * 512:i * 512 + 2048] ** 2))
                     for i in range(nf)])
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_median_filter_even_size_matches_scipy(rng):
+    """scipy's rank filter picks the upper-middle element for even
+    sizes, not the two-middle average — regression for the documented
+    'scipy default semantics' contract."""
+    x = rng.normal(size=200).astype(np.float32)
+    for size in (2, 4, 6):
+        ours = np.asarray(median_filter1d(x, size))
+        ref = ndi.median_filter(x, size=size, mode="reflect")
+        np.testing.assert_allclose(ours, ref, rtol=0, atol=0)
+
+
+def test_masked_percentile_empty_mask_is_nan(rng):
+    """An all-False mask yields NaN (np.percentile of an empty array
+    errors; a silent finfo.max sentinel would look plausible)."""
+    x = rng.normal(size=32).astype(np.float32)
+    out = np.asarray(masked_percentile(x, 20.0, np.zeros(32, bool)))
+    assert np.isnan(out)
+    # and a single-element mask is that element at every q
+    m = np.zeros(32, bool)
+    m[7] = True
+    for q in (0.0, 20.0, 100.0):
+        assert np.asarray(masked_percentile(x, q, m)) == x[7]

@@ -442,3 +442,34 @@ def test_peak_pick_long_envelope_conditioning(rng):
     np.testing.assert_array_equal(keep, ref)
     # the engineered positive-margin peaks are all among them
     assert set(expected_kept) <= set(keep.tolist())
+
+
+def test_rms_gate_padded_bit_identical_to_exact_loud_tail(rng):
+    """A zero-padded batch slot must gate BIT-identically to the
+    exact-length audio — including the final frames, whose RMS windows
+    cross the valid end (reference reflect-pads there; the padded slot
+    used to read zeros) and whose median-smoother windows cross the
+    envelope end. Loud tail = the regime where the divergence flipped
+    gate decisions."""
+    for nv, budget in [(40000, 65536), (65536, 65536), (65000, 65536)]:
+        y = rng.normal(size=nv).astype(np.float32)
+        y[-2000:] *= 5.0
+        pad = np.zeros(budget, np.float32)
+        pad[:nv] = y
+        exact = np.asarray(gating.rms_gate(jnp.asarray(y)))
+        padded = np.asarray(gating.rms_gate(jnp.asarray(pad),
+                                            n_valid_samples=nv))
+        np.testing.assert_array_equal(exact, padded[:nv])
+        assert not padded[nv:].any()  # tail stays silent
+
+
+def test_note_to_midi_octave_crossing_accidentals():
+    """Accidentals carry across the octave boundary (librosa semantics):
+    Cb4 is one semitone BELOW C4, B#3 one above B3."""
+    from gat_tpu.ops.pitch import note_to_midi
+    assert note_to_midi("C4") == 60
+    assert note_to_midi("Cb4") == 59
+    assert note_to_midi("B#3") == 60
+    assert note_to_midi("B3") == 59
+    assert note_to_midi("F#3") == 54
+    assert note_to_midi("Gb3") == 54
