@@ -110,10 +110,20 @@ class NotePredictor:
             self.cnn_variables = jax.tree_util.tree_map(
                 jnp.asarray, cnn_ckpt_data["variables"])
             print("[load_models] Loaded CNN model")
-            if self.reverse_map is None:
-                rm = cnn_ckpt_data.get("reverse_map")
-                if rm is not None:
-                    self.reverse_map = {int(k): v for k, v in rm.items()}
+            rm = cnn_ckpt_data.get("reverse_map")
+            if rm is not None:
+                rm = {int(k): v for k, v in rm.items()}
+                if self.reverse_map is None:
+                    self.reverse_map = rm
+                elif rm != self.reverse_map:
+                    # the ensemble adds the two softmax vectors
+                    # POSITIONALLY — same-count different-order label maps
+                    # would blend misaligned classes and mislabel silently
+                    raise ValueError(
+                        "[load_models] MLP and CNN checkpoints disagree on "
+                        "the class label map (reverse_map); these models "
+                        "cannot be ensembled. MLP-only operation: "
+                        "Transcriber(require_cnn=False) with no cnn_ckpt.")
         if self.reverse_map is None:
             print("[load_models] Warning: reverse_map is not set; "
                   "predictions will be class indices only.")

@@ -91,8 +91,15 @@ class Transcriber:
         if len(srs) > 1:
             raise ValueError("[Transcriber] Target SR mismatch.")
         self.ckpt_sr = int(srs.pop())
-        self.clip_length = float(
-            self.model_configs["mlp"].get("clip_length", CLIP_DURATION))
+        cls = {float(c.get("clip_length", CLIP_DURATION))
+               for c in self.model_configs.values()}
+        if len(cls) > 1:
+            raise ValueError("[Transcriber] Checkpoint clip_length mismatch: "
+                             f"{sorted(cls)} — these models saw different "
+                             "clip durations in training.")
+        # checkpoints are the source of truth (like target_sr above): the
+        # trained clip duration drives slicing defaults in transcribe*()
+        self.clip_length = cls.pop()
 
         sc = self.model_ckpts["mlp"].get("scaler")
         self.scaler = FeatureScaler.from_dict(sc) if sc is not None else None
@@ -261,7 +268,7 @@ class Transcriber:
         return result
 
     def transcribe_files(self, paths, target_sr: int = TARGET_SR,
-                         clip_duration: float = CLIP_DURATION,
+                         clip_duration: float | None = None,
                          max_onsets: int = 64,
                          max_batch: int = 4,
                          wave_clip_budget: int | None = None,
@@ -290,6 +297,8 @@ class Transcriber:
         sizes the per-wave onset candidate scan (the serving-speed
         lever — see segment_waveform); truncation raises the same
         per-file `onset_overflow` flag, never silent."""
+        if clip_duration is None:
+            clip_duration = self.clip_length  # checkpoint-trained duration
         paths = list(paths)
         if not paths:
             return []
@@ -346,7 +355,11 @@ class Transcriber:
                 nvs = jnp.asarray(
                     [nv for _, _, nv in chunk],
                     jnp.int32).reshape(kc, max_batch)
-                outs = run_scan(stack, nvs)
+                # ONE host transfer per dispatch: _build_result reads ~8
+                # arrays per file, and each np.asarray on a device array is
+                # a separate blocking round trip over the ~30 ms tunnel —
+                # a K-chunk would pay K·B·8 of them after compute finished
+                outs = jax.device_get(run_scan(stack, nvs))
                 for kk in range(kc):
                     wave_ids = [i for i, _, _ in
                                 chunk[kk * max_batch:(kk + 1) * max_batch]]
@@ -366,7 +379,7 @@ class Transcriber:
                     * (b - len(wave)))
                 nv = jnp.asarray([nv for _, _, nv in wave]
                                  + [0] * (b - len(wave)), jnp.int32)
-                outs = run(batch, nv)
+                outs = jax.device_get(run(batch, nv))  # one transfer/wave
                 wave_ids = [i for i, _, _ in wave]
                 for i in range(len(wave_ids)):
                     _emit(wave_ids, outs, i)
@@ -396,7 +409,7 @@ class Transcriber:
     def transcribe(self, audio_path, out_root=INFERENCE_OUTPUT_ROOT,
                    audio_name: str = "transcribe_audio",
                    target_sr: int = TARGET_SR,
-                   clip_duration: float = CLIP_DURATION,
+                   clip_duration: float | None = None,
                    save_clips: bool = False, max_onsets: int = 64,
                    fused: bool = False) -> dict:
         """Full transcription of one audio file (ref transcribe.py:77-144):
@@ -413,6 +426,8 @@ class Transcriber:
         co-located serving where host↔device hops are microseconds.
         save_clips always uses the two-stage path (the clips must visit
         the host anyway)."""
+        if clip_duration is None:
+            clip_duration = self.clip_length  # checkpoint-trained duration
         y, sr_in = read_wav(audio_path)
 
         if fused and not save_clips:
@@ -429,13 +444,17 @@ class Transcriber:
             y_pad = resample(jnp.asarray(y_np), sr_in, target_sr)
             n = -(-n_raw * target_sr // sr_in)  # true resampled length
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets)
-            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = run(
-                y_pad, jnp.asarray(n))
+            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = \
+                jax.device_get(run(y_pad, jnp.asarray(n)))  # one transfer
             return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
                                       onsets, times, target_sr,
                                       overflow=ovf)
 
-        y22 = jnp.asarray(np.asarray(resample(y, sr_in, target_sr)))
+        # stays on device (jnp.asarray on a device array is free; at equal
+        # rates resample no-ops to the host array and this is the single
+        # upload): an np.asarray here would block-download the whole
+        # waveform over the tunnel only to re-upload it for segmentation
+        y22 = jnp.asarray(resample(y, sr_in, target_sr))
         clips, kept, onsets, ovalid, times, overflow = segment_waveform(
             y22, sr=target_sr, length_sec=clip_duration,
             max_onsets=max_onsets)
@@ -466,11 +485,13 @@ class Transcriber:
         result["onset_overflow"] = bool(np.asarray(overflow))
         return result
 
-    def transcribe_note(self, audio, clip_duration: float = CLIP_DURATION,
+    def transcribe_note(self, audio, clip_duration: float | None = None,
                         sr_in: int = TARGET_SR) -> dict:
         """Single in-memory note (ref transcribe.py:147-199): resample to
         the checkpoint SR, zero-pad/trim to clip_duration, batch-of-1
         features, predict."""
+        if clip_duration is None:
+            clip_duration = self.clip_length  # checkpoint-trained duration
         audio = jnp.asarray(audio, jnp.float32)
         if sr_in != self.ckpt_sr:
             audio = resample(audio, sr_in, self.ckpt_sr)

@@ -136,7 +136,11 @@ class LiveTranscriber:
         buf, start_abs = self.buffer.snapshot()
         onsets = self.detect_onsets(buf)
         queued = 0
-        h_idx = 0
+        h_idx = -1  # snapshot index of the last consumed onset; -1 = none
+        # (an onset at index 0 IS consumable: backtracking pins the first
+        # frame as a minimum, so after a pairs-clear the next note's onset
+        # routinely lands at 0 — a falsy-zero sentinel would never clear
+        # it and re-enqueue the same note on every poll)
         if len(onsets) == 1:
             s = buf[onsets[0]:]
             if len(s) > self.min_slice_len:
@@ -156,7 +160,8 @@ class LiveTranscriber:
             else:
                 h_idx = onsets[0]
                 del onsets[:1]
-        self.buffer.clear_until(start_abs + (h_idx + 1 if h_idx else 0))
+        if h_idx >= 0:
+            self.buffer.clear_until(start_abs + h_idx + 1)
         return queued
 
     def inference(self, audio: np.ndarray, sr_in: int | None = None):

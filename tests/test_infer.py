@@ -382,3 +382,39 @@ def test_fused_parity_with_energy_at_eof(tmp_path, transcriber):
                                atol=1e-6)
     np.testing.assert_allclose(r_f["per_model_probs"]["mlp"],
                                r_2["per_model_probs"]["mlp"], atol=1e-6)
+
+
+def test_ctor_rejects_clip_length_mismatch(tmp_path):
+    """Checkpoints that saw different clip durations in training must not
+    silently ensemble (the same source-of-truth rule as target_sr)."""
+    from gat_tpu.config import MLP_CONFIG
+    from gat_tpu.train.checkpoint import save_checkpoint
+    d = load_checkpoint(MLP_CONFIG.CHECKPOINTS_DIR
+                        / MLP_CONFIG.DEFAULT_CKPT_NAME)
+    d["config"]["clip_length"] = 1.0  # default CNN ckpt stores 0.5
+    p = tmp_path / "mlp_long.gtckpt.npz"
+    save_checkpoint(p, d)
+    with pytest.raises(ValueError, match="clip_length"):
+        Transcriber(mlp_ckpt=str(p))
+
+
+def test_clip_duration_defaults_to_checkpoint(transcriber):
+    """transcribe*() slice at the checkpoint-trained duration by default
+    (checkpoints are the source of truth, like target_sr)."""
+    assert transcriber.clip_length == 0.5
+
+
+def test_load_models_rejects_label_map_mismatch(tmp_path):
+    """Same class count, different ordering: the positional softmax blend
+    would mislabel silently, so the ensemble must refuse to load."""
+    from gat_tpu.config import CNN_CONFIG
+    from gat_tpu.train.checkpoint import save_checkpoint
+    d = load_checkpoint(CNN_CONFIG.CHECKPOINTS_DIR
+                        / CNN_CONFIG.DEFAULT_CKPT_NAME)
+    rm = {int(k): v for k, v in d["reverse_map"].items()}
+    rm[0], rm[1] = rm[1], rm[0]
+    d["reverse_map"] = rm
+    p = tmp_path / "cnn_swapped.gtckpt.npz"
+    save_checkpoint(p, d)
+    with pytest.raises(ValueError, match="label map"):
+        Transcriber(cnn_ckpt=str(p))

@@ -220,3 +220,45 @@ def test_ring_pop_preserves_absolute_positions():
     rb.push(np.asarray([50.0], np.float32))
     rb.clear_until(start + 2)
     np.testing.assert_array_equal(rb.get_buffer(), [2.0, 3.0, 4.0, 50.0])
+
+
+def test_process_buffer_consumes_onset_at_index_zero():
+    """An onset at snapshot index 0 is routinely produced after a
+    pairs-clear (backtracking pins frame 0 as a minimum). The consumed
+    prefix must actually clear — a falsy-zero h_idx sentinel would never
+    clear it and re-enqueue the same note on every subsequent poll."""
+    import queue
+    live = LiveTranscriber.__new__(LiveTranscriber)
+    live.sample_rate = 22050
+    live.buffer = RingBuffer(22050)
+    live.note_q = queue.Queue(maxsize=4)
+    live.min_slice_len = int(0.3 * 22050)
+    live.verbose = False
+    live.results = []
+    live.detect_onsets = lambda y: [0]  # single onset at the snapshot head
+    live.buffer.push(np.arange(22050, dtype=np.float32))  # full ring
+
+    assert live.process_buffer() == 1
+    _, start = live.buffer.snapshot()
+    assert start >= 1, "consumed prefix was not cleared (falsy-zero h_idx)"
+    # a second poll over the remaining audio must not re-enqueue the note
+    live.detect_onsets = lambda y: []
+    assert live.process_buffer(force=True) == 0
+    assert live.note_q.qsize() == 1
+
+
+def test_process_buffer_no_consumption_clears_nothing():
+    """With no consumable onset, the ring must be left intact (no
+    spurious one-sample clears)."""
+    import queue
+    live = LiveTranscriber.__new__(LiveTranscriber)
+    live.sample_rate = 22050
+    live.buffer = RingBuffer(8192)
+    live.note_q = queue.Queue(maxsize=4)
+    live.min_slice_len = 4096
+    live.verbose = False
+    live.results = []
+    live.detect_onsets = lambda y: []
+    live.buffer.push(np.arange(8192, dtype=np.float32))
+    assert live.process_buffer() == 0
+    assert live.buffer.size() == 8192
