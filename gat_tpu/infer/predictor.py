@@ -190,12 +190,12 @@ class NotePredictor:
         return probs, mlp_probs, cnn_probs
 
     # ----- public prediction API -----------------------------------------
-    def predict(self, mfcc_features=None, melspec_features=None,
-                pitch_hz=None) -> dict:
-        """Ref note_predictor.py:84-135 result schema: indices, labels,
-        confidences, blended probs, per-model probs."""
-        probs, mlp_probs, cnn_probs = self.ensemble_probs(
-            mfcc_features, melspec_features, pitch_hz=pitch_hz)
+    def _result_dict(self, probs, mlp_probs, cnn_probs) -> dict:
+        """The result schema (ref note_predictor.py:84-135): one device→
+        host transfer of the blended probs, argmax → reverse_map labels,
+        per-model probs alongside. Shared by predict/predict_debug (the
+        file-level analog is Transcriber._build_result, which adds the
+        kept-mask compaction and onset fields)."""
         probs = np.asarray(probs)
         idx = probs.argmax(axis=1)
         labels = ([self.reverse_map[int(i)] for i in idx]
@@ -212,23 +212,21 @@ class NotePredictor:
             },
         }
 
+    def predict(self, mfcc_features=None, melspec_features=None,
+                pitch_hz=None) -> dict:
+        """Ref note_predictor.py:84-135 result schema: indices, labels,
+        confidences, blended probs, per-model probs."""
+        probs, mlp_probs, cnn_probs = self.ensemble_probs(
+            mfcc_features, melspec_features, pitch_hz=pitch_hz)
+        return self._result_dict(probs, mlp_probs, cnn_probs)
+
     def predict_debug(self, test_weights, mfcc_features=None,
                       melspec_features=None):
         """Sweep CNN ensemble weights (ref note_predictor.py:138-157)."""
         out = []
         for w in test_weights:
-            probs, mlp_p, cnn_p = self.ensemble_probs(
-                mfcc_features, melspec_features, cnn_weight=float(w))
-            probs = np.asarray(probs)
-            idx = probs.argmax(axis=1)
-            labels = ([self.reverse_map[int(i)] for i in idx]
-                      if self.reverse_map else [int(i) for i in idx])
-            conf = probs[np.arange(len(idx)), idx]
-            pred = {"indices": idx, "labels": labels, "confidences": conf,
-                    "probs": probs,
-                    "per_model_probs": {
-                        "mlp": None if mlp_p is None else np.asarray(mlp_p),
-                        "cnn": None if cnn_p is None else np.asarray(cnn_p)}}
+            pred = self._result_dict(*self.ensemble_probs(
+                mfcc_features, melspec_features, cnn_weight=float(w)))
             out.append((w, pred))
             print("weight: ", w)
             print(pred["labels"], pred["confidences"])
