@@ -196,6 +196,10 @@ class NotePredictor:
         per-model probs alongside. Shared by predict/predict_debug (the
         file-level analog is Transcriber._build_result, which adds the
         kept-mask compaction and onset fields)."""
+        # one transfer for all three prob arrays (per-array np.asarray on
+        # device arrays would be three blocking tunnel round trips)
+        probs, mlp_probs, cnn_probs = jax.device_get(
+            (probs, mlp_probs, cnn_probs))
         probs = np.asarray(probs)
         idx = probs.argmax(axis=1)
         labels = ([self.reverse_map[int(i)] for i in idx]

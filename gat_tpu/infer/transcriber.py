@@ -455,9 +455,12 @@ class Transcriber:
         # upload): an np.asarray here would block-download the whole
         # waveform over the tunnel only to re-upload it for segmentation
         y22 = jnp.asarray(resample(y, sr_in, target_sr))
-        clips, kept, onsets, ovalid, times, overflow = segment_waveform(
-            y22, sr=target_sr, length_sec=clip_duration,
-            max_onsets=max_onsets)
+        # one device->host transfer for all six segmentation outputs (the
+        # per-array np.asarray calls below would each be a blocking ~30 ms
+        # tunnel round trip on the default single-file path)
+        clips, kept, onsets, ovalid, times, overflow = jax.device_get(
+            segment_waveform(y22, sr=target_sr, length_sec=clip_duration,
+                             max_onsets=max_onsets))
         kept_np = np.asarray(kept)
         clips_np = np.asarray(clips)[kept_np]
         if clips_np.shape[0] == 0:
