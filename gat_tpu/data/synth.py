@@ -229,9 +229,14 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
                             channel_prob: float = 1.0) -> Path:
     """Write `<out_root>/<label>/<label>_<i>.wav` for each SPN class.
 
-    Per-variant augmentation: synth engine, damping/brightness/decay
-    draws, amplitude 0.1–0.9, ±10-cent detune, and a low noise floor —
-    so scaler/classifier see realistic spread.
+    Per-variant augmentation: synth engine, amplitude 0.1–0.9, and a low
+    noise floor for every variant; ±10-cent detune plus per-variant
+    brightness/decay (additive) or mod ratio/index (FM) draws for the
+    spectral engines. Karplus-Strong variants instead differ in their
+    noise-burst excitation and share one damping/blend draw per class:
+    the delay line quantizes pitch to an integer period, so a ±10-cent
+    detune would mostly round away — KS pitch spread comes from the
+    period quantization itself, timbre spread from the burst.
 
     noise_snr_db=(lo, hi): additionally mix white noise into a random
     half of the variants at an SNR drawn uniformly from [lo, hi] dB —
@@ -270,6 +275,14 @@ def synthesize_note_dataset(out_root, class_names=None, sr: int = 22050,
     if not 0.0 <= channel_prob <= 1.0:
         raise ValueError(f"channel_prob must be in [0, 1], "
                          f"got {channel_prob}")
+    if channel is not None:
+        # validate upfront like stressor: a typo'd name must not surface
+        # mid-generation and leave a partially written dataset dir
+        from .channel import CHANNELS
+        valid = tuple(CHANNELS) + ("mix", "mix_chain", "full_chain")
+        if channel not in valid:
+            raise ValueError(f"unknown channel {channel!r}; "
+                             f"choose from {valid}")
     if stressor_prob == 0.0:
         stressor = None  # identical output AND rng stream to no-stressor
     if channel_prob == 0.0:

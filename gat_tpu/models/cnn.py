@@ -65,6 +65,7 @@ class CNN(nn.Module):
             "hidden_dim": self.hidden_dim,
             "dropout": self.dropout,
             "kernel_size": self.kernel_size,
+            "use_batchnorm": self.use_batchnorm,
             "use_maxpool": self.use_maxpool,
             "adaptive_pool": tuple(self.adaptive_pool),
         }

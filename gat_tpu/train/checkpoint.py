@@ -52,11 +52,15 @@ def unflatten_tree(flat: dict[str, np.ndarray]) -> dict:
 _ARRAY_FIELDS = ("variables", "scaler", "opt_state")
 
 
-def save_checkpoint(path, ckpt: dict) -> None:
+def save_checkpoint(path, ckpt: dict) -> Path:
     """Write a checkpoint dict. Array-bearing subtrees (variables, scaler,
     opt_state) are stored as npz entries; everything else goes into the
-    JSON header."""
+    JSON header. Returns the path actually written: np.savez appends
+    '.npz' to any other suffix, so the name is normalized up front — a
+    printed/returned path must never point at a file that doesn't exist."""
     path = Path(path)
+    if path.suffix != ".npz":
+        path = path.with_name(path.name + ".npz")
     path.parent.mkdir(parents=True, exist_ok=True)
     arrays: dict[str, np.ndarray] = {}
     header: dict = {}
@@ -70,6 +74,7 @@ def save_checkpoint(path, ckpt: dict) -> None:
     payload.update(arrays)
     np.savez_compressed(path, **payload)
     print(f"[save_checkpoint] Checkpoint saved to {path}")
+    return path
 
 
 def _is_torch_zip(path: Path) -> bool:

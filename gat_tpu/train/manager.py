@@ -198,7 +198,11 @@ class TrainingManager:
 
     def train_all(self, dataset=None, **kw):
         """MLP then CNN on the same dataset
-        (ref training_manager.py:248-256)."""
-        mlp_trainer = self.train_mlp(dataset=dataset, **kw)
-        cnn_trainer = self.train_cnn(dataset=dataset, **kw)
+        (ref training_manager.py:248-256). The dataset is resolved ONCE —
+        an interactive dataset=None must not prompt twice (two different
+        answers would violate the same-dataset rule and defeat the
+        decode-once loader memoization)."""
+        ds_path = self._choose_dataset(dataset)
+        mlp_trainer = self.train_mlp(dataset=ds_path, **kw)
+        cnn_trainer = self.train_cnn(dataset=ds_path, **kw)
         return mlp_trainer, cnn_trainer

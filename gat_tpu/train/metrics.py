@@ -78,8 +78,11 @@ def classification_report(y_true, y_pred, target_names=None,
     import sklearn.metrics as skm
     present = sorted(set(np.asarray(y_true, int).ravel())
                      | set(np.asarray(y_pred, int).ravel()))
-    names = ([target_names[i] for i in present]
-             if target_names is not None else None)
+    # empty/short target_names (Trainer defaults to [] with no
+    # reverse_map) fall back to index labels instead of IndexError
+    usable = (target_names and present
+              and max(present) < len(target_names))
+    names = [target_names[i] for i in present] if usable else None
     return skm.classification_report(y_true, y_pred, labels=present,
                                      target_names=names, digits=digits,
                                      zero_division=0)

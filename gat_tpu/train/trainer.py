@@ -151,6 +151,10 @@ class Trainer:
         # alias to stale device data, and holding one entry bounds
         # device memory across train() calls on different loaders
         self._dev_data: tuple | None = None
+        # same single-entry identity-keyed cache for the whole-val-set
+        # eval dispatch (finding: the fast path re-uploaded dl.X every
+        # epoch); reset alongside _dev_data at each train() call
+        self._val_data: tuple | None = None
 
     # ------------------------------------------------------------------
     def _check_dims(self, dl):
@@ -338,7 +342,9 @@ class Trainer:
         loss syncs — the reference pays one optimizer step + host sync
         per 32-clip batch); pass False to force the per-batch loop."""
         from .data import ArrayDataLoader
-        train_dl = train_dl or self.train_dl
+        # `is None` test, not truthiness: a zero-length drop_last loader is
+        # falsy via __len__ and would silently fall through to the default
+        train_dl = self.train_dl if train_dl is None else train_dl
         if train_dl is None:
             print("[train] No train dataloader provided. Exiting [train].")
             return
@@ -353,6 +359,7 @@ class Trainer:
         # identity unchanged), so cross-call reuse would train on stale
         # uploads while the per-batch path honored the mutation
         self._dev_data = None
+        self._val_data = None
 
         for ep in range(1, epochs + 1):
             if verbose:
@@ -425,7 +432,10 @@ class Trainer:
         """Weighted val loss + accuracy; optional confusion matrix /
         classification report (ref mlp_trainer.py:393-432)."""
         from .data import ArrayDataLoader
-        dl = val_dl or self.val_dl
+        # `is None`, not truthiness: an explicitly passed zero-length
+        # drop_last loader is falsy via __len__ and must NOT be silently
+        # swapped for the default loader (wrong-dataset metrics)
+        dl = self.val_dl if val_dl is None else val_dl
         if dl is None:
             print("[evaluate] No val dataloader provided.")
             return None, None
@@ -438,9 +448,15 @@ class Trainer:
             # identical to the loop below (drop_last loaders skip the
             # fast path — the loop's trailing-batch drop is part of
             # their contract)
+            c = self._val_data
+            if not (c and c[0] is dl and c[1] is dl.X and c[2] is dl.y):
+                self._val_data = (
+                    dl, dl.X, dl.y,
+                    jax.device_put(jnp.asarray(dl.X, jnp.float32)),
+                    jax.device_put(jnp.asarray(dl.y)))
             loss, corr, preds = self._eval_step(
-                self.params, self.extra, jnp.asarray(dl.X, jnp.float32),
-                jnp.asarray(dl.y))
+                self.params, self.extra, self._val_data[3],
+                self._val_data[4])
             total = len(dl.y)
             loss_sum = float(loss) * total
             correct = int(corr)
@@ -532,8 +548,13 @@ class Trainer:
             ckpt["opt_state"] = _opt_state_to_tree(self.opt_state)
             ckpt["opt_state_fingerprint"] = _opt_state_fingerprint(
                 self.opt_state)
-        save_checkpoint(root / filename, ckpt)
-        return root / filename
+            # plateau-scheduler state rides along: without it, the first
+            # post-resume scheduler.step() would re-inject the
+            # construction-time init LR, undoing the restored decay
+            ckpt["scheduler"] = {"lr": self.scheduler.lr,
+                                 "best": self.scheduler.best,
+                                 "num_bad": self.scheduler.num_bad}
+        return save_checkpoint(root / filename, ckpt)
 
     def load(self, filename=None, root=None):
         """Restore weights, histories, epoch counter (and optimizer state
@@ -567,8 +588,14 @@ class Trainer:
                         if "opt_state" in ck else None)
         saved_args = ck.get("model_init_args", {})
         current = dict(self.model.init_args)
-        if saved_args and {k: tuple(v) if isinstance(v, list) else v
-                           for k, v in saved_args.items()} != current:
+        # compare only keys the checkpoint recorded: init_args grows over
+        # time (e.g. use_batchnorm was added after the v1.0.0 artifacts),
+        # and a field absent from an old checkpoint means "the default",
+        # which is exactly what reconstruction will use — not a mismatch
+        norm_saved = {k: tuple(v) if isinstance(v, list) else v
+                      for k, v in saved_args.items()}
+        if saved_args and norm_saved != {k: current[k] for k in norm_saved
+                                         if k in current}:
             print("[load] WARNING: Mismatch between saved model init args "
                   "and current model init args!")
             print("Saved:", saved_args)
@@ -585,7 +612,36 @@ class Trainer:
         self.val_accuracy_history = list(
             ck.get("val_accuracy_history", []))
         self.epoch = int(ck.get("epoch", 0))
+        if restored_opt is not None:
+            sch = ck.get("scheduler")
+            if sch is not None:
+                self.scheduler.lr = float(sch["lr"])
+                self.scheduler.best = float(sch["best"])
+                self.scheduler.num_bad = int(sch["num_bad"])
+            else:
+                # pre-scheduler-record checkpoint: at least keep the LR the
+                # opt_state restored, so the first post-resume step doesn't
+                # re-inject the construction-time init LR (plateau
+                # best/patience restart — the decay itself survives)
+                lr = _injected_lr(self.opt_state)
+                if lr is not None:
+                    self.scheduler.lr = lr
         print(f"[load] Checkpoint loaded from {Path(root) / filename}")
+
+
+def _injected_lr(opt_state) -> float | None:
+    """The injected learning_rate carried inside an optax state (bare
+    inject_hyperparams state — itself a NamedTuple, so check it directly
+    before iterating — or an element of a chain tuple), or None."""
+    hp = getattr(opt_state, "hyperparams", None)
+    if isinstance(hp, dict) and "learning_rate" in hp:
+        return float(hp["learning_rate"])
+    if isinstance(opt_state, tuple):
+        for s in opt_state:
+            hp = getattr(s, "hyperparams", None)
+            if isinstance(hp, dict) and "learning_rate" in hp:
+                return float(hp["learning_rate"])
+    return None
 
 
 def _opt_state_to_tree(opt_state) -> dict:

@@ -420,3 +420,191 @@ def test_scanned_epoch_honors_inplace_mutation_between_trains(rng):
     tr.train(epochs=1, verbose=False)
     np.testing.assert_allclose(
         np.asarray(tr._dev_data[3]).mean(), X.mean(), rtol=1e-5)
+
+
+def test_scheduler_state_survives_resume(tmp_path, rng):
+    """Plateau-scheduler state rides the checkpoint: after resume, the
+    first scheduler.step() must continue from the decayed LR, not
+    re-inject the construction-time init LR (which would silently undo
+    the restored decay and restart patience)."""
+    X = rng.normal(size=(20, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, dl, reverse_map={0: "x", 1: "y"}, seed=0, lr=1e-3)
+    tr.train(epochs=1, verbose=False)
+    # simulate a plateau that decayed the LR before the save
+    tr.scheduler.lr = 2.5e-4
+    tr.scheduler.best = 0.1
+    tr.scheduler.num_bad = 2
+    tr._set_lr(2.5e-4)
+    tr.save(filename="s.gtckpt.npz", root=tmp_path)
+
+    tr2 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=1, lr=1e-3)
+    tr2.load(filename="s.gtckpt.npz", root=tmp_path)
+    assert tr2.scheduler.lr == pytest.approx(2.5e-4)
+    assert tr2.scheduler.best == pytest.approx(0.1)
+    assert tr2.scheduler.num_bad == 2
+    # a non-improving first post-resume epoch keeps the decayed LR
+    assert tr2.scheduler.step(0.2) == pytest.approx(2.5e-4)
+
+
+def test_resume_without_scheduler_record_keeps_opt_lr(tmp_path, rng):
+    """Checkpoints saved before the scheduler record existed: the
+    scheduler LR is synced from the restored opt_state's injected
+    learning_rate instead of resetting to init."""
+    from gat_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    X = rng.normal(size=(20, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 20)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, dl, reverse_map={0: "x", 1: "y"}, seed=0, lr=1e-3)
+    tr.train(epochs=1, verbose=False)
+    tr.scheduler.lr = 5e-4
+    tr._set_lr(5e-4)
+    p = tr.save(filename="old.gtckpt.npz", root=tmp_path)
+    ck = load_checkpoint(p)
+    ck.pop("scheduler", None)  # simulate the pre-record format
+    save_checkpoint(p, ck)
+
+    tr2 = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                  dl, dl, reverse_map={0: "x", 1: "y"}, seed=1, lr=1e-3)
+    tr2.load(filename="old.gtckpt.npz", root=tmp_path)
+    assert tr2.scheduler.lr == pytest.approx(5e-4)
+
+
+def test_evaluate_explicit_empty_loader_not_swapped(rng):
+    """A zero-length drop_last loader passed explicitly is falsy via
+    __len__; it must NOT be silently replaced by the default val loader
+    (metrics from the wrong dataset)."""
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 40)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, dl, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr.train(epochs=1, verbose=False)
+    empty = ArrayDataLoader(X[:5], y[:5], 32, shuffle=False, drop_last=True)
+    assert len(empty) == 0
+    acc, loss = tr.evaluate(val_dl=empty)
+    assert (acc, loss) == (0.0, 0.0)  # nothing evaluated — not default-dl
+
+
+def test_val_device_cache_reused_across_epochs(rng):
+    """evaluate()'s whole-val-set fast path uploads dl.X once per
+    train() call, not once per epoch (identity-keyed like _dev_data)."""
+    X = rng.normal(size=(40, 6)).astype(np.float32)
+    y = rng.integers(0, 2, 40)
+    dl = ArrayDataLoader(X, y, 10, seed=0)
+    val = ArrayDataLoader(X, y, 10, shuffle=False)
+    tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
+                 dl, val, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr.evaluate()
+    cached = tr._val_data[3]
+    tr.evaluate()
+    assert tr._val_data[3] is cached  # same upload reused
+    tr.train(epochs=1, verbose=False)  # train() resets, then re-uploads
+    assert tr._val_data is not None and tr._val_data[3] is not cached
+
+
+def test_save_normalizes_checkpoint_suffix(tmp_path, rng):
+    """np.savez appends '.npz' to other suffixes; the returned path must
+    point at the file actually written."""
+    X = rng.normal(size=(12, 4)).astype(np.float32)
+    y = rng.integers(0, 2, 12)
+    dl = ArrayDataLoader(X, y, 6)
+    tr = Trainer(MLP(num_features=4, hidden_dim=8, num_classes=2),
+                 dl, reverse_map={0: "a", 1: "b"}, seed=0)
+    p = tr.save(filename="exp.ckpt", root=tmp_path)
+    assert p.name == "exp.ckpt.npz"
+    assert p.is_file()
+    from gat_tpu.train.checkpoint import load_checkpoint
+    assert load_checkpoint(p)["num_classes"] == 2
+
+
+def test_classification_report_empty_target_names():
+    """Trainer.class_names defaults to [] without a reverse_map; the
+    report must fall back to index labels, not IndexError."""
+    from gat_tpu.train.metrics import classification_report
+    out = classification_report([0, 1, 1], [0, 1, 0], [])
+    assert "precision" in out
+    # short names list (labels beyond the names) also falls back
+    out2 = classification_report([0, 5], [0, 5], ["only_one"])
+    assert "precision" in out2
+
+
+def test_cnn_init_args_records_batchnorm(rng):
+    """A use_batchnorm=False CNN must round-trip through
+    model_init_args: reconstruction via the checkpoint schema previously
+    defaulted to a BatchNorm model and crashed on the missing
+    batch_stats collection."""
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.infer import NotePredictor
+
+    model = CNN(num_classes=3, base_channels=4, num_blocks=1,
+                hidden_dim=8, use_batchnorm=False)
+    assert model.init_args["use_batchnorm"] is False
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 1)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    pred = NotePredictor()
+    pred.load_models(cnn_ckpt_data={
+        "variables": jax.tree_util.tree_map(np.asarray, variables),
+        "model_init_args": dict(model.init_args),
+        "reverse_map": {0: "a", 1: "b", 2: "c"}})
+    probs = pred.ensemble_probs(melspec_features=np.asarray(x))[0]
+    assert np.asarray(probs).shape == (2, 3)
+
+
+def test_load_tolerates_schema_growth(tmp_path, rng, capsys):
+    """init_args added after a checkpoint was written must not warn on
+    load: a missing saved key means 'the default', which is what
+    reconstruction uses."""
+    from gat_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    X = rng.normal(size=(12, 4)).astype(np.float32)
+    y = rng.integers(0, 2, 12)
+    dl = ArrayDataLoader(X, y, 6)
+    tr = Trainer(MLP(num_features=4, hidden_dim=8, num_classes=2),
+                 dl, reverse_map={0: "a", 1: "b"}, seed=0)
+    p = tr.save(filename="g.gtckpt.npz", root=tmp_path)
+    ck = load_checkpoint(p)
+    ck["model_init_args"].pop("dropout")  # simulate an older schema
+    save_checkpoint(p, ck)
+    capsys.readouterr()
+    tr2 = Trainer(MLP(num_features=4, hidden_dim=8, num_classes=2),
+                  dl, reverse_map={0: "a", 1: "b"}, seed=1)
+    tr2.load(filename="g.gtckpt.npz", root=tmp_path)
+    assert "Mismatch" not in capsys.readouterr().out
+
+
+def test_synth_rejects_unknown_channel(tmp_path):
+    """Channel names validate upfront like stressors — a typo must not
+    surface mid-generation and leave a partial dataset dir."""
+    with pytest.raises(ValueError, match="unknown channel"):
+        synthesize_note_dataset(tmp_path / "ds", class_names=["A2"],
+                                variants_per_class=2, channel="pickup",
+                                channel_prob=0.25, verbose=False)
+    assert not (tmp_path / "ds").exists()
+
+
+def test_train_all_resolves_dataset_once(tmp_path, monkeypatch):
+    """Interactive train_all must prompt for the dataset ONCE and hand
+    the same resolved path to both trainers (same-dataset rule)."""
+    mgr = TrainingManager()
+    calls = {"n": 0}
+
+    def counting(dataset=None):
+        calls["n"] += 1
+        return tmp_path
+
+    seen = []
+    monkeypatch.setattr(mgr, "_choose_dataset", counting)
+    monkeypatch.setattr(
+        mgr, "train_mlp",
+        lambda dataset=None, **kw: seen.append(dataset) or "M")
+    monkeypatch.setattr(
+        mgr, "train_cnn",
+        lambda dataset=None, **kw: seen.append(dataset) or "C")
+    mgr.train_all()
+    assert calls["n"] == 1
+    assert seen == [tmp_path, tmp_path]
