@@ -33,16 +33,27 @@ __all__ = ["onset_strength", "peak_pick_mask", "backtrack_indices",
 
 def onset_strength(y: jax.Array, sr: int, hop_length: int = 512,
                    n_fft: int = 2048, n_mels: int = 128,
-                   lag: int = 1) -> jax.Array:
+                   lag: int = 1,
+                   valid_frames: jax.Array | None = None) -> jax.Array:
     """Mel-spectral flux envelope, (..., n) → (..., n_frames).
 
     librosa.onset.onset_strength recipe: mel power spectrogram →
     power_to_db → positive lag-difference → mean over mel bands →
     left-pad by lag + n_fft//(2*hop) and truncate to the frame count
-    (compensates the detection latency of centered frames)."""
+    (compensates the detection latency of centered frames).
+
+    `valid_frames` (prefix mask, (..., T) bool) restricts the top_db
+    clamp's per-clip peak to frames an EXACT (unpadded) run would have:
+    in a zero-padded batch slot, frames straddling the valid end carry
+    real audio at window weights no exact frame uses, so an unmasked
+    peak can shift the clamp floor — and thus the envelope — of every
+    valid frame (padded-vs-exact parity, docs/PARITY.md)."""
     S = melspectrogram_librosa(y, sr, n_fft=n_fft, hop_length=hop_length,
                                n_mels=n_mels)  # (..., T, M)
-    S = power_to_db_librosa(S, spec_axes=2)
+    S = power_to_db_librosa(
+        S, spec_axes=2,
+        peak_mask=(None if valid_frames is None
+                   else valid_frames[..., :, None]))
     diff = jnp.maximum(0.0, S[..., lag:, :] - S[..., :-lag, :])
     env = jnp.mean(diff, axis=-1)  # (..., T - lag)
     pad = lag + n_fft // (2 * hop_length)
@@ -278,7 +289,16 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
                     & (i_max * hop_length - fin_sample >= min_samples))
     cand_overflow = truncated & could_differ
 
-    order = jnp.sort(jnp.where(keep, samples, big))[:max_onsets]
+    order = jnp.sort(jnp.where(keep, samples, big))
+    if order.shape[-1] < max_onsets:
+        # short envelopes (fewer candidate slots than the onset budget)
+        # must still honor the documented static (max_onsets,) contract —
+        # a bare [:max_onsets] would silently return a shorter array and
+        # break cross-file stacking / fixed-shape jit consumers
+        order = jnp.concatenate([
+            order, jnp.full((max_onsets - order.shape[-1],), big,
+                            jnp.int32)])
+    order = order[:max_onsets]
     valid = order < big
     overflow = cand_overflow | (jnp.sum(keep) > max_onsets)
     return jnp.where(valid, order, 0), valid, overflow
@@ -302,18 +322,22 @@ def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
     fixed-budget batching doesn't change detections."""
     # NOTE on padding: onset_strength's STFT center-pads with ZEROS
     # (librosa ≥0.10 constant pad, see melspectrogram_librosa), so a
-    # zero-padded batch slot already produces bit-identical envelope
+    # zero-padded batch slot produces bit-identical PRE-clamp mel-dB
     # values for every valid frame — no edge reconstruction is needed.
-    # What DOES need valid-awareness is downstream: the peak-pick
-    # filters and backtrack minima must treat frame nvf-1 as the array
-    # end (_peak_candidates / backtrack_indices take the mask).
-    env = onset_strength(y, sr, hop_length=hop_length)
-    t = env.shape[-1]
+    # What DOES need valid-awareness: the top_db clamp's per-clip peak
+    # (straddling frames past the valid end carry real energy at window
+    # weights no exact frame uses — onset_strength takes the mask), and
+    # downstream the peak-pick filters and backtrack minima must treat
+    # frame nvf-1 as the array end (_peak_candidates / backtrack_indices
+    # take the mask).
+    t = 1 + y.shape[-1] // hop_length  # centered STFT frame count
     if n_valid_samples is None:
         valid_frames = None
     else:
         nvf = 1 + n_valid_samples // hop_length  # frames covering real audio
         valid_frames = jnp.arange(t) < nvf
+    env = onset_strength(y, sr, hop_length=hop_length,
+                         valid_frames=valid_frames)
     return pick_onsets_from_envelope(env, sr, hop_length, min_sep,
                                      max_onsets, backtrack, valid_frames,
                                      cand_budget=cand_budget)

@@ -351,16 +351,25 @@ def power_spectrogram(y: jax.Array, n_fft: int, hop_length: int,
 
 def power_to_db_librosa(S: jax.Array, ref: float = 1.0, amin: float = 1e-10,
                         top_db: float | None = 80.0,
-                        spec_axes: int = 2) -> jax.Array:
+                        spec_axes: int = 2,
+                        peak_mask: jax.Array | None = None) -> jax.Array:
     """librosa.power_to_db: 10·log10 with a per-call top_db clamp relative to
     the spectrogram's max. The reference calls it once per clip, so in this
     batched form the max is taken over the trailing `spec_axes` axes
-    (ref librosa semantics used by features.py:187 via feature.mfcc)."""
+    (ref librosa semantics used by features.py:187 via feature.mfcc).
+
+    `peak_mask` (broadcastable to S, True = participate) restricts the
+    top_db PEAK to masked entries: a zero-padded batch slot's straddling
+    frames can carry real energy at different window weights than any
+    exact-run frame, and an unmasked peak would shift the clamp floor of
+    every frame — breaking padded-vs-exact bit parity downstream."""
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, S))
     log_spec = log_spec - 10.0 * np.log10(max(amin, ref))
     if top_db is not None:
         axes = tuple(range(-spec_axes, 0))
-        peak = jnp.max(log_spec, axis=axes, keepdims=True)
+        ls = (log_spec if peak_mask is None
+              else jnp.where(peak_mask, log_spec, -jnp.inf))
+        peak = jnp.max(ls, axis=axes, keepdims=True)
         log_spec = jnp.maximum(log_spec, peak - top_db)
     return log_spec
 

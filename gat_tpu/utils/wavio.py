@@ -58,11 +58,20 @@ def read_wav(path: str | os.PathLike, mono: bool = True) -> tuple[np.ndarray, in
             raw = payload
     if fmt is None or raw is None:
         raise ValueError(f"[read_wav] Missing fmt/data chunk in {path}")
+    if len(fmt) < 16:
+        # guard before unpack: a raw struct.error would bypass callers'
+        # ValueError handling (serve.py, read_wav_batch's fallback chain)
+        # and lose the file path from the message
+        raise ValueError(f"[read_wav] Truncated fmt chunk "
+                         f"({len(fmt)} bytes) in {path}")
 
     (audio_format, n_channels, sample_rate, _byte_rate, _block_align,
      bits_per_sample) = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format == _WAVE_FORMAT_EXTENSIBLE:
         # True format is the first 2 bytes of the 16-byte SubFormat GUID.
+        if len(fmt) < 26:
+            raise ValueError(f"[read_wav] EXTENSIBLE fmt chunk missing "
+                             f"SubFormat GUID ({len(fmt)} bytes) in {path}")
         (audio_format,) = struct.unpack_from("<H", fmt, 24)
 
     # a truncated data chunk (interrupted copy) may not be a whole number

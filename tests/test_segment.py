@@ -473,3 +473,48 @@ def test_note_to_midi_octave_crossing_accidentals():
     assert note_to_midi("B3") == 59
     assert note_to_midi("F#3") == 54
     assert note_to_midi("Gb3") == 54
+
+
+def test_padded_detection_matches_exact_straddling_transient():
+    """The top_db clamp's per-clip peak must ignore padded-only frames:
+    a loud transient just before the valid end lands in a straddling
+    frame (center past the last exact frame) at a higher Hann weight,
+    and an unmasked peak would shift the clamp floor — and the detected
+    onsets — of the padded run (review-confirmed repro)."""
+    nv = 23028
+    y = np.zeros(nv, np.float32)
+    y[2000] = 0.02                      # quiet click: near the clamp floor
+    y[nv - 2] = 1.0                     # loud transient at the valid end
+    from gat_tpu.ops.onset import onset_strength
+    e1 = np.asarray(onset_strength(jnp.asarray(y), SR))
+    ypad = np.concatenate([y, np.zeros(2 * SR - nv % SR, np.float32)])
+    t = 1 + len(ypad) // 512
+    nvf = 1 + nv // 512
+    vf = jnp.arange(t) < nvf
+    e2 = np.asarray(onset_strength(jnp.asarray(ypad), SR,
+                                   valid_frames=vf))
+    np.testing.assert_array_equal(e1, e2[:len(e1)])
+
+    o1, v1, _ = detect_onsets(jnp.asarray(y), sr=SR)
+    o2, v2, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
+                              n_valid_samples=jnp.asarray(nv))
+    np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
+                                  np.asarray(o2)[np.asarray(v2)])
+
+
+def test_detect_onsets_short_audio_keeps_static_budget():
+    """Envelopes with fewer frames than max_onsets must still return the
+    documented (max_onsets,) static shapes — a bare [:max_onsets] slice
+    silently yielded (t,) and broke cross-file stacking."""
+    y = _song([0.3], [196.0], dur=1.0)  # 44 frames < 64 budget
+    onsets, valid, ovf = detect_onsets(jnp.asarray(y), sr=SR,
+                                       max_onsets=64)
+    assert onsets.shape == (64,)
+    assert valid.shape == (64,)
+    got = np.asarray(onsets)[np.asarray(valid)]
+    assert len(got) == 1
+    # stacking against a longer file's result must now work
+    y2 = _song([0.4, 1.2], [110.0, 220.0], dur=3.0)
+    o2, v2, _ = detect_onsets(jnp.asarray(y2), sr=SR, max_onsets=64)
+    stacked = np.stack([np.asarray(onsets), np.asarray(o2)])
+    assert stacked.shape == (2, 64)

@@ -88,3 +88,32 @@ def test_read_wav_batch_accepts_generator(tmp_path, rng):
         paths.append(p)
     out = read_wav_batch(p for p in paths)
     assert len(out) == 3 and all(sr == 8000 for _, sr in out)
+
+
+def test_read_wav_truncated_fmt_raises_valueerror(tmp_path):
+    """A truncated fmt chunk must surface as the module's '[read_wav]'
+    ValueError (with the path), not a raw struct.error that bypasses
+    callers' error handling."""
+    import struct
+    p = tmp_path / "trunc.wav"
+    fmt = struct.pack("<HH", 1, 1)  # 4-byte fmt payload (needs 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                  + body)
+    with pytest.raises(ValueError, match=r"\[read_wav\].*trunc\.wav"):
+        read_wav(p)
+
+
+def test_read_wav_extensible_without_guid_raises_valueerror(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE with a bare 16-byte fmt (no SubFormat
+    GUID) must raise the module's ValueError, not struct.error."""
+    import struct
+    p = tmp_path / "ext.wav"
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 22050, 44100, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE"
+                  + body)
+    with pytest.raises(ValueError, match=r"\[read_wav\].*SubFormat"):
+        read_wav(p)
