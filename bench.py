@@ -527,15 +527,22 @@ def _device_or_bail(timeout_s: float) -> None:
     threading.Thread(target=_probe, daemon=True).start()
     if not done.wait(timeout_s) or err:
         mode = os.environ.get("BENCH_MODE", "")
-        metric = {
-            "files": "batched_file_throughput", "file": "file_latency",
-            "train": "train_step_throughput", "stream": "stream_chunk",
-            "latency": "p50_latency", "stages": "stage_partition",
-        }.get(mode, "audio_seconds_transcribed_per_sec_per_chip")
+        # metric names AND units must match the success path per mode, or
+        # a dashboard keyed on the metric name never correlates the error
+        # line with the series it belongs to
+        metric, unit = {
+            "files": ("batched_file_throughput", "audio_s/s"),
+            "file": ("file_path_throughput", "audio_s/s"),
+            "train": ("train_step_throughput", "clips/s"),
+            "stream": ("p50_stream_chunk_latency", "ms"),
+            "latency": ("p50_single_clip_latency", "ms"),
+            "stages": ("stage_times", "ms_per_step"),
+        }.get(mode, ("audio_seconds_transcribed_per_sec_per_chip",
+                     "audio_s/s"))
         reason = err[0] if err else (f"no response in {timeout_s:.0f}s "
                                      "— TPU tunnel down?")
         print(json.dumps({
-            "metric": metric, "value": 0.0, "unit": "audio_s/s",
+            "metric": metric, "value": 0.0, "unit": unit,
             "vs_baseline": 0.0,
             "error": f"device backend unavailable ({reason})",
         }), flush=True)

@@ -82,13 +82,15 @@ def main(argv=None):
     enable_compilation_cache()
 
     from .infer import Transcriber
+    # --model mlp: skip the CNN checkpoint entirely (use_cnn=False) —
+    # popping it post-load would keep its weights resident on device and
+    # still enforce CNN config cross-validation against an excluded model
     transcriber = Transcriber(mlp_ckpt=args.mlp_ckpt,
                               cnn_ckpt=args.cnn_ckpt,
                               cnn_weight=args.cnn_weight,
                               require_cnn=(args.model == "ensemble"),
+                              use_cnn=(args.model != "mlp"),
                               pitch_prior_weight=args.pitch_prior)
-    if args.model == "mlp":
-        transcriber.model_ckpts.pop("cnn", None)
 
     if args.live:
         from .stream import LiveTranscriber

@@ -43,11 +43,15 @@ class Transcriber:
                  cnn_root=None, cnn_weight: float = 0.80,
                  require_cnn: bool = True,
                  pitch_prior_weight: float = 0.0,
-                 cnn_dtype=None):
+                 cnn_dtype=None, use_cnn: bool = True):
         """Resolve + load both checkpoints, validate their embedded
         configs, and initialize the ensemble (ref transcribe.py:26-75).
         `require_cnn=False` permits MLP-only operation (the reference
-        repo itself ships without the CNN blob). `pitch_prior_weight>0`
+        repo itself ships without the CNN blob); `use_cnn=False` goes
+        further and skips resolving/loading the CNN checkpoint entirely
+        (MLP-only by choice: no CNN weights on device, no CNN-vs-MLP
+        config cross-validation against a model that won't run).
+        `pitch_prior_weight>0`
         enables the YIN pitch prior on the ensemble (see
         predictor.apply_pitch_prior) — off by default for reference
         parity. `cnn_dtype=jnp.bfloat16` runs the CNN forward in bf16
@@ -73,12 +77,12 @@ class Transcriber:
         if not mlp_path.is_file():
             raise FileNotFoundError(
                 f"[Transcriber] Missing MLP checkpoint: {mlp_path}{_hint}")
-        if require_cnn and not cnn_path.is_file():
+        if use_cnn and require_cnn and not cnn_path.is_file():
             raise FileNotFoundError(
                 f"[Transcriber] Missing CNN checkpoint: {cnn_path}{_hint}")
 
         self.model_ckpts = {"mlp": load_checkpoint(mlp_path)}
-        if cnn_path.is_file():
+        if use_cnn and cnn_path.is_file():
             self.model_ckpts["cnn"] = load_checkpoint(cnn_path)
 
         self.model_configs = {k: v.get("config")

@@ -84,7 +84,11 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 paths.append(wav)
             t0 = time.perf_counter()
             if batch > 1:
-                b = 1
+                # start at B=2: no serving path dispatches a 1-file
+                # transcribe_files (watch-folder singles and 1-request
+                # HTTP waves both route through transcribe()), so a B=1
+                # compile would be minutes of pure wasted startup
+                b = 2
                 while b <= max(int(batch), 1):
                     t.transcribe_files(paths[:b], cand_budget=cand_budget)
                     b *= 2
@@ -123,6 +127,14 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
     out_dir.mkdir(parents=True, exist_ok=True)
     if archive_dir is not None:
         archive_dir.mkdir(parents=True, exist_ok=True)
+        if archive_dir.resolve() == in_dir.resolve():
+            # shutil.move onto the same path is a POSIX no-op that would
+            # return before done.add() — every file re-transcribed on
+            # every poll, forever
+            raise ValueError("[serve] --archive_dir must differ from "
+                             "--in_dir (moving a file onto itself is a "
+                             "no-op and the file would be reprocessed "
+                             "each poll)")
     done: set[str] = set()
     # copy-stability gate: a producer copying a large WAV in can span
     # several polls, and the decoders deliberately tolerate truncated
@@ -148,7 +160,9 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
         if result.get("labels"):
             out_path.write_text(json.dumps(result_to_json(result),
                                            indent=2))
-            status = ",".join(result["labels"])
+            # labels are ints when the checkpoint has no reverse_map (a
+            # supported MLP-only configuration) — join must not TypeError
+            status = ",".join(str(l) for l in result["labels"])
         else:
             err = result.get("error", "no clips survived slicing")
             out_path.write_text(json.dumps(

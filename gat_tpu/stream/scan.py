@@ -38,10 +38,16 @@ class ScanStreamer:
 
     def __init__(self, transcriber, sr: int = 22050, chunk_s: float = 0.5,
                  context_s: float = 1.0,
-                 clip_duration: float = CLIP_DURATION,
+                 clip_duration: float | None = None,
                  min_sep: float = SLICER_CONFIG.MIN_SEP,
                  min_slice_rms_db: float = SLICER_CONFIG.MIN_SLICE_RMS_DB,
                  max_notes_per_chunk: int = 8):
+        if clip_duration is None:
+            # checkpoints are the source of truth (like every other
+            # inference path): default to the trained clip duration, not
+            # the global config's
+            clip_duration = getattr(transcriber, "clip_length",
+                                    CLIP_DURATION)
         self.transcriber = transcriber
         self.sr = sr
         self.chunk = int(chunk_s * sr)

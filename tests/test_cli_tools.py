@@ -886,7 +886,9 @@ def test_serve_warmup_covers_partial_wave_programs():
             return {"labels": ["A2"], "confidences": [1.0]}
 
     serve_mod.warmup(Stub(), [1.0], batch=4, verbose=False)
-    assert wave_sizes == [1, 2, 4]
+    # B=1 is deliberately absent: no serving path dispatches a 1-file
+    # transcribe_files (singles route through transcribe, warmed below)
+    assert wave_sizes == [2, 4]
     assert singles == [1]
 
 
@@ -980,7 +982,8 @@ def test_serve_warmup_nonpow2_batch_warms_padded_full_wave():
 
     serve_mod.warmup(Stub(), [1.0], batch=3, verbose=False)
     # 3 files exercise the same padded B=4 program live waves of 3 hit
-    assert wave_sizes == [1, 2, 3]
+    # (B=1 absent: singles never dispatch transcribe_files)
+    assert wave_sizes == [2, 3]
 
 
 def test_serve_archive_dir_moves_processed_inputs(tmp_path):
@@ -1006,3 +1009,89 @@ def test_serve_archive_dir_moves_processed_inputs(tmp_path):
     assert (arch / "a.wav").exists()               # preserved
     r = json.loads((out_dir / "a.json").read_text())
     assert r["labels"] == ["A2"]
+
+
+def test_serve_rejects_archive_dir_aliasing_in_dir(tmp_path):
+    """--archive_dir equal to --in_dir would make shutil.move a POSIX
+    no-op rename: the file never leaves, done is never marked, and
+    every poll re-transcribes it forever. Must fail at startup."""
+    import serve as serve_mod
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    class Stub:
+        def transcribe(self, path):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    with pytest.raises(ValueError, match="archive_dir"):
+        serve_mod.serve(in_dir, tmp_path / "out", once=True,
+                        verbose=False, transcriber=Stub(),
+                        archive_dir=in_dir)
+
+
+def test_serve_handles_integer_labels(tmp_path, capsys):
+    """Checkpoints without a reverse_map yield int labels (a supported
+    MLP-only configuration); the status join must not TypeError."""
+    import json
+    import serve as serve_mod
+
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    in_dir.mkdir()
+    _riff_wav(in_dir / "a.wav")
+
+    class Stub:
+        def transcribe(self, path):
+            return {"labels": [17, 23],
+                    "confidences": np.asarray([0.9, 0.8], np.float32)}
+
+    n = serve_mod.serve(in_dir, out_dir, once=True, verbose=True,
+                        transcriber=Stub())
+    assert n == 1
+    r = json.loads((out_dir / "a.json").read_text())
+    assert r["labels"] == [17, 23]
+    assert "17,23" in capsys.readouterr().out
+
+
+def test_transcriber_use_cnn_false_skips_cnn_entirely(tmp_path):
+    """use_cnn=False (CLI --model mlp): the CNN checkpoint is neither
+    loaded nor cross-validated — no CNN weights on device, and an
+    incompatible on-disk default CNN cannot fail an MLP-only run."""
+    from gat_tpu.infer import Transcriber
+
+    t = Transcriber(use_cnn=False)
+    assert "cnn" not in t.model_ckpts
+    assert t.predictor.cnn_variables is None
+    note = make_pluck(110.0, SR, 0.5, seed=1)
+    r = t.transcribe_note(note, sr_in=SR)
+    assert r["per_model_probs"]["cnn"] is None
+    assert r["per_model_probs"]["mlp"] is not None
+
+
+def test_scan_streamer_defaults_to_checkpoint_clip_length():
+    """ScanStreamer must adopt the checkpoint-trained clip duration by
+    default, like every other inference path (source-of-truth rule)."""
+    from gat_tpu.infer import Transcriber
+    from gat_tpu.stream import ScanStreamer
+
+    t = Transcriber()
+    st = ScanStreamer(t)
+    assert st.clip_n == int(t.clip_length * st.sr)
+
+
+def test_create_pitch_dataset_ignores_ancestor_dir_names(tmp_path):
+    """String_/Fret_ labels parse from the two LABEL path components —
+    an ancestor dir named String_12_sessions must not poison (s, f)."""
+    from tools.dataset_creator import create_pitch_dataset
+    from gat_tpu.utils.wavio import write_wav
+
+    root = tmp_path / "String_12_sessions" / "clips"
+    d = root / "String_3" / "Fret_5"
+    d.mkdir(parents=True)
+    write_wav(d / "x.wav", np.zeros(1000, np.float32), 22050)
+    out = tmp_path / "out"
+    n = create_pitch_dataset(root, out)
+    assert n == 1
+    copied = list(out.rglob("*.wav"))
+    assert len(copied) == 1
+    assert copied[0].name.startswith("s3_f5__")  # not s12

@@ -56,8 +56,11 @@ def create_pitch_dataset(clips_root: Path, out_root: Path) -> int:
     from gat_tpu.ops.pitch import string_fret_to_note
     n = 0
     for clip in sorted(clips_root.glob("String_*/Fret_*/*.wav")):
-        s = int(re.search(r"String_(\d+)", str(clip)).group(1))
-        f = int(re.search(r"Fret_(\d+)", str(clip)).group(1))
+        # parse the two LABEL path components, never the full path: an
+        # ancestor dir named e.g. String_12_sessions above clips_root
+        # would otherwise poison every clip's (s, f)
+        s = int(re.match(r"String_(\d+)", clip.parts[-3]).group(1))
+        f = int(re.match(r"Fret_(\d+)", clip.parts[-2]).group(1))
         pitch = string_fret_to_note(s, f)
         dest = out_root / pitch
         dest.mkdir(parents=True, exist_ok=True)

@@ -96,8 +96,11 @@ def slice_analysis(audio_path: Path, play: bool = False) -> list[dict]:
                     import sounddevice as sd
                     sd.play(clip, sr)
                     sd.wait()
-                except ImportError:
-                    print("(sounddevice not installed; skipping audition)")
+                except Exception as e:
+                    # not just ImportError: a present-but-unusable
+                    # sounddevice (headless box → PortAudioError) must
+                    # degrade to stats-only, not abort the analysis loop
+                    print(f"(audition unavailable: {e}; skipping)")
                     play = False
     return out
 

@@ -226,8 +226,15 @@ def main():
     pred_names = [rm[int(i)] for i in preds]
     y_pred = np.asarray([classes.index(n) if n in classes else -1
                          for n in pred_names])
-    print(classification_report(y_true, np.where(y_pred < 0, 0, y_pred),
-                                classes))
+    # out-of-set predictions are EXCLUDED, not remapped: scoring them as
+    # class 0 would fabricate confusion mass in the first class's
+    # row/column and contradict the headline accuracies
+    known = y_pred >= 0
+    n_unknown = int((~known).sum())
+    if n_unknown:
+        print(f"[evaluate] {n_unknown} predictions outside the eval "
+              f"set's classes (excluded from the confusion report)")
+    print(classification_report(y_true[known], y_pred[known], classes))
     if args.out:
         args.out.write_text(json.dumps(report, indent=2))
     return report
