@@ -29,6 +29,23 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
+# subtypes the native encoder implements (bits per sample) — the single
+# capability list consulted by write_wav_native AND the batch pre-gate,
+# so extending the C codec cannot silently leave the batch path on the
+# slow Python encoder
+_NATIVE_SUBTYPES = {"PCM_16": 16, "FLOAT": 32}
+
+
+def _map_batch(fn, items, max_workers: int | None):
+    """Shared thread-pool scaffolding for the batch codecs: order-
+    preserving, sequential short-circuit for tiny batches."""
+    items = list(items)  # accept generators
+    workers = max_workers or min(16, (os.cpu_count() or 4))
+    if len(items) <= 1 or workers == 1:
+        return [fn(it) for it in items]
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return list(ex.map(fn, items))
+
 
 def _load():
     global _lib, _tried
@@ -45,11 +62,16 @@ def _load():
                 # atomic rename: a concurrent process must never CDLL a
                 # half-written library
                 tmp = _LIB.with_suffix(f".tmp{os.getpid()}.so")
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp),
-                     str(_SRC)],
-                    check=True, capture_output=True, timeout=120)
-                os.replace(tmp, _LIB)
+                try:
+                    subprocess.run(
+                        ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp),
+                         str(_SRC)],
+                        check=True, capture_output=True, timeout=120)
+                    os.replace(tmp, _LIB)
+                finally:
+                    # a failed/timed-out compile must not leave the
+                    # per-pid temp artifact behind (pids recycle)
+                    tmp.unlink(missing_ok=True)
             lib = ctypes.CDLL(str(_LIB))
             lib.wav_probe.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -65,7 +87,15 @@ def _load():
                 ctypes.c_long, ctypes.c_int, ctypes.c_int]
             lib.wav_encode.restype = ctypes.c_int
             _lib = lib
-        except Exception:
+        except Exception as e:
+            # degrade to the pure-Python codec, but NOT silently: the
+            # whole decode stage slows by a large factor and the failure
+            # is cached for the process lifetime, so say why, once
+            detail = e.stderr.decode(errors="replace").strip() \
+                if getattr(e, "stderr", None) else str(e)
+            print("[native_wav] native codec unavailable — falling back "
+                  f"to the pure-Python WAV codec ({type(e).__name__}: "
+                  f"{detail[:500]})")
             _lib = None
         return _lib
 
@@ -80,14 +110,22 @@ def read_wav_native(path) -> tuple[np.ndarray, int]:
     lib = _load()
     if lib is None:
         raise RuntimeError("[read_wav_native] native codec unavailable")
-    p = str(path).encode()
+    p = os.fsencode(path)  # not .encode(): surrogate-escaped names exist
     sr = ctypes.c_int()
     ch = ctypes.c_int()
     frames = ctypes.c_long()
     rc = lib.wav_probe(p, ctypes.byref(sr), ctypes.byref(ch),
                        ctypes.byref(frames))
     if rc == -1:
-        raise FileNotFoundError(f"[read_wav_native] cannot open: {path}")
+        # fopen failure ≠ missing file: EACCES/EMFILE/EISDIR land here
+        # too. Only a genuinely absent file gets FileNotFoundError; the
+        # rest raise ValueError so read_wav_batch's per-file fallback
+        # retries through the Python decoder (which reports the real
+        # errno) instead of aborting the whole batch
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"[read_wav_native] no such file: "
+                                    f"{path}")
+        raise ValueError(f"[read_wav_native] cannot open: {path}")
     if rc:
         raise ValueError(f"[read_wav_native] bad wav ({rc}): {path}")
     out = np.empty(frames.value, np.float32)
@@ -109,16 +147,17 @@ def write_wav_native(path, audio: np.ndarray, sr: int,
     lib = _load()
     if lib is None:
         raise RuntimeError("[write_wav_native] native codec unavailable")
-    bits = {"PCM_16": 16, "FLOAT": 32}.get(subtype)
+    bits = _NATIVE_SUBTYPES.get(subtype)
     if bits is None:
         raise ValueError(f"[write_wav_native] unsupported subtype "
-                         f"{subtype!r} (native: PCM_16, FLOAT)")
+                         f"{subtype!r} (native: "
+                         f"{', '.join(_NATIVE_SUBTYPES)})")
     audio = np.ascontiguousarray(np.asarray(audio), dtype=np.float32)
     if audio.ndim != 1:
         raise ValueError("[write_wav_native] mono (1-D) audio only")
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     rc = lib.wav_encode(
-        str(path).encode(),
+        os.fsencode(path),
         audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         audio.size, int(sr), bits)
     if rc:
@@ -136,7 +175,7 @@ def write_wav_batch(items, max_workers: int | None = None,
     def one(item):
         path, audio, sr = item
         if native_available() and np.asarray(audio).ndim == 1 \
-                and subtype in ("PCM_16", "FLOAT"):
+                and subtype in _NATIVE_SUBTYPES:
             try:
                 write_wav_native(path, audio, sr, subtype)
                 return
@@ -144,14 +183,7 @@ def write_wav_batch(items, max_workers: int | None = None,
                 pass
         write_wav(path, audio, sr, subtype)
 
-    items = list(items)
-    workers = max_workers or min(16, (os.cpu_count() or 4))
-    if len(items) <= 1 or workers == 1:
-        for it in items:
-            one(it)
-        return
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(one, items))
+    _map_batch(one, items, max_workers)
 
 
 def read_wav_batch(paths, max_workers: int | None = None):
@@ -165,12 +197,7 @@ def read_wav_batch(paths, max_workers: int | None = None):
             try:
                 return read_wav_native(p)
             except ValueError:
-                pass  # unusual subtype → python path
+                pass  # unusual subtype / unreadable → python path
         return read_wav(p)
 
-    paths = list(paths)  # accept generators, like write_wav_batch
-    workers = max_workers or min(16, (os.cpu_count() or 4))
-    if len(paths) <= 1 or workers == 1:
-        return [one(p) for p in paths]
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        return list(ex.map(one, paths))
+    return _map_batch(one, paths, max_workers)

@@ -52,10 +52,16 @@ def read_wav(path: str | os.PathLike, mono: bool = True) -> tuple[np.ndarray, in
     fmt = None
     raw = None
     for cid, payload in _parse_chunks(data):
+        # exact native-codec chunk selection (wav_codec.cpp parse():
+        # overwrite fmt until both are present, first data wins, then
+        # stop): a file with duplicate chunks must decode identically
+        # whether or not the native library loaded
         if cid == b"fmt ":
             fmt = payload
-        elif cid == b"data":
+        elif cid == b"data" and raw is None:
             raw = payload
+        if fmt is not None and raw is not None:
+            break
     if fmt is None or raw is None:
         raise ValueError(f"[read_wav] Missing fmt/data chunk in {path}")
     if len(fmt) < 16:

@@ -151,3 +151,65 @@ def test_float_wav_strict_reader_shape(tmp_path):
     assert sr_n == sr_p == 22050
     np.testing.assert_array_equal(y_n, x)
     np.testing.assert_array_equal(y_p, x)
+
+
+def test_duplicate_data_chunks_decode_identically(tmp_path):
+    """Chunk selection parity: a WAV with a second (junk) data chunk must
+    decode to the same audio through the native codec and the Python
+    fallback (both keep the first data chunk and stop)."""
+    import struct
+    from gat_tpu.utils.native_wav import read_wav_native, native_available
+    from gat_tpu.utils.wavio import read_wav, write_wav
+
+    p = tmp_path / "dup.wav"
+    y = (np.sin(np.arange(500) * 0.05) * 0.5).astype(np.float32)
+    write_wav(p, y, 22050)
+    # append a junk data chunk after the real one
+    extra = b"data" + struct.pack("<I", 8) + b"\x7f\x7f" * 4
+    blob = p.read_bytes() + extra
+    blob = blob[:4] + struct.pack("<I", len(blob) - 8) + blob[8:]
+    p.write_bytes(blob)
+
+    y_py, sr_py = read_wav(p)
+    np.testing.assert_allclose(y_py, y, atol=1.0 / 32768)
+    if native_available():
+        y_nat, sr_nat = read_wav_native(p)
+        assert sr_nat == sr_py
+        np.testing.assert_array_equal(y_nat, y_py)
+
+
+def test_native_unopenable_path_falls_back_not_aborts(tmp_path):
+    """An fopen failure that is NOT a missing file (e.g. a directory)
+    raises ValueError so read_wav_batch retries via the Python decoder
+    instead of aborting the whole batch with FileNotFoundError."""
+    from gat_tpu.utils.native_wav import (read_wav_native,
+                                          native_available)
+    if not native_available():
+        pytest.skip("native codec unavailable")
+    d = tmp_path / "adir.wav"
+    d.mkdir()
+    # a directory: fopen succeeds on Linux, parse fails (-2) → ValueError
+    # (on platforms where fopen itself fails, the exists() check routes
+    # rc=-1 to ValueError too) — either way the batch fallback retries
+    with pytest.raises(ValueError, match=r"\[read_wav_native\]"):
+        read_wav_native(d)
+    with pytest.raises(FileNotFoundError):
+        read_wav_native(tmp_path / "absent.wav")
+
+
+def test_native_handles_non_utf8_filenames(tmp_path):
+    """Surrogate-escaped (non-UTF-8) filenames must reach the C codec
+    via os.fsencode, not str.encode (which raises UnicodeEncodeError)."""
+    import os
+    from gat_tpu.utils.native_wav import (read_wav_native,
+                                          write_wav_native,
+                                          native_available)
+    if not native_available():
+        pytest.skip("native codec unavailable")
+    name = os.fsdecode(b"weird_\xff_name.wav")
+    p = tmp_path / name
+    y = (np.sin(np.arange(400) * 0.1) * 0.3).astype(np.float32)
+    write_wav_native(p, y, 22050)
+    got, sr = read_wav_native(p)
+    assert sr == 22050
+    np.testing.assert_allclose(got, y, atol=1.0 / 32768)
