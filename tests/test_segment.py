@@ -518,3 +518,32 @@ def test_detect_onsets_short_audio_keeps_static_budget():
     o2, v2, _ = detect_onsets(jnp.asarray(y2), sr=SR, max_onsets=64)
     stacked = np.stack([np.asarray(onsets), np.asarray(o2)])
     assert stacked.shape == (2, 64)
+
+
+def test_padded_vs_exact_detection_property(rng):
+    """Randomized padded-vs-exact property: for random click/decay trains
+    (including energy at the very end, the straddling-frame case) the
+    padded-bucket run with n_valid_samples must reproduce the exact run's
+    onsets AND overflow flag. Lengths are fixed per bucket so the jit
+    signatures cache across trials."""
+    for trial in range(8):
+        nv = (int(1.3 * SR), int(2.7 * SR))[trial % 2]
+        bucket = (2 * SR, 4 * SR)[trial % 2]
+        y = np.zeros(nv, np.float32)
+        n_clicks = int(rng.integers(2, 6))
+        pos = rng.integers(0, nv - 1, n_clicks)
+        for p in pos:
+            amp = float(rng.uniform(0.05, 1.0))
+            tail = min(nv - p, int(0.1 * SR))
+            y[p:p + tail] += amp * np.exp(
+                -np.arange(tail, dtype=np.float32) / (0.02 * SR))
+        if trial % 3 == 0:
+            y[nv - 2] += 1.0  # loud transient AT the valid end
+        o1, v1, f1 = detect_onsets(jnp.asarray(y), sr=SR)
+        ypad = np.zeros(bucket, np.float32)
+        ypad[:nv] = y
+        o2, v2, f2 = detect_onsets(jnp.asarray(ypad), sr=SR,
+                                   n_valid_samples=jnp.asarray(nv))
+        np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
+                                      np.asarray(o2)[np.asarray(v2)])
+        assert bool(f1) == bool(f2)
