@@ -118,6 +118,13 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     from ..segment.slicing import segment_waveform
     from ..ops.yin import yin_pitch
 
+    if wave_clip_budget is not None and wave_clip_budget < 1:
+        # a negative budget would pass the `budget < b*k` guard and
+        # Python-slice the argsort from the END — silently dropping kept
+        # clips; validate like cand_budget does (ops/onset.py)
+        raise ValueError(f"wave_clip_budget must be >= 1 (None = every "
+                         f"slot computed); got {wave_clip_budget}")
+
     ensemble = build_clip_ensemble_fn(predictor, scaler, ckpt_sr,
                                       mfcc_params, melspec_params,
                                       return_parts=True)

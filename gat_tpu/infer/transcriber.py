@@ -147,30 +147,18 @@ class Transcriber:
         mfcc_params, melspec_params = self._feature_params()
         if "cnn" not in self.model_ckpts:
             melspec_params = None
-        from .pipeline import build_clip_ensemble_fn
-        # clips are re-rated ONCE below and shared by the ensemble and the
-        # YIN baseline, so the builder gets them already at checkpoint SR
-        ensemble = build_clip_ensemble_fn(
+        from .pipeline import build_files_fn
+        # the single-file fused program IS the batch body at B=1: one
+        # copy of the parity-critical recipe (EOF zero-tail mask,
+        # segment, re-rate, ensemble, YIN) shared with the serving path
+        body = build_files_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, return_parts=True)
+            melspec_params, target_sr, clip_duration, max_onsets)
 
         @jax.jit
         def run(y, n_valid):
-            # exact-zero tail past the true length: the caller pads to a
-            # whole second BEFORE resampling (host pad), so the polyphase
-            # edge continuation leaks into [n_valid, bucket); a clip
-            # window crossing EOF must see zeros for bit parity with the
-            # unpadded two-stage path
-            y = jnp.where(jnp.arange(y.shape[-1]) < n_valid, y, 0.0)
-            clips, kept, onsets, ovalid, times, overflow = segment_waveform(
-                y, sr=target_sr, length_sec=clip_duration,
-                max_onsets=max_onsets, n_valid_samples=n_valid)
-            clips_ckpt = fix_length(
-                resample(clips, target_sr, self.ckpt_sr),
-                int(self.ckpt_sr * clip_duration))
-            probs, mlp_p, cnn_p = ensemble(clips_ckpt)  # masked → zeros
-            pitch = yin_pitch(clips_ckpt, self.ckpt_sr)
-            return probs, mlp_p, cnn_p, pitch, kept, onsets, times, overflow
+            outs = body(y[None], jnp.asarray(n_valid)[None])
+            return tuple(o[0] if o is not None else None for o in outs)
 
         self._fused_cache[key] = (run, self.predictor.mlp_variables,
                                   self.predictor.cnn_variables)

@@ -170,9 +170,11 @@ class AudioSlicer:
     @staticmethod
     def detect_onsets(y, sr: int = 11025, hop_len: int = 512,
                       min_sep: float = 0.25, max_onsets: int = 64):
-        onsets, valid, overflow = _detect_onsets_op(
+        # one device->host transfer for all three outputs (per-array
+        # syncs each cost a ~30 ms tunnel round trip)
+        onsets, valid, overflow = jax.device_get(_detect_onsets_op(
             jnp.asarray(y), sr=sr, hop_length=hop_len, min_sep=min_sep,
-            max_onsets=max_onsets)
+            max_onsets=max_onsets))
         if bool(overflow):
             warnings.warn(
                 f"[detect_onsets] onset budget truncated detections "
@@ -209,11 +211,15 @@ class AudioSlicer:
         detected onset sample indices (ref sliceNsave, slicing.py:147-165,
         including its clip filename pattern)."""
         y, sr = self.load_wav(audio_path, target_sr)
-        clips, kept, onsets, ovalid, times, overflow = segment_waveform(
-            jnp.asarray(y), sr=sr, hop_length=hop_len, length_sec=length_sec,
-            min_sep=min_sep, min_db=min_db_threshold,
-            min_slice_rms_db=min_slice_rms_db,
-            attack_skip_sec=attack_skip_sec, max_onsets=max_onsets)
+        # one device->host transfer for all six outputs (the per-array
+        # np.asarray calls below would each block on the tunnel)
+        clips, kept, onsets, ovalid, times, overflow = jax.device_get(
+            segment_waveform(
+                jnp.asarray(y), sr=sr, hop_length=hop_len,
+                length_sec=length_sec, min_sep=min_sep,
+                min_db=min_db_threshold,
+                min_slice_rms_db=min_slice_rms_db,
+                attack_skip_sec=attack_skip_sec, max_onsets=max_onsets))
         if bool(overflow):
             warnings.warn(
                 f"[slice_and_save] onset budget truncated detections for "

@@ -418,3 +418,14 @@ def test_load_models_rejects_label_map_mismatch(tmp_path):
     save_checkpoint(p, d)
     with pytest.raises(ValueError, match="label map"):
         Transcriber(cnn_ckpt=str(p))
+
+
+def test_transcribe_files_rejects_negative_wave_clip_budget(
+        tmp_path, transcriber):
+    """A negative wave_clip_budget would Python-slice the compaction
+    argsort from the END, silently dropping kept clips — must raise
+    like cand_budget does."""
+    p = tmp_path / "r.wav"
+    write_wav(p, _riff(), SR)
+    with pytest.raises(ValueError, match="wave_clip_budget"):
+        transcriber.transcribe_files([p], wave_clip_budget=-1)
