@@ -632,8 +632,13 @@ def test_serve_http_metrics_endpoint(tmp_path):
             return [{"labels": ["A2"], "confidences": [1.0]}
                     for _ in paths]
 
+    # batch == number of posts: the wave FILLS and dispatches instantly
+    # in the common case; the long window only matters for a straggler
+    # thread on a loaded machine (flake-hardening — with batch=4 the
+    # wave never filled, so a post scheduled later than the 2 s window
+    # landed in its own wave and the dispatches<files assertion failed)
     holder, th, port = _start_http(
-        dict(transcriber=Stub(), batch=4, window_s=2.0))
+        dict(transcriber=Stub(), batch=3, window_s=10.0))
     base = f"http://127.0.0.1:{port}"
     body = _riff_wav(tmp_path / "r.wav").read_bytes()
 
