@@ -101,8 +101,18 @@ class Trainer:
     def __init__(self, model, train_dl, val_dl=None, reverse_map=None,
                  lr: float = 1e-3, weight_decay: float = 1e-4,
                  scaler=None, seed: int = 0, label_smoothing: float = 0.05,
-                 max_clip_norm: float = 1.0, model_type: str | None = None):
+                 max_clip_norm: float = 1.0, model_type: str | None = None,
+                 mesh=None):
+        """`mesh` (a jax.sharding.Mesh, e.g. parallel.make_mesh(N)) runs
+        every train/eval step data-parallel over the mesh's `data` axis:
+        params/optimizer state replicated, each batch sharded across
+        devices, the gradient all-reduce inserted by XLA from the sharding
+        alone (SURVEY §2.4 DP plan). The math is the single-device math —
+        same batches, same order, same dropout keys — up to float
+        reassociation in the batch reductions (tested ~1e-6 relative in
+        tests/test_parallel.py); mesh=None is the plain jit path."""
         self.model = model
+        self.mesh = mesh
         self.model_type = model_type or type(model).__name__.lower()
         self.train_dl = train_dl
         self.val_dl = val_dl
@@ -133,6 +143,12 @@ class Trainer:
             optax.inject_hyperparams(optax.adamw)(
                 learning_rate=lr, weight_decay=weight_decay))
         self.opt_state = self.tx.init(self.params)
+        if mesh is not None:
+            from ..parallel.mesh import replicated
+            rep = replicated(mesh)
+            self.params = jax.device_put(self.params, rep)
+            self.extra = jax.device_put(self.extra, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
         self.scheduler = ReduceLROnPlateau(lr)
 
         self.train_loss_history: list[float] = []
@@ -175,6 +191,19 @@ class Trainer:
                     f"[_check_dims] CNN expects rank-4 input, got "
                     f"{xb.ndim}-D")
 
+    def _shard_batch(self, xb, yb):
+        """Inside-jit data-parallel annotation: shard the batch over the
+        mesh's `data` axis (no-op without a mesh). Params stay replicated,
+        so XLA derives the per-shard gradient psum on its own."""
+        if self.mesh is None:
+            return xb, yb
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA
+        xs = NamedSharding(self.mesh, P(DATA, *([None] * (xb.ndim - 1))))
+        ys = NamedSharding(self.mesh, P(DATA))
+        return (jax.lax.with_sharding_constraint(xb, xs),
+                jax.lax.with_sharding_constraint(yb, ys))
+
     def _apply_train(self, params, extra, xb, rng):
         variables = {"params": params, **extra}
         if self._has_bn:
@@ -198,6 +227,8 @@ class Trainer:
         return optax.softmax_cross_entropy(logits, soft).mean()
 
     def _step_body(self, params, extra, opt_state, xb, yb, rng):
+        xb, yb = self._shard_batch(xb, yb)
+
         def loss_fn(p):
             logits, mut = self._apply_train(p, extra, xb, rng)
             return self._loss(logits, yb), (logits, mut)
@@ -236,6 +267,7 @@ class Trainer:
 
     def _build_eval_step(self):
         def step(params, extra, xb, yb):
+            xb, yb = self._shard_batch(xb, yb)
             logits = self._apply_eval(params, extra, xb)
             loss = self._loss(logits, yb)
             preds = jnp.argmax(logits, axis=-1)
@@ -278,6 +310,16 @@ class Trainer:
                 "optax.inject_hyperparams?")
         self.opt_state = tuple(states)
 
+    def _put(self, a):
+        """device_put honoring the mesh: whole-dataset arrays are
+        REPLICATED (each device slices only its shard of every batch via
+        the in-step sharding constraint — at this data scale HBM is ample
+        and replication keeps the shuffled gather local)."""
+        if self.mesh is None:
+            return jax.device_put(a)
+        from ..parallel.mesh import replicated
+        return jax.device_put(a, replicated(self.mesh))
+
     # ------------------------------------------------------------------
     def _run_epoch_scanned(self, train_dl):
         """One epoch as ONE device dispatch (plus at most one extra for a
@@ -291,8 +333,8 @@ class Trainer:
                 and c[2] is train_dl.y):
             self._dev_data = (
                 train_dl, train_dl.X, train_dl.y,
-                jax.device_put(jnp.asarray(train_dl.X, jnp.float32)),
-                jax.device_put(jnp.asarray(train_dl.y)))
+                self._put(jnp.asarray(train_dl.X, jnp.float32)),
+                self._put(jnp.asarray(train_dl.y)))
         X_dev, Y_dev = self._dev_data[3], self._dev_data[4]
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
@@ -452,8 +494,8 @@ class Trainer:
             if not (c and c[0] is dl and c[1] is dl.X and c[2] is dl.y):
                 self._val_data = (
                     dl, dl.X, dl.y,
-                    jax.device_put(jnp.asarray(dl.X, jnp.float32)),
-                    jax.device_put(jnp.asarray(dl.y)))
+                    self._put(jnp.asarray(dl.X, jnp.float32)),
+                    self._put(jnp.asarray(dl.y)))
             loss, corr, preds = self._eval_step(
                 self.params, self.extra, self._val_data[3],
                 self._val_data[4])

@@ -52,6 +52,12 @@ def main():
     ap.add_argument("--platform", default="tpu", choices=["tpu", "cpu"])
     ap.add_argument("--target_sr", type=int, default=11025)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="train data-parallel over an N-device mesh "
+                         "(batches sharded over the data axis, params "
+                         "replicated; same math as single-device up to "
+                         "float reassociation). N must be <= "
+                         "jax.device_count().")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +115,8 @@ def main():
                    if args.channel_prob > 0 else "")
                 + ".gtckpt.npz")
 
-    mgr = TrainingManager(target_sr=args.target_sr)
+    mgr = TrainingManager(target_sr=args.target_sr,
+                          mesh_devices=args.mesh)
     if args.model in ("cnn", "all"):
         tr = mgr.train_cnn(dataset=ds, epochs=args.epochs or 40,
                            seed=args.seed, save=False)
