@@ -263,8 +263,9 @@ class Transcriber:
                          clip_duration: float | None = None,
                          max_onsets: int = 64,
                          max_batch: int = 4,
-                         wave_clip_budget: int | None = None,
-                         cand_budget: int | None = None) -> list[dict]:
+                         wave_clip_budget: int | None | str = "auto",
+                         cand_budget: int | None | str = "auto",
+                         exact_fallback: bool = True) -> list[dict]:
         """Batch transcription of MANY files (the serving path;
         `tools/serve.py --batch`). Files group into power-of-two DURATION
         buckets (1, 2, 4, … s — one 10-minute file no longer pads a wave
@@ -288,15 +289,38 @@ class Transcriber:
         raises the flag); None = every slot computed. `cand_budget`
         sizes the per-wave onset candidate scan (the serving-speed
         lever — see segment_waveform); truncation raises the same
-        per-file `onset_overflow` flag, never silent."""
+        per-file `onset_overflow` flag, never silent.
+
+        Budgets default to "auto" = AGGRESSIVE (wave_clip_budget 3/4 of
+        the wave's slots, cand_budget the proportional onset default),
+        backed by `exact_fallback` (VERDICT r3 §next-2): any file whose
+        `onset_overflow` flag raised is transparently re-dispatched
+        through the EXACT program (full-length candidate scan, every
+        clip slot computed) — so the common case gets the aggressive
+        budgets' speed while flagged files get provably exact results.
+        After fallback the only overflow flags left are genuine
+        `max_onsets` truncations, which no budget change repairs (raise
+        `max_onsets` for those). Pass exact_fallback=False to keep raw
+        budget semantics (flags surface, nothing re-runs)."""
         if clip_duration is None:
             clip_duration = self.clip_length  # checkpoint-trained duration
+        if isinstance(wave_clip_budget, str):
+            if wave_clip_budget != "auto":
+                raise ValueError(f"wave_clip_budget must be an int, None, "
+                                 f"or 'auto'; got {wave_clip_budget!r}")
+            wave_clip_budget = max(1, (max_batch * max_onsets * 3) // 4)
+        if isinstance(cand_budget, str):
+            if cand_budget != "auto":
+                raise ValueError(f"cand_budget must be an int, None, or "
+                                 f"'auto'; got {cand_budget!r}")
+            cand_budget = None  # the proportional default (ops/onset.py)
         paths = list(paths)
         if not paths:
             return []
         from ..utils.native_wav import read_wav_batch
         decoded = read_wav_batch(paths)  # threaded native decode
         buckets: dict[int, list[tuple[int, jnp.ndarray, int]]] = {}
+        by_idx: dict[int, tuple[jnp.ndarray, int]] = {}
         for idx, (y_raw, sr_in) in enumerate(decoded):
             y_np = np.asarray(y_raw, np.float32)
             n_raw = int(y_np.shape[-1])
@@ -314,6 +338,7 @@ class Transcriber:
             y = fix_length(y, bsec * target_sr)  # sec·target_sr → bucket
             nv = -(-n_raw * target_sr // sr_in)
             buckets.setdefault(bsec, []).append((idx, y, nv))
+            by_idx[idx] = (y, nv)
 
         run, run_scan = self._fused_files_fn(target_sr, clip_duration,
                                              max_onsets, wave_clip_budget,
@@ -375,6 +400,27 @@ class Transcriber:
                 wave_ids = [i for i, _, _ in wave]
                 for i in range(len(wave_ids)):
                     _emit(wave_ids, outs, i)
+
+        if exact_fallback:
+            flagged = [i for i, r in enumerate(results)
+                       if r["onset_overflow"]]
+            if flagged:
+                # exact program: full-length candidate scan (cand 0),
+                # every clip slot computed (budget None) — each flagged
+                # file re-runs at B=1 in its own (pow2-bounded) bucket
+                # shape, so the overflow path never changes the fast
+                # path's compiled signatures
+                exact_run, _ = self._fused_files_fn(
+                    target_sr, clip_duration, max_onsets, None, 0)
+                for i in flagged:
+                    y, nv_i = by_idx[i]
+                    o = jax.device_get(exact_run(
+                        y[None], jnp.asarray([nv_i], jnp.int32)))
+                    results[i] = self._build_result(
+                        o[0][0], o[1][0],
+                        o[2][0] if o[2] is not None else None,
+                        o[3][0], o[4][0], o[5][0], o[6][0], target_sr,
+                        empty_ok=True, overflow=o[7][0])
         return results
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:

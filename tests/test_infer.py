@@ -269,7 +269,8 @@ def test_wave_clip_budget_exact_below_and_flags_above(tmp_path,
         assert rr["onsets_s"] == re_["onsets_s"]
         assert rr["onset_overflow"] is False
     starved = transcriber.transcribe_files(paths, max_onsets=8,
-                                           wave_clip_budget=3)
+                                           wave_clip_budget=3,
+                                           exact_fallback=False)
     counts = [len(r["labels"]) for r in starved]
     assert sum(counts) == 3
     assert any(r["onset_overflow"] for r in starved)
@@ -278,6 +279,37 @@ def test_wave_clip_budget_exact_below_and_flags_above(tmp_path,
     assert max(counts) - min(counts) <= 1
     for rs, re_ in zip(starved, exact):
         assert rs["labels"] == re_["labels"][:len(rs["labels"])]
+
+
+def test_exact_fallback_redispatches_flagged_files(tmp_path, transcriber):
+    """VERDICT r3 §next-2: with exact_fallback (the default), files whose
+    overflow flag raised under a starved budget are transparently re-run
+    through the exact program — results equal the cand_budget=0 /
+    wave_clip_budget=None run, flags cleared."""
+    paths = []
+    for i in range(2):
+        y = _riff(NOTES[:4])
+        p = tmp_path / f"fb{i}.wav"
+        write_wav(p, y, SR)
+        paths.append(p)
+    exact = transcriber.transcribe_files(paths, max_onsets=8,
+                                         wave_clip_budget=None,
+                                         cand_budget=0,
+                                         exact_fallback=False)
+    # starved wave budget AND starved candidate scan both force flags;
+    # the fallback must repair them to the exact results
+    fixed = transcriber.transcribe_files(paths, max_onsets=8,
+                                         wave_clip_budget=3, cand_budget=1)
+    for rf, re_ in zip(fixed, exact):
+        assert rf["onset_overflow"] is False
+        assert rf["labels"] == re_["labels"]
+        np.testing.assert_allclose(rf["confidences"], re_["confidences"],
+                                   atol=1e-5)
+        assert rf["onsets_s"] == re_["onsets_s"]
+    # the irreparable overflow (max_onsets itself) keeps its flag even
+    # after the exact re-dispatch — honesty preserved
+    still = transcriber.transcribe_files([paths[0]], max_onsets=2)[0]
+    assert still["onset_overflow"] is True
 
 
 def test_extract_inference_features_mlp_only(tmp_path):
