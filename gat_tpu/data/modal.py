@@ -4,7 +4,10 @@ Round-3 accuracy north star (VERDICT r2 §next-1): the shipped models now
 train on all THREE `data/synth.py` families (KS, additive, FM), so an
 honest unseen-timbre evaluation needs a fourth family that is
 code-disjoint from the training synthesizer. This module is it, and it
-must NEVER be used to generate training data.
+must NEVER be used to generate training data — enforced at runtime:
+`render_modal_dataset` drops an `EVAL_ONLY.json` marker into every
+dataset it writes, and `TrainingManager._choose_dataset` hard-fails on
+any dataset carrying it (tested in tests/test_synth.py).
 
 Mechanism (deliberately different from every training family):
 a short noise-burst excitation — spectrally shaped by pick hardness and
@@ -31,7 +34,12 @@ from scipy import signal
 
 from ..ops.pitch import midi_to_hz, note_to_midi
 
-__all__ = ["modal_pluck", "render_modal_dataset"]
+__all__ = ["modal_pluck", "render_modal_dataset", "EVAL_ONLY_MARKER"]
+
+# written into every rendered dataset dir; TrainingManager refuses to
+# train on a dataset carrying it (the runtime guard behind the
+# "must NEVER be used to generate training data" contract above)
+EVAL_ONLY_MARKER = "EVAL_ONLY.json"
 
 
 def _resonator_sos(freq_hz: float, decay_s: float, sr: int) -> np.ndarray:
@@ -162,4 +170,10 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
         pending.clear()
         if verbose and ci % 10 == 0:
             print(f"[render_modal_dataset] {ci + 1}/{len(class_names)}")
+    # held-out-family marker: training entry points refuse any dataset
+    # carrying this file (TrainingManager._choose_dataset), so the eval
+    # family can never silently leak into training data
+    (out_root / EVAL_ONLY_MARKER).write_text(
+        '{"eval_only": true, "renderer": "modal", "reason": '
+        '"held-out evaluation family - see gat_tpu/data/modal.py"}\n')
     return out_root

@@ -87,26 +87,43 @@ class TrainingManager:
             print(f" -\t{k}: {v}")
         print()
 
+    @staticmethod
+    def _refuse_eval_only(p: Path) -> Path:
+        """Runtime guard on the held-out-family contract: datasets
+        rendered by the eval-only modal engine carry an EVAL_ONLY.json
+        marker (gat_tpu/data/modal.py) and must never reach training —
+        training on the held-out family would silently destroy the
+        unseen-timbre evaluation's meaning."""
+        from ..data.modal import EVAL_ONLY_MARKER
+        if (Path(p) / EVAL_ONLY_MARKER).exists():
+            raise ValueError(
+                f"[_choose_dataset] {p} is an EVAL-ONLY dataset (it "
+                f"carries {EVAL_ONLY_MARKER}: rendered by the held-out "
+                "modal family, gat_tpu/data/modal.py). Training on it "
+                "would invalidate the unseen-family evaluation; pick a "
+                "training-family dataset (data/synth.py) instead.")
+        return p
+
     def _choose_dataset(self, dataset=None) -> Path:
         """Programmatic or interactive dataset selection
         (ref training_manager.py:38-46)."""
         if dataset is not None:
             p = Path(dataset)
             if p.is_dir():
-                return p
+                return self._refuse_eval_only(p)
             names, paths = get_available_datasets(self.datasets_root)
             if isinstance(dataset, int) or str(dataset).isdigit():
-                return paths[int(dataset)]
+                return self._refuse_eval_only(paths[int(dataset)])
             for n, pp in zip(names, paths):
                 if n == dataset or n.endswith(f"/{dataset}"):
-                    return pp
+                    return self._refuse_eval_only(pp)
             raise FileNotFoundError(
                 f"[_choose_dataset] Unknown dataset: {dataset}")
         names, paths = get_available_datasets(self.datasets_root)
         print("Available datasets:", *names, sep="\n", end="\n\n")
         idx = int(input(f"Enter dataset index (0 to {len(names) - 1}): "))
         print(f"Selected dataset: {paths[idx]}\n")
-        return paths[idx]
+        return self._refuse_eval_only(paths[idx])
 
     # ------------------------------------------------------------------
     def train_mlp(self, dataset=None, epochs: int | None = None,

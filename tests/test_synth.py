@@ -220,3 +220,44 @@ def test_variant_seed_injective_and_backcompat():
                 s = _variant_seed(seed, ci, i, 150)
                 assert s not in seen, (seen[s], (seed, ci, i))
                 seen[s] = (seed, ci, i)
+
+
+def test_modal_isolation_guard_refuses_training(tmp_path):
+    """The held-out-family contract is ENFORCED, not just documented
+    (VERDICT r3 §next-5): every modal-rendered dataset carries the
+    EVAL_ONLY marker, and every TrainingManager entry point refuses it."""
+    from gat_tpu.data.modal import render_modal_dataset, EVAL_ONLY_MARKER
+    from gat_tpu.train import TrainingManager
+
+    ds = render_modal_dataset(tmp_path / "modal_ds",
+                              class_names=["E2", "A2"],
+                              variants_per_class=1, seed=0)
+    assert (ds / EVAL_ONLY_MARKER).exists()
+    mgr = TrainingManager(target_sr=11025)
+    with pytest.raises(ValueError, match="EVAL-ONLY"):
+        mgr.train_mlp(dataset=ds)
+    with pytest.raises(ValueError, match="EVAL-ONLY"):
+        mgr.train_cnn(dataset=ds, verbose=False)
+    with pytest.raises(ValueError, match="EVAL-ONLY"):
+        mgr.train_all(dataset=ds, verbose=False)
+    # ...while evaluation loading of the same dataset stays untouched
+    from gat_tpu.data.loader import AudioDatasetLoader
+    loader = AudioDatasetLoader([ds], target_sr=11025, duration=0.5)
+    wavs, _, labels, _ = loader.load_audio_dataset()
+    assert sorted(set(labels)) == ["A2", "E2"] and len(wavs) == 2
+
+
+def test_train_synthetic_cli_cannot_reach_modal():
+    """tools/train_synthetic.py --family has no 'modal' choice: argparse
+    rejects it before any dataset synthesis can run."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "tools/train_synthetic.py"),
+         "--model", "mlp", "--family", "modal"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 2
+    assert "invalid choice: 'modal'" in out.stderr
