@@ -236,7 +236,9 @@ def cpu_baseline() -> float:
     """Reference-equivalent CPU throughput: per-clip (batch=1) sequential
     processing on the CPU backend, measured in a subprocess."""
     cache = _read_cache()
-    if "audio_s_per_s" in cache:
+    # a floor without its measurement timestamp is pre-audit-format:
+    # re-measure so the emitted JSON line is fully self-contained
+    if "audio_s_per_s" in cache and "audio_s_per_s_measured_at" in cache:
         return float(cache["audio_s_per_s"])
     code = (
         "import jax, json;"
@@ -252,6 +254,8 @@ def cpu_baseline() -> float:
         if line.startswith("CPU_BASELINE="):
             v = float(json.loads(line.split("=", 1)[1]))
             cache["audio_s_per_s"] = v
+            cache["audio_s_per_s_measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%S")
             _CACHE.write_text(json.dumps(cache))
             return v
     raise RuntimeError(f"cpu baseline failed: {out.stderr[-2000:]}")
@@ -262,7 +266,8 @@ def numpy_baseline() -> float:
     numpy per-clip loop (tools/numpy_reference_pipeline.py), no JAX
     dispatch overhead, measured in a subprocess and cached."""
     cache = _read_cache()
-    if "numpy_audio_s_per_s" in cache:
+    if ("numpy_audio_s_per_s" in cache
+            and "numpy_audio_s_per_s_measured_at" in cache):
         return float(cache["numpy_audio_s_per_s"])
     out = subprocess.run(
         [sys.executable, str(REPO / "tools/numpy_reference_pipeline.py")],
@@ -271,6 +276,8 @@ def numpy_baseline() -> float:
         if line.startswith("NUMPY_BASELINE="):
             v = float(json.loads(line.split("=", 1)[1]))
             cache["numpy_audio_s_per_s"] = v
+            cache["numpy_audio_s_per_s_measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%S")
             _CACHE.write_text(json.dumps(cache))
             return v
     raise RuntimeError(f"numpy baseline failed: {out.stderr[-2000:]}")
@@ -639,12 +646,24 @@ def main():
     iters = ITERS if scan_k == 1 else max(8, ITERS // scan_k)
     value, details = measure(BATCH, iters, return_details=True,
                              scan_chunks=scan_k, repeats=repeats)
+    # self-contained ratios (VERDICT r3 §weak-5): the floor VALUES this
+    # run divided by, and when each was measured, ride in the same JSON
+    # line — a vs_baseline swing is auditable as numerator vs denominator
+    # movement without digging up the cache file
+    cache = _read_cache()
     print(json.dumps({
         "metric": "audio_seconds_transcribed_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(value / baseline, 2),
         "vs_baseline_numpy": round(value / np_base, 2),
+        "baseline_floors": {
+            "cpu_audio_s_per_s": round(baseline, 2),
+            "cpu_measured_at": cache.get("audio_s_per_s_measured_at"),
+            "numpy_audio_s_per_s": round(np_base, 2),
+            "numpy_measured_at": cache.get(
+                "numpy_audio_s_per_s_measured_at"),
+        },
         "mfu": details["mfu"],
         "step_ms": details["step_ms"],
         "scan_chunks": scan_k,

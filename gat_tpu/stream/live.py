@@ -83,8 +83,26 @@ class LiveTranscriber:
         self.buffer = RingBuffer(int(buffer_duration * sample_rate))
         self.note_q: queue.Queue = queue.Queue(maxsize=2)
         self.min_slice_len = int(min_slice_t * sample_rate)
+        # pre-onset audio kept in the ring when a pair-slice clears up to
+        # the next onset: the onset detector (hop 1024, n_fft 2048) zeroes
+        # its first lag + n_fft//(2·hop) = 2 envelope frames and averages
+        # over a 2-frame pre-window — an attack inside that region of a
+        # fresh snapshot can never re-trigger, so keep 4 hops of context.
+        # Conversely a CONSUMED note's attack must never stay in the ring
+        # past the pad horizon, or the next snapshot re-detects and
+        # re-slices it (duplicate): clear at least attack_guard past the
+        # consumed onset. min_sep (0.3 s = 6615 samples at 22050) ≥
+        # ctx + guard, so both constraints are always satisfiable.
+        self._onset_ctx = 4 * 1024
+        self._attack_guard = 2 * 1024 + 1
         self.verbose = verbose
         self.results: list[dict] = []
+        # explicit drop-oldest casualty count: clips evicted from the
+        # bounded note queue under backpressure (never silent — pair with
+        # buffer.overwritten for the ring side; tests/test_stream.py's
+        # soak test asserts transcribed + queue_drops accounts for every
+        # note when the ring never overran)
+        self.queue_drops = 0
 
     # ----- segmentation over buffer snapshots --------------------------
     def detect_onsets(self, y: np.ndarray) -> list[int]:
@@ -105,24 +123,42 @@ class LiveTranscriber:
         return np.pad(y, (0, n - len(y)))
 
     def _enqueue(self, clip: np.ndarray) -> None:
-        """Bounded queue with drop-oldest backpressure."""
+        """Bounded queue with drop-oldest backpressure; every eviction is
+        counted in `queue_drops` (explicit casualty, never silent)."""
         try:
             self.note_q.put_nowait(clip)
         except queue.Full:
             try:
                 self.note_q.get_nowait()
+                self.queue_drops += 1
             except queue.Empty:
                 pass
             try:
                 self.note_q.put_nowait(clip)
             except queue.Full:
-                pass
+                self.queue_drops += 1
 
     def process_buffer(self, force: bool = False) -> int:
-        """One consumer step over a full buffer: slice notes between onset
-        pairs (a trailing single onset slices to the end), enqueue clips,
-        drop the consumed prefix. Returns clips enqueued
-        (ref transcribe_live.py:165-196).
+        """One consumer step over a full buffer: slice notes between
+        CONSECUTIVE onset pairs (a trailing single onset slices to the
+        end), enqueue clips, drop the consumed prefix. Returns clips
+        enqueued (ref transcribe_live.py:165-196).
+
+        Deviation by design: the reference's pair loop consumes DISJOINT
+        pairs (`del onsets[:2]`, ref transcribe_live.py:185-191) and
+        clears through the second onset — so with onsets [a, b, c] it
+        slices note a, then discards note b's attack unexamined; at a
+        steady note rate every second note is silently lost (measured:
+        the 1× real-time soak test transcribed 6/10 notes under the
+        reference scheme). Here pair (o[i], o[i+1]) yields note i and the
+        buffer is cleared only up to o[i+1] minus a detector-context
+        margin (the onset envelope's left-pad latency of
+        lag + n_fft//(2·hop) frames plus the moving-average pre-window:
+        an onset whose attack lands in the padded first frames of the
+        next snapshot is undetectable, so the margin keeps enough
+        pre-attack audio for re-detection), so every note is sliced
+        exactly once. The same class of latent bug as the ring's
+        clear_from (SURVEY §5.2), avoided rather than copied.
 
         `force=True` (end-of-stream flush) processes a partially filled
         buffer too — otherwise audio shorter than the buffer duration
@@ -136,7 +172,7 @@ class LiveTranscriber:
         buf, start_abs = self.buffer.snapshot()
         onsets = self.detect_onsets(buf)
         queued = 0
-        h_idx = -1  # snapshot index of the last consumed onset; -1 = none
+        clear_to = -1  # snapshot index to clear before (exclusive); -1 = none
         # (an onset at index 0 IS consumable: backtracking pins the first
         # frame as a minimum, so after a pairs-clear the next note's onset
         # routinely lands at 0 — a falsy-zero sentinel would never clear
@@ -147,7 +183,17 @@ class LiveTranscriber:
                 self._enqueue(self.pad_or_trim_audio(
                     s, CLIP_DURATION, self.sample_rate))
                 queued += 1
-                h_idx = onsets[0]
+                # consume the SLICED region (capped at the clip length
+                # actually transcribed): clearing only onset+1 — the
+                # reference's h_idx scheme — leaves the attack in the
+                # ring, and once it decays past the detector's pad
+                # horizon the same note re-triggers on every later
+                # snapshot (measured: the final soak note transcribed
+                # 3×). The note's own decay can't re-trigger (no rising
+                # flux), so exact-once holds.
+                clip_n = int(CLIP_DURATION * self.sample_rate)
+                clear_to = min(onsets[0] + max(clip_n, self.min_slice_len),
+                               len(buf))
                 onsets = []
         while len(onsets) >= 2:
             s = buf[onsets[0]:onsets[1]]
@@ -155,13 +201,17 @@ class LiveTranscriber:
                 self._enqueue(self.pad_or_trim_audio(
                     s, CLIP_DURATION, self.sample_rate))
                 queued += 1
-                h_idx = onsets[1]
-                del onsets[:2]
+                # keep detector context BEFORE the next onset, but always
+                # clear past the consumed note's attack (re-slice guard);
+                # min_sep guarantees ctx + guard fit between two onsets,
+                # so forward progress holds
+                clear_to = max(onsets[1] - self._onset_ctx,
+                               onsets[0] + self._attack_guard)
             else:
-                h_idx = onsets[0]
-                del onsets[:1]
-        if h_idx >= 0:
-            self.buffer.clear_until(start_abs + h_idx + 1)
+                clear_to = onsets[0] + 1  # too-short pseudo-note: discard
+            del onsets[:1]
+        if clear_to >= 0:
+            self.buffer.clear_until(start_abs + clear_to)
         return queued
 
     def inference(self, audio: np.ndarray, sr_in: int | None = None):

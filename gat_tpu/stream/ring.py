@@ -29,16 +29,44 @@ class RingBuffer:
         self._size = 0
         self._total = 0      # samples ever pushed (absolute position)
         self._lock = threading.Lock()
+        # samples lost to producer overrun (overwritten before the
+        # consumer took them) — the explicit "drop-oldest casualty"
+        # counter: a live session can report exactly how much audio the
+        # backpressure discarded instead of losing it silently.
+        # `overwritten_ranges` records the absolute [lo, hi) spans, so a
+        # consumer can attribute losses to specific stream positions
+        # (coalesced; capped at _MAX_RANGES — the count stays exact).
+        self.overwritten = 0
+        self.overwritten_ranges: list[list[int]] = []
+
+    _MAX_RANGES = 1024
+
+    def _record_overwrite(self, lo: int, hi: int) -> None:
+        """Under self._lock: count + range-log one overwrite event."""
+        self.overwritten += hi - lo
+        if self.overwritten_ranges and self.overwritten_ranges[-1][1] == lo:
+            self.overwritten_ranges[-1][1] = hi
+        else:
+            self.overwritten_ranges.append([lo, hi])
+            if len(self.overwritten_ranges) > self._MAX_RANGES:
+                del self.overwritten_ranges[0]
 
     def push(self, data: np.ndarray) -> None:
-        """Append samples; oldest samples fall off when full."""
+        """Append samples; oldest samples fall off when full (counted in
+        `overwritten` — loss is explicit, never silent)."""
         data = np.asarray(data, np.float32).ravel()
         n = len(data)
         if n == 0:
             return
         with self._lock:
+            oldest_abs = self._total - self._size
             self._total += n
             if n >= self.maxlen:
+                # everything unconsumed is overwritten, plus any prefix of
+                # the incoming block that never fits — one contiguous span
+                # (buffer end == old total)
+                self._record_overwrite(oldest_abs,
+                                       self._total - self.maxlen)
                 self._buf[:] = data[-self.maxlen:]
                 self._start = 0
                 self._size = self.maxlen
@@ -49,6 +77,8 @@ class RingBuffer:
             if n > first:
                 self._buf[:n - first] = data[first:]
             overflow = max(0, self._size + n - self.maxlen)
+            if overflow:
+                self._record_overwrite(oldest_abs, oldest_abs + overflow)
             self._start = (self._start + overflow) % self.maxlen
             self._size = min(self._size + n, self.maxlen)
 

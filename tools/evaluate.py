@@ -52,9 +52,29 @@ FULL_SUITE = {
 }
 
 
+def wilson_ci(correct: int, n: int, z: float = 1.96) -> list[float]:
+    """95% Wilson score interval for a binomial proportion — the honest
+    error bar for accuracy-on-n-clips rows (VERDICT r3 §weak-4)."""
+    import math
+    if n == 0:
+        return [0.0, 1.0]
+    p = correct / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return [round(max(0.0, center - half), 4),
+            round(min(1.0, center + half), 4)]
+
+
 def evaluate_set(transcriber, root, variants: int, seed: int,
-                 **synth_kwargs) -> dict:
-    """Synthesize one eval set and score every system on it."""
+                 witness=None, **synth_kwargs) -> dict:
+    """Synthesize one eval set and score every system on it.
+
+    `witness` (a second Transcriber around the imported REAL-recording-
+    trained reference MLP, mlp_v1.0.0.gtckpt.npz) adds the sim-to-real
+    proxy columns: the witness's own accuracy on the set, and how often
+    the shipped default and the witness AGREE clip-by-clip (VERDICT r3
+    §missing-1 — the best real-data signal this environment permits)."""
     import numpy as np
     import jax.numpy as jnp
     from gat_tpu.data.synth import synthesize_note_dataset
@@ -73,19 +93,26 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
                                 duration=transcriber.clip_length)
     wavs, _, labels, _ = loader.load_audio_dataset(pad_to_max=True)
     clips = jnp.asarray(np.stack(wavs))
+    n = len(labels)
 
     result = transcriber.transcribe_clips(clips)
     rm = transcriber.predictor.reverse_map
     name_to_idx = {v: k for k, v in rm.items()}
     y_map = np.asarray([name_to_idx[l] for l in labels])
 
-    def acc(p):
-        return (round(float((p.argmax(axis=1) == y_map).mean()), 4)
-                if p is not None else None)
+    correct: dict[str, int] = {}
+
+    def acc(key, p):
+        if p is None:
+            correct[key] = None
+            return None
+        k = int((p.argmax(axis=1) == y_map).sum())
+        correct[key] = k
+        return round(k / n, 4)
 
     yin_hz = np.asarray(yin_pitch(clips, transcriber.ckpt_sr))
     yin_names = [estimate_note(h, unicode=False)[1] for h in yin_hz]
-    yin_acc = float(np.mean([a == b for a, b in zip(yin_names, labels)]))
+    correct["yin"] = int(sum(a == b for a, b in zip(yin_names, labels)))
 
     # three ensemble columns, computed explicitly so they stay distinct
     # whatever the shipped default is: `default` = what bare
@@ -100,17 +127,35 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
     prior_probs = np.asarray(apply_pitch_prior(
         blend, yin_hz, class_midi_values(rm)))
 
-    return {
-        "n_clips": int(len(labels)),
-        "default_accuracy": acc(result["probs"]),
-        "ensemble_accuracy": acc(blend),
-        "ensemble_prior_accuracy": acc(prior_probs),
-        "mlp_accuracy": acc(mlp_p),
-        "cnn_accuracy": acc(cnn_p),
-        "yin_accuracy": round(yin_acc, 4),
+    out = {
+        "n_clips": n,
+        "default_accuracy": acc("default", result["probs"]),
+        "ensemble_accuracy": acc("ensemble", blend),
+        "ensemble_prior_accuracy": acc("ensemble_prior", prior_probs),
+        "mlp_accuracy": acc("mlp", mlp_p),
+        "cnn_accuracy": acc("cnn", cnn_p),
+        "yin_accuracy": round(correct["yin"] / n, 4),
         "_result": result,
         "_labels": labels,
     }
+
+    if witness is not None:
+        if witness.ckpt_sr != transcriber.ckpt_sr:
+            raise ValueError("witness/transcriber sample-rate mismatch: "
+                             f"{witness.ckpt_sr} vs {transcriber.ckpt_sr}")
+        wres = witness.transcribe_clips(clips)
+        wrm = witness.predictor.reverse_map
+        w_names = [wrm[int(i)] for i in wres["probs"].argmax(axis=1)]
+        d_names = [rm[int(i)] for i in result["probs"].argmax(axis=1)]
+        correct["witness"] = int(sum(a == b
+                                     for a, b in zip(w_names, labels)))
+        correct["agreement"] = int(sum(a == b
+                                       for a, b in zip(w_names, d_names)))
+        out["witness_mlp_accuracy"] = round(correct["witness"] / n, 4)
+        out["witness_agreement"] = round(correct["agreement"] / n, 4)
+
+    out["_correct"] = correct
+    return out
 
 
 def evaluate_wav_dir(transcriber, wav_dir: Path) -> dict:
@@ -164,6 +209,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants", type=int, default=8)
     ap.add_argument("--seed", type=int, default=777)  # != training seed
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="evaluate each row over this many disjoint eval "
+                         "seeds (seed, seed+1000, ...) and aggregate; "
+                         "binomial 95%% CIs are reported either way "
+                         "(>=3 recommended for the full suite)")
+    ap.add_argument("--no_witness", action="store_true",
+                    help="skip the sim-to-real witness columns (the "
+                         "imported real-recording-trained reference MLP)")
+    ap.add_argument("--witness_ckpt", default="mlp_v1.0.0.gtckpt.npz",
+                    help="checkpoint for the witness Transcriber")
     ap.add_argument("--suite", default="quick", choices=["quick", "full"])
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--out", type=Path, default=None,
@@ -198,22 +253,58 @@ def main():
             args.out.write_text(json.dumps(report, indent=2))
         return report
 
+    witness = None
+    if not args.no_witness:
+        from gat_tpu.config import MLP_CONFIG
+        wpath = Path(args.witness_ckpt)
+        if not wpath.is_file():
+            wpath = MLP_CONFIG.CHECKPOINTS_DIR / args.witness_ckpt
+        if wpath.is_file():
+            witness = Transcriber(mlp_ckpt=str(wpath), use_cnn=False)
+        else:
+            print(f"[evaluate] witness checkpoint {args.witness_ckpt} not "
+                  "found — skipping sim-to-real columns")
+
     sets = {"mixed": {}} if args.suite == "quick" else FULL_SUITE
-    report = {"suite": args.suite, "eval_seed": args.seed, "sets": {}}
+    report = {"suite": args.suite, "eval_seed": args.seed,
+              "n_seeds": args.seeds, "variants": args.variants,
+              "witness": (str(args.witness_ckpt) if witness else None),
+              "sets": {}}
     base = None
     for name, kwargs in sets.items():
-        res = evaluate_set(t, tmp / name, args.variants, args.seed,
-                           **kwargs)
+        # per-seed sets are disjoint draws (seed, seed+1000, ...);
+        # correct-counts aggregate so each row's CI reflects the full N
+        agg: dict[str, int] = {}
+        n_total = 0
+        first = None
+        for s in range(args.seeds):
+            res = evaluate_set(t, tmp / f"{name}_s{s}", args.variants,
+                               args.seed + 1000 * s, witness=witness,
+                               **dict(kwargs))
+            if first is None:
+                first = res
+            n_total += res["n_clips"]
+            for k, v in res["_correct"].items():
+                if v is not None:
+                    agg[k] = agg.get(k, 0) + v
         if base is None:
-            base = res
-        report["sets"][name] = {k: v for k, v in res.items()
-                                if not k.startswith("_")}
-        print(f"[evaluate] {name:20s} def={res['default_accuracy']:.4f} "
-              f"ens={res['ensemble_accuracy']:.4f} "
-              f"ens+prior={res['ensemble_prior_accuracy']:.4f} "
-              f"mlp={res['mlp_accuracy']:.4f} "
-              f"cnn={res['cnn_accuracy']:.4f} "
-              f"yin={res['yin_accuracy']:.4f} (n={res['n_clips']})")
+            base = first
+        row = {"n_clips": n_total}
+        for k, v in agg.items():
+            row[f"{k}_accuracy" if k != "agreement"
+                else "witness_agreement"] = round(v / n_total, 4)
+            row[f"{k}_ci95"] = wilson_ci(v, n_total)
+        report["sets"][name] = row
+        ci = row["default_ci95"]
+        wcol = (f"wit={row['witness_accuracy']:.4f} "
+                f"agree={row['witness_agreement']:.4f} "
+                if "witness_accuracy" in row else "")
+        print(f"[evaluate] {name:20s} def={row['default_accuracy']:.4f} "
+              f"ci95=[{ci[0]:.4f},{ci[1]:.4f}] "
+              f"ens={row['ensemble_accuracy']:.4f} "
+              f"mlp={row['mlp_accuracy']:.4f} "
+              f"cnn={row['cnn_accuracy']:.4f} "
+              f"yin={row['yin_accuracy']:.4f} {wcol}(n={n_total})")
     report["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(report, indent=2))
 
