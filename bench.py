@@ -499,6 +499,10 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     kept = int(np.asarray(out[4]).sum())
+    # overflow accounting: with transcribe_files' exact-fallback, each
+    # flagged file costs ONE extra exact B=1 dispatch — report the flag
+    # count so aggressive-budget settings can be costed end-to-end
+    flagged = int(np.asarray(out[7]).sum())
     return {
         "audio_s_per_s": round(duration_s * n_files * k * iters / dt, 1),
         "dispatch_ms": round(dt / iters * 1000, 2),
@@ -506,6 +510,7 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
         "scan_chunks": k,
         "file_s": duration_s,
         "clips_kept_last": kept,
+        "overflow_files_last": flagged,
         "max_onsets": max_onsets,
         "wave_clip_budget": wave_clip_budget,
         "cand_budget": cand_budget,

@@ -422,12 +422,19 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
 
         def do_POST(self):
             t0 = time.perf_counter()
+            # count at ENTRY, duration at exit: the client unblocks the
+            # moment the response body lands, so an exit-time count can
+            # lag a scrape issued right after the response arrives (the
+            # summary count read 2 with three completed requests — a
+            # measured test flake); counting on entry keeps the summary
+            # count >= the per-code totals at every instant
+            with mlock:
+                metrics["req_count"] += 1
             try:
                 self._do_post()
             finally:
                 with mlock:
                     metrics["req_s_sum"] += time.perf_counter() - t0
-                    metrics["req_count"] += 1
 
         def _do_post(self):
             if self.path != "/transcribe":

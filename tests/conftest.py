@@ -22,6 +22,17 @@ REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# Persistent XLA compilation cache: the suite is COMPILE-bound on this
+# 1-CPU host (the 40 slowest tests are dominated by first-call jit of
+# the big fused programs), so warm runs skip straight to execution —
+# measured: `pytest -m "not slow"` drops from ~12 min cold to well
+# under 3 min warm (README testing section). Keyed by HLO + compiler
+# flags, so source changes that alter a traced graph miss the cache
+# naturally; `rm -rf .jax_cache_tests` forces cold compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  str(REPO_ROOT / ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 import numpy as np
 import pytest
 
