@@ -407,21 +407,38 @@ class Transcriber:
                        if r["onset_overflow"]]
             if flagged:
                 # exact program: full-length candidate scan (cand 0),
-                # every clip slot computed (budget None) — each flagged
-                # file re-runs at B=1 in its own (pow2-bounded) bucket
-                # shape, so the overflow path never changes the fast
-                # path's compiled signatures
+                # every clip slot computed (budget None). Flagged files
+                # re-run BATCHED: grouped by bucket length into waves of
+                # up to max_batch, padded to power-of-two B — dense
+                # content that overflows many files per wave pays ~one
+                # extra dispatch per wave, not one per file, and the
+                # (pow2 B, pow2-seconds n) signatures stay inside the
+                # fast path's bounded compile family
                 exact_run, _ = self._fused_files_fn(
                     target_sr, clip_duration, max_onsets, None, 0)
+                regroup: dict[int, list[int]] = {}
                 for i in flagged:
-                    y, nv_i = by_idx[i]
-                    o = jax.device_get(exact_run(
-                        y[None], jnp.asarray([nv_i], jnp.int32)))
-                    results[i] = self._build_result(
-                        o[0][0], o[1][0],
-                        o[2][0] if o[2] is not None else None,
-                        o[3][0], o[4][0], o[5][0], o[6][0], target_sr,
-                        empty_ok=True, overflow=o[7][0])
+                    regroup.setdefault(
+                        int(by_idx[i][0].shape[-1]), []).append(i)
+                for n_bucket, ids in regroup.items():
+                    for w0 in range(0, len(ids), max_batch):
+                        wave_ids = ids[w0:w0 + max_batch]
+                        b = 1 << (len(wave_ids) - 1).bit_length()
+                        ys = jnp.stack(
+                            [by_idx[i][0] for i in wave_ids]
+                            + [jnp.zeros((n_bucket,), jnp.float32)]
+                            * (b - len(wave_ids)))
+                        nv = jnp.asarray(
+                            [by_idx[i][1] for i in wave_ids]
+                            + [0] * (b - len(wave_ids)), jnp.int32)
+                        o = jax.device_get(exact_run(ys, nv))
+                        for j, i in enumerate(wave_ids):
+                            results[i] = self._build_result(
+                                o[0][j], o[1][j],
+                                o[2][j] if o[2] is not None else None,
+                                o[3][j], o[4][j], o[5][j], o[6][j],
+                                target_sr, empty_ok=True,
+                                overflow=o[7][j])
         return results
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:

@@ -285,9 +285,11 @@ def test_exact_fallback_redispatches_flagged_files(tmp_path, transcriber):
     """VERDICT r3 §next-2: with exact_fallback (the default), files whose
     overflow flag raised under a starved budget are transparently re-run
     through the exact program — results equal the cand_budget=0 /
-    wave_clip_budget=None run, flags cleared."""
+    wave_clip_budget=None run, flags cleared. Five same-bucket files so
+    the BATCHED fallback regroups them into pow2 waves (4 + 1) rather
+    than five B=1 dispatches."""
     paths = []
-    for i in range(2):
+    for i in range(5):
         y = _riff(NOTES[:4])
         p = tmp_path / f"fb{i}.wav"
         write_wav(p, y, SR)
