@@ -499,10 +499,13 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     kept = int(np.asarray(out[4]).sum())
-    # overflow accounting: with transcribe_files' exact-fallback, each
-    # flagged file costs ONE extra exact B=1 dispatch — report the flag
-    # count so aggressive-budget settings can be costed end-to-end
+    # overflow accounting: with transcribe_files' exact-fallback, only
+    # FIXABLE flags (out[8]: overflow an exact re-run could change —
+    # cap-only max_onsets truncation is excluded) cost re-dispatches,
+    # batched into pow2 waves — report both counts so aggressive-budget
+    # settings can be costed end-to-end
     flagged = int(np.asarray(out[7]).sum())
+    fixable = int(np.asarray(out[8]).sum())
     return {
         "audio_s_per_s": round(duration_s * n_files * k * iters / dt, 1),
         "dispatch_ms": round(dt / iters * 1000, 2),
@@ -511,6 +514,7 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
         "file_s": duration_s,
         "clips_kept_last": kept,
         "overflow_files_last": flagged,
+        "fixable_files_last": fixable,
         "max_onsets": max_onsets,
         "wave_clip_budget": wave_clip_budget,
         "cand_budget": cand_budget,

@@ -114,7 +114,17 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     cand_budget sizes the onset candidate scan (segment_waveform /
     pick_onsets_from_envelope): content-aware serving can shrink the
     per-wave sequential walk; truncation raises the same per-file
-    overflow flag."""
+    overflow flag.
+
+    Outputs end with two per-file (B,) bool flags: `overflow` (ANY
+    budget truncated this file's results) and `fixable` (an exact
+    re-run — cand_budget=0, wave_clip_budget=None — could CHANGE this
+    file's results). They differ exactly on cap-only overflow: when
+    `max_onsets` itself truncated (detect_onsets' cap_overflow), a
+    bigger candidate scan provably returns the same first max_onsets
+    onsets (see pick_onsets_from_envelope), so exact-fallback consumers
+    re-dispatch on `fixable`, never paying a re-run that cannot change
+    anything, while `overflow` still surfaces the truncation."""
     from ..segment.slicing import segment_waveform
     from ..ops.yin import yin_pitch
 
@@ -143,8 +153,12 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
         # must see zeros for bit parity with the unpadded two-stage path
         ys = jnp.where(jnp.arange(ys.shape[-1])[None, :]
                        < n_valids[:, None], ys, 0.0)
-        clips, kept, onsets, ovalid, times, overflow = jax.vmap(_segment)(
-            ys, n_valids)
+        (clips, kept, onsets, ovalid, times, overflow,
+         cap_overflow) = jax.vmap(_segment)(ys, n_valids)
+        # repairable-by-exact-rerun bit: everything but the max_onsets
+        # cap (wave-budget drops OR into it below — an exact run
+        # computes every slot, so those always repair)
+        fixable = overflow & ~cap_overflow
         b, k, length = clips.shape
         flat = clips.reshape(b * k, length)
         budget = wave_clip_budget
@@ -170,9 +184,10 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
             probs, mlp_p, cnn_p, pitch = (scatter(probs_c), scatter(mlp_c),
                                           scatter(cnn_c), scatter(pitch_c))
             computed = jnp.zeros((b * k,), bool).at[sel].set(True)
-            dropped = (keptf & ~computed).reshape(b, k)
+            dropped = jnp.any((keptf & ~computed).reshape(b, k), axis=-1)
             kept = kept & computed.reshape(b, k)
-            overflow = overflow | jnp.any(dropped, axis=-1)
+            overflow = overflow | dropped
+            fixable = fixable | dropped
         else:
             comp = fix_length(resample(flat, target_sr, ckpt_sr),
                               int(ckpt_sr * clip_duration))
@@ -183,6 +198,6 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
             return (a.reshape((b, k) + a.shape[1:])
                     if a is not None else None)
         return (perfile(probs), perfile(mlp_p), perfile(cnn_p),
-                perfile(pitch), kept, onsets, times, overflow)
+                perfile(pitch), kept, onsets, times, overflow, fixable)
 
     return run

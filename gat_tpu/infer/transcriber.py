@@ -215,6 +215,24 @@ class Transcriber:
                                   self.predictor.cnn_variables)
         return run, run_scan
 
+    @staticmethod
+    def _dispatch_pow2_wave(run, entries, n_bucket: int):
+        """Dispatch one wave of (y, n_valid) entries through a batched
+        files program: pad to power-of-two B with silent zero rows
+        (n_valid=0 → no onsets, so padding never changes results), stack,
+        run, and return ALL outputs in one host transfer (each
+        np.asarray on a device array is a separate blocking ~30 ms
+        tunnel round trip). Shared by the bucket remainder loop and the
+        exact-fallback re-dispatches so the pad/nv semantics exist
+        exactly once."""
+        b = 1 << (len(entries) - 1).bit_length()
+        ys = jnp.stack([y for y, _ in entries]
+                       + [jnp.zeros((n_bucket,), jnp.float32)]
+                       * (b - len(entries)))
+        nv = jnp.asarray([n for _, n in entries]
+                         + [0] * (b - len(entries)), jnp.int32)
+        return jax.device_get(run(ys, nv))
+
     def _build_result(self, probs, mlp_p, cnn_p, pitch, kept, onsets,
                       times, target_sr: int, empty_ok: bool = False,
                       overflow=False) -> dict:
@@ -295,11 +313,15 @@ class Transcriber:
         Budgets default to "auto" = AGGRESSIVE (wave_clip_budget 3/4 of
         the wave's slots, cand_budget the proportional onset default),
         backed by `exact_fallback` (VERDICT r3 §next-2): any file whose
-        `onset_overflow` flag raised is transparently re-dispatched
-        through the EXACT program (full-length candidate scan, every
-        clip slot computed) — so the common case gets the aggressive
-        budgets' speed while flagged files get provably exact results.
-        After fallback the only overflow flags left are genuine
+        overflow an exact re-run could CHANGE (the fused program's
+        `fixable` flag) is transparently re-dispatched through the EXACT
+        program (full-length candidate scan, every clip slot computed) —
+        so the common case gets the aggressive budgets' speed while
+        flagged files get provably exact results. Cap-only flags
+        (`max_onsets` itself truncated) skip the re-dispatch entirely:
+        the exact scan provably returns the same first max_onsets onsets
+        (pick_onsets_from_envelope's repairability contract), so after
+        fallback the only `onset_overflow` flags left are genuine
         `max_onsets` truncations, which no budget change repairs (raise
         `max_onsets` for those). Pass exact_fallback=False to keep raw
         budget semantics (flags surface, nothing re-runs)."""
@@ -321,7 +343,6 @@ class Transcriber:
         from ..utils.native_wav import read_wav_batch
         decoded = read_wav_batch(paths)  # threaded native decode
         buckets: dict[int, list[tuple[int, jnp.ndarray, int]]] = {}
-        by_idx: dict[int, tuple[jnp.ndarray, int]] = {}
         for idx, (y_raw, sr_in) in enumerate(decoded):
             y_np = np.asarray(y_raw, np.float32)
             n_raw = int(y_np.shape[-1])
@@ -339,29 +360,31 @@ class Transcriber:
             y = fix_length(y, bsec * target_sr)  # sec·target_sr → bucket
             nv = -(-n_raw * target_sr // sr_in)
             buckets.setdefault(bsec, []).append((idx, y, nv))
-            by_idx[idx] = (y, nv)
 
-        run, run_scan = self._fused_files_fn(target_sr, clip_duration,
-                                             max_onsets, wave_clip_budget,
-                                             cand_budget)
         results: list[dict | None] = [None] * len(paths)
+        fixable: list[bool] = [False] * len(paths)
 
-        def _emit(ids, outs, i):
-            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = outs
-            results[ids[i]] = self._build_result(
-                probs[i], mlp_p[i],
-                cnn_p[i] if cnn_p is not None else None,
-                pitch[i], kept[i], onsets[i], times[i], target_sr,
-                empty_ok=True, overflow=ovf[i])
+        def _emit(idx, o):
+            # o = per-file tuple (probs, mlp, cnn|None, pitch, kept,
+            # onsets, times, overflow, fixable), already on the host
+            results[idx] = self._build_result(
+                o[0], o[1], o[2], o[3], o[4], o[5], o[6], target_sr,
+                empty_ok=True, overflow=o[7])
+            fixable[idx] = bool(np.asarray(o[8]))
 
-        for bsec in sorted(buckets):
-            group = buckets[bsec]
-            n_bucket = bsec * target_sr
-            # full waves of max_batch scan together, in power-of-two K
-            # chunks so the scan-length axis is log-bounded like B and
-            # n (a raw K would compile a fresh program per distinct
-            # wave count); the remainder (or a small group) dispatches
-            # on its own padded power-of-two B
+        def _run_bucket(fns, group, n_bucket):
+            """One bucket through a (run, run_scan) program pair: full
+            waves of max_batch scan together in power-of-two K chunks so
+            the scan-length axis is log-bounded like B and n (a raw K
+            would compile a fresh program per distinct wave count); the
+            remainder (or a small group) dispatches on its own padded
+            power-of-two B. ONE host transfer per dispatch:
+            _build_result reads ~8 arrays per file, and each np.asarray
+            on a device array is a separate blocking round trip over the
+            ~30 ms tunnel — a K-chunk would pay K·B·8 of them after
+            compute finished. Shared by the budgeted primary pass and
+            the exact-fallback pass (same shapes, different program)."""
+            bfns, bscan = fns
             k_full = len(group) // max_batch
             off = 0
             while k_full >= 2:
@@ -373,72 +396,52 @@ class Transcriber:
                 nvs = jnp.asarray(
                     [nv for _, _, nv in chunk],
                     jnp.int32).reshape(kc, max_batch)
-                # ONE host transfer per dispatch: _build_result reads ~8
-                # arrays per file, and each np.asarray on a device array is
-                # a separate blocking round trip over the ~30 ms tunnel —
-                # a K-chunk would pay K·B·8 of them after compute finished
-                outs = jax.device_get(run_scan(stack, nvs))
+                outs = jax.device_get(bscan(stack, nvs))
                 for kk in range(kc):
-                    wave_ids = [i for i, _, _ in
-                                chunk[kk * max_batch:(kk + 1) * max_batch]]
-                    wave_outs = tuple(
-                        o[kk] if o is not None else None for o in outs)
-                    for i in range(len(wave_ids)):
-                        _emit(wave_ids, wave_outs, i)
+                    wave = chunk[kk * max_batch:(kk + 1) * max_batch]
+                    for j, (idx, _, _) in enumerate(wave):
+                        _emit(idx, tuple(
+                            o[kk][j] if o is not None else None
+                            for o in outs))
                 off += kc * max_batch
                 k_full -= kc
             group = group[off:]
             for w0 in range(0, len(group), max_batch):
                 wave = group[w0:w0 + max_batch]
-                b = 1 << (len(wave) - 1).bit_length()
-                batch = jnp.stack(
-                    [y for _, y, _ in wave]
-                    + [jnp.zeros((n_bucket,), jnp.float32)]
-                    * (b - len(wave)))
-                nv = jnp.asarray([nv for _, _, nv in wave]
-                                 + [0] * (b - len(wave)), jnp.int32)
-                outs = jax.device_get(run(batch, nv))  # one transfer/wave
-                wave_ids = [i for i, _, _ in wave]
-                for i in range(len(wave_ids)):
-                    _emit(wave_ids, outs, i)
+                outs = self._dispatch_pow2_wave(
+                    bfns, [(y, nv) for _, y, nv in wave], n_bucket)
+                for j, (idx, _, _) in enumerate(wave):
+                    _emit(idx, tuple(
+                        o[j] if o is not None else None for o in outs))
+
+        fns = self._fused_files_fn(target_sr, clip_duration, max_onsets,
+                                   wave_clip_budget, cand_budget)
+        for bsec in sorted(buckets):
+            _run_bucket(fns, buckets[bsec], bsec * target_sr)
 
         if exact_fallback:
-            flagged = [i for i, r in enumerate(results)
-                       if r["onset_overflow"]]
-            if flagged:
+            # re-dispatch on the FIXABLE bit, not the raw overflow flag:
+            # a cap-only file (max_onsets itself truncated) provably gets
+            # the same first max_onsets onsets from the exact program
+            # (pick_onsets_from_envelope's repairability contract), so an
+            # exact re-run is pure waste — its surviving flag already
+            # tells the caller to raise max_onsets
+            fset = {i for i, f in enumerate(fixable) if f}
+            if fset:
                 # exact program: full-length candidate scan (cand 0),
                 # every clip slot computed (budget None). Flagged files
-                # re-run BATCHED: grouped by bucket length into waves of
-                # up to max_batch, padded to power-of-two B — dense
-                # content that overflows many files per wave pays ~one
-                # extra dispatch per wave, not one per file, and the
-                # (pow2 B, pow2-seconds n) signatures stay inside the
-                # fast path's bounded compile family
-                exact_run, _ = self._fused_files_fn(
+                # re-run through the SAME bucket runner — regrouped into
+                # waves of max_batch and scan-amortized when many files
+                # flag (dense content over the ~30 ms tunnel would
+                # otherwise pay one round trip per flagged wave), and the
+                # (pow2 B, pow2 K, pow2-seconds n) signatures stay inside
+                # the fast path's bounded compile family
+                exact_fns = self._fused_files_fn(
                     target_sr, clip_duration, max_onsets, None, 0)
-                regroup: dict[int, list[int]] = {}
-                for i in flagged:
-                    regroup.setdefault(
-                        int(by_idx[i][0].shape[-1]), []).append(i)
-                for n_bucket, ids in regroup.items():
-                    for w0 in range(0, len(ids), max_batch):
-                        wave_ids = ids[w0:w0 + max_batch]
-                        b = 1 << (len(wave_ids) - 1).bit_length()
-                        ys = jnp.stack(
-                            [by_idx[i][0] for i in wave_ids]
-                            + [jnp.zeros((n_bucket,), jnp.float32)]
-                            * (b - len(wave_ids)))
-                        nv = jnp.asarray(
-                            [by_idx[i][1] for i in wave_ids]
-                            + [0] * (b - len(wave_ids)), jnp.int32)
-                        o = jax.device_get(exact_run(ys, nv))
-                        for j, i in enumerate(wave_ids):
-                            results[i] = self._build_result(
-                                o[0][j], o[1][j],
-                                o[2][j] if o[2] is not None else None,
-                                o[3][j], o[4][j], o[5][j], o[6][j],
-                                target_sr, empty_ok=True,
-                                overflow=o[7][j])
+                for bsec, group in buckets.items():
+                    rerun = [e for e in group if e[0] in fset]
+                    if rerun:
+                        _run_bucket(exact_fns, rerun, bsec * target_sr)
         return results
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
@@ -510,15 +513,15 @@ class Transcriber:
             n = -(-n_raw * target_sr // sr_in)  # true resampled length
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets,
                                       cand_budget)
-            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf = \
+            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, fix = \
                 jax.device_get(run(y_pad, jnp.asarray(n)))  # one transfer
-            if exact_fallback and bool(np.asarray(ovf)):
+            if exact_fallback and bool(np.asarray(fix)):
                 # same exact re-dispatch as transcribe_files: full
                 # candidate scan, every slot computed, B=1
                 exact_run, _ = self._fused_files_fn(
                     target_sr, clip_duration, max_onsets, None, 0)
-                o = jax.device_get(exact_run(y_pad[None],
-                                             jnp.asarray([n], jnp.int32)))
+                o = self._dispatch_pow2_wave(exact_run, [(y_pad, n)],
+                                             y_pad.shape[-1])
                 return self._build_result(
                     o[0][0], o[1][0],
                     o[2][0] if o[2] is not None else None, o[3][0],
@@ -536,18 +539,21 @@ class Transcriber:
         # one device->host transfer for all six segmentation outputs (the
         # per-array np.asarray calls below would each be a blocking ~30 ms
         # tunnel round trip on the default single-file path)
-        clips, kept, onsets, ovalid, times, overflow = jax.device_get(
+        clips, kept, onsets, ovalid, times, overflow, cap = jax.device_get(
             segment_waveform(y22, sr=target_sr, length_sec=clip_duration,
                              max_onsets=max_onsets,
                              cand_budget=cand_budget))
-        if exact_fallback and bool(np.asarray(overflow)):
+        if exact_fallback and bool(np.asarray(overflow)) \
+                and not bool(np.asarray(cap)):
             # candidate-budget overflow: re-segment with the full-length
             # exact scan (cand_budget=0); a flag that survives is a
-            # genuine max_onsets truncation
-            clips, kept, onsets, ovalid, times, overflow = jax.device_get(
-                segment_waveform(y22, sr=target_sr,
-                                 length_sec=clip_duration,
-                                 max_onsets=max_onsets, cand_budget=0))
+            # genuine max_onsets truncation. Cap-only overflow skips the
+            # re-run — the exact scan provably returns the same first
+            # max_onsets onsets (pick_onsets_from_envelope contract)
+            clips, kept, onsets, ovalid, times, overflow, _ = \
+                jax.device_get(segment_waveform(
+                    y22, sr=target_sr, length_sec=clip_duration,
+                    max_onsets=max_onsets, cand_budget=0))
         kept_np = np.asarray(kept)
         clips_np = np.asarray(clips)[kept_np]
         if clips_np.shape[0] == 0:

@@ -202,13 +202,23 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     ~10.3 ms to the envelope-bound floor on a v5e chip.
 
     Returns (onsets (max_onsets,) int32, valid (max_onsets,) bool,
-    overflow () bool). `overflow` is True when truncation engaged AND
-    could have changed the result: more kept onsets than `max_onsets`,
-    or more raw candidates than `cand_budget` with the dropped (always
-    latest) candidates not provably rejected by the greedy's wait /
-    min-separation windows. Silent truncation is impossible (VERDICT r2
-    §next-4) — callers surface the flag in results/serve JSON — and a
-    budget that truncates only greedy-rejected peaks stays unflagged."""
+    overflow () bool, cap_overflow () bool). `overflow` is True when
+    truncation engaged AND could have changed the result: more kept
+    onsets than `max_onsets`, or more raw candidates than `cand_budget`
+    with the dropped (always latest) candidates not provably rejected by
+    the greedy's wait / min-separation windows. Silent truncation is
+    impossible (VERDICT r2 §next-4) — callers surface the flag in
+    results/serve JSON — and a budget that truncates only
+    greedy-rejected peaks stays unflagged.
+
+    `cap_overflow` isolates the `max_onsets` bit: when it is True, a
+    re-run with a bigger/no cand_budget provably returns the SAME first
+    max_onsets onsets (bt is a cummax, so dropped candidates backtrack
+    to samples ≥ every scanned one and sort past the cap) — the flag is
+    only repairable by raising `max_onsets` itself. Exact-fallback
+    consumers re-dispatch a file only when `overflow & ~cap_overflow`
+    (a budget could have changed the result), never paying an exact
+    re-run that cannot change anything."""
     if cand_budget is not None and cand_budget < 0:
         raise ValueError(
             f"cand_budget must be >= 0 (0 = full-length scan, None = "
@@ -310,8 +320,9 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
                             jnp.int32)])
     order = order[:max_onsets]
     valid = order < big
-    overflow = cand_overflow | (jnp.sum(keep) > max_onsets)
-    return jnp.where(valid, order, 0), valid, overflow
+    cap_overflow = jnp.sum(keep) > max_onsets
+    overflow = cand_overflow | cap_overflow
+    return jnp.where(valid, order, 0), valid, overflow, cap_overflow
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "hop_length", "min_sep",
@@ -324,7 +335,9 @@ def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
                   cand_budget: int | None = None):
     """Full onset chain for ONE signal (vmap for batches):
     (n,) → (onset_samples (max_onsets,) int32, valid (max_onsets,) bool,
-    overflow () bool — True iff a fixed budget truncated detections).
+    overflow () bool — True iff a fixed budget truncated detections,
+    cap_overflow () bool — the irreparable `max_onsets` bit of overflow;
+    see pick_onsets_from_envelope for the repairability contract).
 
     Mirrors the reference slicer: onset_strength → onset_detect(backtrack)
     → frames_to_samples → greedy min-separation in samples

@@ -88,17 +88,43 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 # transcribe_files (watch-folder singles and 1-request
                 # HTTP waves both route through transcribe()), so a B=1
                 # compile would be minutes of pure wasted startup
+                warmed_bs = []
                 b = 2
                 while b <= max(int(batch), 1):
                     t.transcribe_files(paths[:b], cand_budget=cand_budget)
+                    warmed_bs.append(b)
                     b *= 2
                 if batch & (batch - 1):
                     # non-power-of-two batch: a full rendezvous of
                     # `batch` pads B past the largest b warmed above
                     # (3 files → B=4), so warm the exact full wave too
                     t.transcribe_files(paths, cand_budget=cand_budget)
+                    warmed_bs.append(1 << (int(batch) - 1).bit_length())
+                # the EXACT-fallback program (every clip slot computed,
+                # full candidate scan): a flagged file under live traffic
+                # re-dispatches through it at these same pow2 (B, bucket)
+                # shapes, and single-pluck warm files can never raise the
+                # flag, so it is unreachable from the public calls above —
+                # compile it directly or the first dense file stalls a
+                # request on a fresh minutes-long compile
+                import math
+
+                import jax
+                import jax.numpy as jnp
+                bsec = 1 << (max(1, math.ceil(float(dur))) - 1).bit_length()
+                yb = np.zeros(bsec * sr, np.float32)
+                yb[: len(y)] = y
+                exact_run, _ = t._fused_files_fn(sr, t.clip_length, 64,
+                                                 None, 0)
+                for b in warmed_bs:
+                    jax.block_until_ready(exact_run(
+                        jnp.asarray(np.stack([yb] * b)),
+                        jnp.full((b,), len(y), jnp.int32)))
             try:
                 t.transcribe(paths[0])
+                # the single-file fallback's exact re-segmentation is the
+                # same program signature as a direct cand_budget=0 call
+                t.transcribe(paths[0], cand_budget=0)
             except ValueError:
                 pass  # compile happened; result-shape quirks don't matter
             if verbose:
@@ -399,6 +425,17 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         def _json(self, code: int, payload: dict):
             with mlock:
                 metrics["codes"][code] = metrics["codes"].get(code, 0) + 1
+                if self.command == "POST" and not self._accounted:
+                    # summary count AND sum move together (Prometheus
+                    # summary invariant: _count counts observations in
+                    # _sum — rate(sum)/rate(count) must not read low
+                    # mid-flight), and BEFORE the response bytes land:
+                    # the client unblocks the moment the body arrives,
+                    # so post-write accounting can lag a scrape issued
+                    # right after the response (a measured test flake)
+                    self._accounted = True
+                    metrics["req_count"] += 1
+                    metrics["req_s_sum"] += time.perf_counter() - self._t0
             body = json.dumps(payload, indent=2).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -421,20 +458,20 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            t0 = time.perf_counter()
-            # count at ENTRY, duration at exit: the client unblocks the
-            # moment the response body lands, so an exit-time count can
-            # lag a scrape issued right after the response arrives (the
-            # summary count read 2 with three completed requests — a
-            # measured test flake); counting on entry keeps the summary
-            # count >= the per-code totals at every instant
-            with mlock:
-                metrics["req_count"] += 1
+            self._t0 = time.perf_counter()
+            self._accounted = False
             try:
                 self._do_post()
             finally:
+                # a handler crash that never reached _json (no response
+                # written) still records its observation — count and sum
+                # together, so the summary invariant holds either way
                 with mlock:
-                    metrics["req_s_sum"] += time.perf_counter() - t0
+                    if not self._accounted:
+                        self._accounted = True
+                        metrics["req_count"] += 1
+                        metrics["req_s_sum"] += (time.perf_counter()
+                                                 - self._t0)
 
         def _do_post(self):
             if self.path != "/transcribe":

@@ -91,10 +91,23 @@ class LiveTranscriber:
         # Conversely a CONSUMED note's attack must never stay in the ring
         # past the pad horizon, or the next snapshot re-detects and
         # re-slices it (duplicate): clear at least attack_guard past the
-        # consumed onset. min_sep (0.3 s = 6615 samples at 22050) ≥
-        # ctx + guard, so both constraints are always satisfiable.
+        # consumed onset. Both constants are in DETECTOR HOP units
+        # (detect_onsets pins hop=1024 and n_fft=2048 independent of the
+        # sample rate), so they do not scale with sample_rate — but the
+        # min-separation that must cover ctx + guard between two onsets
+        # DOES: min_sep is lifted above 0.3 s when the rate is low enough
+        # that 0.3 s would no longer fit both (≈ sr < 20.5 kHz), keeping
+        # the exactly-once invariant by construction at any rate.
         self._onset_ctx = 4 * 1024
         self._attack_guard = 2 * 1024 + 1
+        self._min_sep_s = max(
+            0.3, (self._onset_ctx + self._attack_guard + 1) / sample_rate)
+        # detector RIGHT-EDGE latency: a peak at envelope frame n is only
+        # confirmable once post_max/post_avg (≤ 3 frames at hop 1024) and
+        # the centered STFT's n_fft/2 look-ahead exist — an attack inside
+        # the last ~5 hops of a snapshot is undetectable THIS poll but
+        # detectable on the next; 6 hops = one hop of slack on top.
+        self._edge_latency = 6 * 1024
         self.verbose = verbose
         self.results: list[dict] = []
         # explicit drop-oldest casualty count: clips evicted from the
@@ -108,9 +121,10 @@ class LiveTranscriber:
     def detect_onsets(self, y: np.ndarray) -> list[int]:
         from ..ops.onset import detect_onsets
         import jax.numpy as jnp
-        onsets, valid, _ = detect_onsets(jnp.asarray(y),
-                                         sr=self.sample_rate,
-                                         hop_length=1024, min_sep=0.3)
+        onsets, valid, *_ = detect_onsets(jnp.asarray(y),
+                                          sr=self.sample_rate,
+                                          hop_length=1024,
+                                          min_sep=self._min_sep_s)
         return [int(s) for s, v in zip(np.asarray(onsets),
                                        np.asarray(valid)) if v]
 
@@ -194,6 +208,21 @@ class LiveTranscriber:
                 clip_n = int(CLIP_DURATION * self.sample_rate)
                 clear_to = min(onsets[0] + max(clip_n, self.min_slice_len),
                                len(buf))
+                if not force:
+                    # a FOLLOWING note whose attack sits inside the last
+                    # edge_latency samples is undetectable this poll —
+                    # clearing through it would destroy it (this clip
+                    # runs to the buffer end, so its tail may contain
+                    # exactly such an attack). Cap the clear so any
+                    # not-yet-detectable attack keeps its pre-onset
+                    # context for the next snapshot; the attack guard
+                    # still wins below it (min_sep ≥ ctx + guard keeps
+                    # the two compatible), so the consumed note can
+                    # never re-trigger. force=True has no next snapshot.
+                    clear_to = max(
+                        min(clear_to,
+                            len(buf) - self._edge_latency - self._onset_ctx),
+                        onsets[0] + self._attack_guard)
                 onsets = []
         while len(onsets) >= 2:
             s = buf[onsets[0]:onsets[1]]

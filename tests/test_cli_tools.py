@@ -878,23 +878,40 @@ def test_serve_warmup_covers_partial_wave_programs():
     import serve as serve_mod
 
     wave_sizes: list[int] = []
-    singles: list[int] = []
+    exact_sizes: list[int] = []
+    singles: list = []
 
     class Stub:
+        clip_length = 0.5
+
         def transcribe_files(self, paths, **kw):
             wave_sizes.append(len(paths))
             return [{"labels": ["A2"], "confidences": [1.0]}
                     for _ in paths]
 
-        def transcribe(self, path):
-            singles.append(1)
+        def transcribe(self, path, **kw):
+            singles.append(kw.get("cand_budget"))
             return {"labels": ["A2"], "confidences": [1.0]}
+
+        def _fused_files_fn(self, sr, clip_dur, max_onsets, budget, cand):
+            assert budget is None and cand == 0  # the EXACT program
+            import numpy as np
+
+            def run(ys, nv):
+                exact_sizes.append(int(ys.shape[0]))
+                return np.zeros(1)
+            return run, None
 
     serve_mod.warmup(Stub(), [1.0], batch=4, verbose=False)
     # B=1 is deliberately absent: no serving path dispatches a 1-file
     # transcribe_files (singles route through transcribe, warmed below)
     assert wave_sizes == [2, 4]
-    assert singles == [1]
+    # the exact-fallback program warms at the same pow2 wave sizes —
+    # unreachable from the unflagged public warm calls above
+    assert exact_sizes == [2, 4]
+    # the single-file warm covers the default AND its exact fallback
+    # (same signature as a direct cand_budget=0 call)
+    assert singles == [None, 0]
 
 
 def test_serve_http_metrics_count_successful_dispatches_only(tmp_path):
@@ -975,20 +992,33 @@ def test_serve_warmup_nonpow2_batch_warms_padded_full_wave():
     import serve as serve_mod
 
     wave_sizes: list[int] = []
+    exact_sizes: list[int] = []
 
     class Stub:
+        clip_length = 0.5
+
         def transcribe_files(self, paths, **kw):
             wave_sizes.append(len(paths))
             return [{"labels": ["A2"], "confidences": [1.0]}
                     for _ in paths]
 
-        def transcribe(self, path):
+        def transcribe(self, path, **kw):
             return {"labels": ["A2"], "confidences": [1.0]}
+
+        def _fused_files_fn(self, sr, clip_dur, max_onsets, budget, cand):
+            import numpy as np
+
+            def run(ys, nv):
+                exact_sizes.append(int(ys.shape[0]))
+                return np.zeros(1)
+            return run, None
 
     serve_mod.warmup(Stub(), [1.0], batch=3, verbose=False)
     # 3 files exercise the same padded B=4 program live waves of 3 hit
     # (B=1 absent: singles never dispatch transcribe_files)
     assert wave_sizes == [2, 3]
+    # ...and the exact program warms at the PADDED sizes (2, then 4)
+    assert exact_sizes == [2, 4]
 
 
 def test_serve_archive_dir_moves_processed_inputs(tmp_path):

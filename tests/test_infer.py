@@ -314,6 +314,47 @@ def test_exact_fallback_redispatches_flagged_files(tmp_path, transcriber):
     assert still["onset_overflow"] is True
 
 
+def test_cap_only_overflow_skips_exact_redispatch(tmp_path, transcriber,
+                                                  monkeypatch):
+    """A file whose ONLY overflow is the max_onsets cap is provably
+    unchanged by the exact program (pick_onsets_from_envelope's
+    repairability contract), so exact_fallback must NOT pay a re-dispatch
+    for it — the flag survives to say 'raise max_onsets' — while a
+    candidate-starved file still re-runs. Spied via _fused_files_fn:
+    the exact program is the (wave_clip_budget=None, cand_budget=0)
+    build."""
+    y = _riff()  # 5 notes; max_onsets=2 trips ONLY the cap bit
+    p = tmp_path / "cap.wav"
+    write_wav(p, y, SR)
+    calls: list[tuple] = []
+    orig = type(transcriber)._fused_files_fn
+
+    def spy(self, *a, **kw):
+        calls.append((a, kw))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(transcriber), "_fused_files_fn", spy)
+
+    def exact_builds():
+        return [c for c, kw in calls
+                if len(c) >= 5 and c[3] is None and c[4] == 0]
+
+    r = transcriber.transcribe_files([p], max_onsets=2)[0]
+    assert r["onset_overflow"] is True  # honest: cap truncation surfaced
+    assert not exact_builds(), "cap-only overflow paid an exact re-run"
+    # result identical to the no-fallback run (nothing was re-dispatched)
+    raw = transcriber.transcribe_files([p], max_onsets=2,
+                                       exact_fallback=False)[0]
+    assert r["labels"] == raw["labels"]
+    assert r["onsets_s"] == raw["onsets_s"]
+    # ...while a candidate-budget overflow still triggers the re-dispatch
+    calls.clear()
+    fixed = transcriber.transcribe_files([p], max_onsets=8,
+                                         cand_budget=1)[0]
+    assert exact_builds(), "fixable overflow did not re-dispatch"
+    assert fixed["onset_overflow"] is False
+
+
 def test_single_file_exact_fallback(tmp_path, transcriber):
     """transcribe() carries the same exact-fallback contract as
     transcribe_files: a starved cand_budget raises the flag with

@@ -116,10 +116,10 @@ def test_compacted_scan_matches_full_scan(rng):
     dense = dense + rng.normal(0, 0.01, len(dense)).astype(np.float32)
     songs.append(dense)
     for y in songs:
-        o_c, v_c, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
-                                    max_onsets=64)
-        o_f, v_f, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
-                                    max_onsets=64, cand_budget=0)
+        o_c, v_c, *_ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
+                                     max_onsets=64)
+        o_f, v_f, *_ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.25,
+                                     max_onsets=64, cand_budget=0)
         np.testing.assert_array_equal(np.asarray(v_c), np.asarray(v_f))
         np.testing.assert_array_equal(np.asarray(o_c), np.asarray(o_f))
 
@@ -154,8 +154,8 @@ def test_compacted_scan_tiny_budget_keeps_earliest():
     earliest-first max_onsets truncation): with a budget of 2 raw
     candidates, the detected onsets are a prefix of the full result."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    o_f, v_f, ovf_f = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=0)
-    o_t, v_t, ovf_t = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
+    o_f, v_f, *_ = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=0)
+    o_t, v_t, *_ = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
     full = np.asarray(o_f)[np.asarray(v_f)]
     tiny = np.asarray(o_t)[np.asarray(v_t)]
     assert len(tiny) <= 2
@@ -165,7 +165,7 @@ def test_compacted_scan_tiny_budget_keeps_earliest():
 def test_detect_onsets_finds_notes():
     onset_times = [0.5, 1.2, 1.9]
     y = _song(onset_times, [110.0, 220.0, 330.0])
-    onsets, valid, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
+    onsets, valid, *_ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
     got = np.asarray(onsets)[np.asarray(valid)] / SR
     assert len(got) == 3, f"got onsets at {got}"
     for t_exp, t_got in zip(onset_times, got):
@@ -176,7 +176,7 @@ def test_detect_onsets_finds_notes():
 def test_detect_onsets_min_separation():
     # two notes 0.15 s apart with min_sep=0.3 → only the first survives
     y = _song([0.5, 0.65, 1.5], [110.0, 165.0, 220.0])
-    onsets, valid, _ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
+    onsets, valid, *_ = detect_onsets(jnp.asarray(y), sr=SR, min_sep=0.3)
     got = np.asarray(onsets)[np.asarray(valid)] / SR
     diffs = np.diff(got)
     assert np.all(diffs >= 0.3)
@@ -185,10 +185,10 @@ def test_detect_onsets_min_separation():
 def test_padded_detection_matches_exact():
     """Fixed-budget padding with n_valid_samples must not change onsets."""
     y = _song([0.5, 1.2, 1.9], [110.0, 220.0, 330.0])
-    o1, v1, _ = detect_onsets(jnp.asarray(y), sr=SR)
+    o1, v1, *_ = detect_onsets(jnp.asarray(y), sr=SR)
     ypad = np.concatenate([y, np.zeros(SR, np.float32)])
-    o2, v2, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
-                           n_valid_samples=jnp.asarray(len(y)))
+    o2, v2, *_ = detect_onsets(jnp.asarray(ypad), sr=SR,
+                               n_valid_samples=jnp.asarray(len(y)))
     got1 = np.asarray(o1)[np.asarray(v1)]
     got2 = np.asarray(o2)[np.asarray(v2)]
     np.testing.assert_array_equal(got1, got2)
@@ -197,8 +197,8 @@ def test_padded_detection_matches_exact():
 def test_segment_waveform_end_to_end():
     onset_times = [0.4, 1.1, 1.8]
     y = _song(onset_times, [146.83, 196.0, 246.94])
-    clips, kept, onsets, ovalid, times, _ = segment_waveform(jnp.asarray(y),
-                                                          sr=SR)
+    clips, kept, onsets, ovalid, times, *_ = segment_waveform(
+        jnp.asarray(y), sr=SR)
     clips, kept = np.asarray(clips), np.asarray(kept)
     ovalid = np.asarray(ovalid)
     n_onsets = int(ovalid.sum())
@@ -224,8 +224,8 @@ def test_block_slicing_matches_general_gather():
     y = _song([0.4, 1.1, 1.8, 2.4], [110.0, 146.83, 196.0, 246.94],
               dur=2.95)
     ypad = np.concatenate([y, np.zeros(1000, np.float32)])
-    onsets, valid, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
-                                  n_valid_samples=jnp.asarray(len(y)))
+    onsets, valid, *_ = detect_onsets(jnp.asarray(ypad), sr=SR,
+                                      n_valid_samples=jnp.asarray(len(y)))
     for strict in (True, False):
         a = slice_at_onsets(jnp.asarray(ypad), onsets, valid, sr=SR,
                             strict_reference_compat=strict,
@@ -268,15 +268,19 @@ def test_onset_overflow_flag(rng):
     kept onsets are the earliest ones."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
     # roomy budgets: no overflow
-    _, _, ovf = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
-    assert not bool(ovf)
-    # candidate budget of 2 on a 3-candidate song: overflow
-    o_t, v_t, ovf_t = detect_onsets(jnp.asarray(y), sr=SR, cand_budget=2)
-    assert bool(ovf_t)
-    # max_onsets=2 with 3 kept onsets: overflow, earliest two kept
-    o_m, v_m, ovf_m = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=2)
-    assert bool(ovf_m)
-    o_f, v_f, _ = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
+    _, _, ovf, cap = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
+    assert not bool(ovf) and not bool(cap)
+    # candidate budget of 2 on a 3-candidate song: overflow — and the
+    # cap bit stays clear (an exact re-run COULD repair it)
+    o_t, v_t, ovf_t, cap_t = detect_onsets(jnp.asarray(y), sr=SR,
+                                           cand_budget=2)
+    assert bool(ovf_t) and not bool(cap_t)
+    # max_onsets=2 with 3 kept onsets: overflow, earliest two kept,
+    # and the cap bit raised (no candidate scan can repair it)
+    o_m, v_m, ovf_m, cap_m = detect_onsets(jnp.asarray(y), sr=SR,
+                                           max_onsets=2)
+    assert bool(ovf_m) and bool(cap_m)
+    o_f, v_f, *_ = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
     full = np.asarray(o_f)[np.asarray(v_f)]
     np.testing.assert_array_equal(np.asarray(o_m)[np.asarray(v_m)],
                                   full[:2])
@@ -286,20 +290,54 @@ def test_onset_overflow_flag(rng):
     t = 400
     env = rng.uniform(0.5, 1.0, t).astype(np.float32)
     env[::2] += 2.0  # every other frame a local max over a high floor
-    _, _, ovf_d = pick_onsets_from_envelope(
+    _, _, ovf_d, _ = pick_onsets_from_envelope(
         jnp.asarray(env), SR, 512, 0.0, 8, backtrack=False,
         cand_budget=16)
     assert bool(ovf_d)
+
+
+def test_cap_overflow_is_unrepairable_by_exact_rescan(rng):
+    """The repairability contract exact-fallback relies on
+    (pick_onsets_from_envelope): whenever cap_overflow raises — even
+    with a truncating candidate budget — an exact full-length scan
+    returns the SAME first max_onsets onsets. Dropped candidates are
+    the latest ones; their backtracked samples are ≥ every scanned
+    one (bt is a cummax) and greedy keep decisions about earlier
+    onsets never depend on later candidates, so they sort past the
+    cap. Random spiky envelopes, both backtrack modes."""
+    from gat_tpu.ops.onset import pick_onsets_from_envelope
+    checked = 0
+    for trial in range(10):
+        t = (128, 384)[trial % 2]
+        env = np.maximum(0, rng.normal(0.1, 0.4, t)).astype(np.float32)
+        env[rng.integers(0, t, t // 4)] += rng.uniform(0.5, 3.0, t // 4)
+        for budget in (8, 16, 32):
+            for bt in (False, True):
+                o_b, v_b, _, cap = pick_onsets_from_envelope(
+                    jnp.asarray(env), SR, 512, 0.0, 4,
+                    backtrack=bt, cand_budget=budget)
+                if not bool(cap):
+                    continue
+                o_f, v_f, *_ = pick_onsets_from_envelope(
+                    jnp.asarray(env), SR, 512, 0.0, 4,
+                    backtrack=bt, cand_budget=0)
+                np.testing.assert_array_equal(np.asarray(v_b),
+                                              np.asarray(v_f))
+                np.testing.assert_array_equal(np.asarray(o_b),
+                                              np.asarray(o_f))
+                checked += 1
+    assert checked > 0  # the property was actually exercised
 
 
 def test_segment_waveform_overflow_surfaces():
     """segment_waveform passes the flag through; a tiny max_onsets on a
     3-note song trips it."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    *_, ovf = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=2)
+    *_, ovf, cap = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=2)
     assert bool(ovf)
-    *_, ovf2 = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=64)
-    assert not bool(ovf2)
+    assert bool(cap)  # a max_onsets truncation is cap overflow
+    *_, ovf2, cap2 = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=64)
+    assert not bool(ovf2) and not bool(cap2)
 
 
 def test_segment_waveform_cand_budget_knob():
@@ -307,18 +345,19 @@ def test_segment_waveform_cand_budget_knob():
     budget reproduces the default's segmentation exactly, and a
     too-small one trips the overflow flag instead of failing silently."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    clips_d, kept_d, on_d, ov_d, _, ovf_d = segment_waveform(
+    clips_d, kept_d, on_d, ov_d, _, ovf_d, _ = segment_waveform(
         jnp.asarray(y), sr=SR, max_onsets=16)
-    clips_c, kept_c, on_c, ov_c, _, ovf_c = segment_waveform(
+    clips_c, kept_c, on_c, ov_c, _, ovf_c, _ = segment_waveform(
         jnp.asarray(y), sr=SR, max_onsets=16, cand_budget=64)
     assert not bool(ovf_d) and not bool(ovf_c)
     np.testing.assert_array_equal(np.asarray(kept_d), np.asarray(kept_c))
     np.testing.assert_array_equal(np.asarray(on_d)[np.asarray(ov_d)],
                                   np.asarray(on_c)[np.asarray(ov_c)])
     np.testing.assert_allclose(np.asarray(clips_d), np.asarray(clips_c))
-    *_, ovf_tiny = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=16,
-                                    cand_budget=2)
+    *_, ovf_tiny, cap_tiny = segment_waveform(jnp.asarray(y), sr=SR,
+                                              max_onsets=16, cand_budget=2)
     assert bool(ovf_tiny)
+    assert not bool(cap_tiny)  # candidate truncation is repairable
 
 
 def test_onset_overflow_not_flagged_when_provably_exact():
@@ -332,9 +371,9 @@ def test_onset_overflow_not_flagged_when_provably_exact():
     env[100] = env[105] = 3.0  # equal peaks 5 < wait frames apart
     kw = dict(sr=SR, hop_length=hop, min_sep=0.0, max_onsets=8,
               backtrack=False)
-    o_f, v_f, ovf_f = pick_onsets_from_envelope(
+    o_f, v_f, ovf_f, _ = pick_onsets_from_envelope(
         jnp.asarray(env), cand_budget=0, **kw)
-    o_1, v_1, ovf_1 = pick_onsets_from_envelope(
+    o_1, v_1, ovf_1, _ = pick_onsets_from_envelope(
         jnp.asarray(env), cand_budget=1, **kw)
     assert not bool(ovf_f)
     assert not bool(ovf_1)  # truncated, but provably unchanged
@@ -361,12 +400,12 @@ def test_overflow_flag_is_sound_on_random_envelopes(rng):
         for budget in (2, 4, 8, 16, 32, 64):
             for min_sep in (0.1, 0.4):
                 for bt in (False, True):
-                    o_b, v_b, ovf = pick_onsets_from_envelope(
+                    o_b, v_b, ovf, _ = pick_onsets_from_envelope(
                         jnp.asarray(env), SR, 512, min_sep, 32,
                         backtrack=bt, cand_budget=budget)
                     if bool(ovf):
                         continue
-                    o_f, v_f, _ = pick_onsets_from_envelope(
+                    o_f, v_f, *_ = pick_onsets_from_envelope(
                         jnp.asarray(env), SR, 512, min_sep, 32,
                         backtrack=bt, cand_budget=0)
                     np.testing.assert_array_equal(np.asarray(v_b),
@@ -387,10 +426,10 @@ def test_padded_detection_matches_exact_ring_to_end():
     # a last note whose decay continues through the final sample
     note = make_pluck(196.0, SR, 0.6, seed=7)
     y2 = np.concatenate([y, note[: int(0.35 * SR)]])
-    o1, v1, _ = detect_onsets(jnp.asarray(y2), sr=SR)
+    o1, v1, *_ = detect_onsets(jnp.asarray(y2), sr=SR)
     ypad = np.concatenate([y2, np.zeros(int(1.3 * SR), np.float32)])
-    o2, v2, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
-                              n_valid_samples=jnp.asarray(len(y2)))
+    o2, v2, *_ = detect_onsets(jnp.asarray(ypad), sr=SR,
+                               n_valid_samples=jnp.asarray(len(y2)))
     np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
                                   np.asarray(o2)[np.asarray(v2)])
 
@@ -499,9 +538,9 @@ def test_padded_detection_matches_exact_straddling_transient():
                                    valid_frames=vf))
     np.testing.assert_array_equal(e1, e2[:len(e1)])
 
-    o1, v1, _ = detect_onsets(jnp.asarray(y), sr=SR)
-    o2, v2, _ = detect_onsets(jnp.asarray(ypad), sr=SR,
-                              n_valid_samples=jnp.asarray(nv))
+    o1, v1, *_ = detect_onsets(jnp.asarray(y), sr=SR)
+    o2, v2, *_ = detect_onsets(jnp.asarray(ypad), sr=SR,
+                               n_valid_samples=jnp.asarray(nv))
     np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
                                   np.asarray(o2)[np.asarray(v2)])
 
@@ -511,15 +550,15 @@ def test_detect_onsets_short_audio_keeps_static_budget():
     documented (max_onsets,) static shapes — a bare [:max_onsets] slice
     silently yielded (t,) and broke cross-file stacking."""
     y = _song([0.3], [196.0], dur=1.0)  # 44 frames < 64 budget
-    onsets, valid, ovf = detect_onsets(jnp.asarray(y), sr=SR,
-                                       max_onsets=64)
+    onsets, valid, *_ = detect_onsets(jnp.asarray(y), sr=SR,
+                                      max_onsets=64)
     assert onsets.shape == (64,)
     assert valid.shape == (64,)
     got = np.asarray(onsets)[np.asarray(valid)]
     assert len(got) == 1
     # stacking against a longer file's result must now work
     y2 = _song([0.4, 1.2], [110.0, 220.0], dur=3.0)
-    o2, v2, _ = detect_onsets(jnp.asarray(y2), sr=SR, max_onsets=64)
+    o2, v2, *_ = detect_onsets(jnp.asarray(y2), sr=SR, max_onsets=64)
     stacked = np.stack([np.asarray(onsets), np.asarray(o2)])
     assert stacked.shape == (2, 64)
 
@@ -543,11 +582,12 @@ def test_padded_vs_exact_detection_property(rng):
                 -np.arange(tail, dtype=np.float32) / (0.02 * SR))
         if trial % 3 == 0:
             y[nv - 2] += 1.0  # loud transient AT the valid end
-        o1, v1, f1 = detect_onsets(jnp.asarray(y), sr=SR)
+        o1, v1, f1, c1 = detect_onsets(jnp.asarray(y), sr=SR)
         ypad = np.zeros(bucket, np.float32)
         ypad[:nv] = y
-        o2, v2, f2 = detect_onsets(jnp.asarray(ypad), sr=SR,
-                                   n_valid_samples=jnp.asarray(nv))
+        o2, v2, f2, c2 = detect_onsets(jnp.asarray(ypad), sr=SR,
+                                       n_valid_samples=jnp.asarray(nv))
         np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
                                       np.asarray(o2)[np.asarray(v2)])
         assert bool(f1) == bool(f2)
+        assert bool(c1) == bool(c2)

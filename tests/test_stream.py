@@ -224,19 +224,30 @@ def test_ring_pop_preserves_absolute_positions():
     np.testing.assert_array_equal(rb.get_buffer(), [2.0, 3.0, 4.0, 50.0])
 
 
+def _bare_live(sr=22050, ring=22050, min_slice_t=0.3, qsize=4):
+    """LiveTranscriber without a model (unit tests of the slicing logic
+    stub detect_onsets and never drain the queue)."""
+    import queue
+    live = LiveTranscriber.__new__(LiveTranscriber)
+    live.sample_rate = sr
+    live.buffer = RingBuffer(ring)
+    live.note_q = queue.Queue(maxsize=qsize)
+    live.min_slice_len = int(min_slice_t * sr)
+    live._onset_ctx = 4 * 1024
+    live._attack_guard = 2 * 1024 + 1
+    live._edge_latency = 6 * 1024
+    live.verbose = False
+    live.results = []
+    live.queue_drops = 0
+    return live
+
+
 def test_process_buffer_consumes_onset_at_index_zero():
     """An onset at snapshot index 0 is routinely produced after a
     pairs-clear (backtracking pins frame 0 as a minimum). The consumed
     prefix must actually clear — a falsy-zero h_idx sentinel would never
     clear it and re-enqueue the same note on every subsequent poll."""
-    import queue
-    live = LiveTranscriber.__new__(LiveTranscriber)
-    live.sample_rate = 22050
-    live.buffer = RingBuffer(22050)
-    live.note_q = queue.Queue(maxsize=4)
-    live.min_slice_len = int(0.3 * 22050)
-    live.verbose = False
-    live.results = []
+    live = _bare_live()
     live.detect_onsets = lambda y: [0]  # single onset at the snapshot head
     live.buffer.push(np.arange(22050, dtype=np.float32))  # full ring
 
@@ -252,18 +263,50 @@ def test_process_buffer_consumes_onset_at_index_zero():
 def test_process_buffer_no_consumption_clears_nothing():
     """With no consumable onset, the ring must be left intact (no
     spurious one-sample clears)."""
-    import queue
-    live = LiveTranscriber.__new__(LiveTranscriber)
-    live.sample_rate = 22050
-    live.buffer = RingBuffer(8192)
-    live.note_q = queue.Queue(maxsize=4)
-    live.min_slice_len = 4096
-    live.verbose = False
-    live.results = []
+    live = _bare_live(ring=8192, min_slice_t=4096 / 22050)
     live.detect_onsets = lambda y: []
     live.buffer.push(np.arange(8192, dtype=np.float32))
     assert live.process_buffer() == 0
     assert live.buffer.size() == 8192
+
+
+def test_single_onset_clear_preserves_undetectable_next_attack():
+    """A single-onset slice runs to the buffer end, so its tail can
+    contain the NEXT note's attack — one that landed inside the
+    detector's right-edge latency window and is therefore undetectable
+    on this poll. Clearing through it (the pre-fix behavior: clear to
+    onset + clip length unconditionally) destroys the note silently.
+    The clear must cap at len(buf) - edge_latency - onset_ctx so the
+    hidden attack keeps its pre-onset context for the next snapshot.
+
+    Modeled with a fake detector that reports an onset only once
+    edge_latency samples exist after it IN the ring — both the edge
+    blindness and the destruction (a cleared attack is gone for good)."""
+    ring_n = 33075  # 1.5 s at 22050
+    live = _bare_live(ring=ring_n)
+    a_abs, b_abs = 23075, 31500  # gap 8425 > min_sep 6615
+
+    def fake_detect(buf):
+        _, start = live.buffer.snapshot()
+        return [o - start for o in (a_abs, b_abs)
+                if o >= start and (o - start) + live._edge_latency
+                <= len(buf)]
+
+    live.detect_onsets = fake_detect
+    live.buffer.push(np.ones(ring_n, np.float32))  # abs [0, 33075)
+    assert live.process_buffer() == 1  # note A; B hidden at the edge
+    _, start = live.buffer.snapshot()
+    assert start > a_abs + live._attack_guard - 1, "A can re-trigger"
+    assert start <= b_abs - live._onset_ctx, \
+        "cleared through the undetectable next attack (note destroyed)"
+    # stream continues; once refilled, B must surface exactly once
+    # (exact fill — overshooting would overwrite and muddy the count)
+    while live.buffer.size() < ring_n:
+        need = ring_n - live.buffer.size()
+        live.buffer.push(np.ones(min(1024, need), np.float32))
+    assert live.process_buffer() == 1  # note B
+    assert live.note_q.qsize() == 2
+    assert live.buffer.overwritten == 0  # no ring-pressure casualties
 
 
 # ---------------------------------------------------------------------------

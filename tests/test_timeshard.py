@@ -43,8 +43,8 @@ def test_envelope_matches_single_device():
 def test_onsets_match_single_device():
     mesh = make_mesh(8)
     y = _long_song()
-    o_sp, v_sp, _ = detect_onsets_timesharded(jnp.asarray(y), mesh, sr=SR)
-    o_ref, v_ref, _ = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=256)
+    o_sp, v_sp, *_ = detect_onsets_timesharded(jnp.asarray(y), mesh, sr=SR)
+    o_ref, v_ref, *_ = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=256)
     got = np.asarray(o_sp)[np.asarray(v_sp)]
     ref = np.asarray(o_ref)[np.asarray(v_ref)]
     np.testing.assert_array_equal(got, ref)

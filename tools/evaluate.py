@@ -151,7 +151,9 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
                                      for a, b in zip(w_names, labels)))
         correct["agreement"] = int(sum(a == b
                                        for a, b in zip(w_names, d_names)))
-        out["witness_mlp_accuracy"] = round(correct["witness"] / n, 4)
+        # same key stems as the aggregated report rows in main(): a
+        # consumer written against either output must not KeyError
+        out["witness_accuracy"] = round(correct["witness"] / n, 4)
         out["witness_agreement"] = round(correct["agreement"] / n, 4)
 
     out["_correct"] = correct
@@ -291,9 +293,13 @@ def main():
             base = first
         row = {"n_clips": n_total}
         for k, v in agg.items():
-            row[f"{k}_accuracy" if k != "agreement"
-                else "witness_agreement"] = round(v / n_total, 4)
-            row[f"{k}_ci95"] = wilson_ci(v, n_total)
+            # "agreement" pairs with the witness: point estimate and CI
+            # share one stem (witness_agreement / witness_agreement_ci95)
+            # so columns pair programmatically
+            stem = "witness_agreement" if k == "agreement" else k
+            row[f"{stem}_accuracy" if k != "agreement"
+                else stem] = round(v / n_total, 4)
+            row[f"{stem}_ci95"] = wilson_ci(v, n_total)
         report["sets"][name] = row
         ci = row["default_ci95"]
         wcol = (f"wit={row['witness_accuracy']:.4f} "
