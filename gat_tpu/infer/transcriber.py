@@ -224,8 +224,15 @@ class Transcriber:
         np.asarray on a device array is a separate blocking ~30 ms
         tunnel round trip). Shared by the bucket remainder loop and the
         exact-fallback re-dispatches so the pad/nv semantics exist
-        exactly once."""
-        b = 1 << (len(entries) - 1).bit_length()
+        exactly once.
+
+        B floors at 2, so a B=1 program never exists in the family: a
+        lone file (single-file exact fallback, a mixed-duration bucket's
+        singleton, a 5-file group's remainder) rides the B=2 program the
+        serve warmup already compiled — one zero row costs microseconds,
+        a fresh B=1 jit through the tunnel costs minutes on the first
+        live request."""
+        b = max(2, 1 << (len(entries) - 1).bit_length())
         ys = jnp.stack([y for y, _ in entries]
                        + [jnp.zeros((n_bucket,), jnp.float32)]
                        * (b - len(entries)))
@@ -516,17 +523,16 @@ class Transcriber:
             probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, fix = \
                 jax.device_get(run(y_pad, jnp.asarray(n)))  # one transfer
             if exact_fallback and bool(np.asarray(fix)):
-                # same exact re-dispatch as transcribe_files: full
-                # candidate scan, every slot computed, B=1
-                exact_run, _ = self._fused_files_fn(
-                    target_sr, clip_duration, max_onsets, None, 0)
-                o = self._dispatch_pow2_wave(exact_run, [(y_pad, n)],
-                                             y_pad.shape[-1])
-                return self._build_result(
-                    o[0][0], o[1][0],
-                    o[2][0] if o[2] is not None else None, o[3][0],
-                    o[4][0], o[5][0], o[6][0], target_sr,
-                    overflow=o[7][0])
+                # exact re-run: full-length candidate scan through the
+                # SINGLE-FILE program family (cand_budget is part of its
+                # cache key; y_pad is already whole-second shaped) — a
+                # B=1 batched files program here would compile a second,
+                # distinct program per duration for nothing: the fused
+                # file program already computes every slot
+                exact_run = self._fused_file_fn(target_sr, clip_duration,
+                                                max_onsets, 0)
+                probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _ = \
+                    jax.device_get(exact_run(y_pad, jnp.asarray(n)))
             return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
                                       onsets, times, target_sr,
                                       overflow=ovf)

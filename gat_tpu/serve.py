@@ -84,10 +84,11 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 paths.append(wav)
             t0 = time.perf_counter()
             if batch > 1:
-                # start at B=2: no serving path dispatches a 1-file
-                # transcribe_files (watch-folder singles and 1-request
-                # HTTP waves both route through transcribe()), so a B=1
-                # compile would be minutes of pure wasted startup
+                # start at B=2: a B=1 files program cannot exist —
+                # _dispatch_pow2_wave floors every wave at B=2 (lone
+                # files ride this warmed B=2 program), and watch-folder
+                # singles / 1-request HTTP waves route through
+                # transcribe(), so B=1 would be minutes of wasted startup
                 warmed_bs = []
                 b = 2
                 while b <= max(int(batch), 1):
@@ -114,12 +115,24 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 bsec = 1 << (max(1, math.ceil(float(dur))) - 1).bit_length()
                 yb = np.zeros(bsec * sr, np.float32)
                 yb[: len(y)] = y
-                exact_run, _ = t._fused_files_fn(sr, t.clip_length, 64,
-                                                 None, 0)
+                exact_run, exact_scan = t._fused_files_fn(
+                    sr, t.clip_length, 64, None, 0)
                 for b in warmed_bs:
                     jax.block_until_ready(exact_run(
                         jnp.asarray(np.stack([yb] * b)),
                         jnp.full((b,), len(y), jnp.int32)))
+                # ≥ 2·max_batch flagged files in one bucket re-dispatch
+                # through the exact run_SCAN at pow2 K ≤ batch/max_batch
+                # — the same K family the primary warm above exercised
+                # via the public b=8,16,… calls; compile the exact twin
+                # of each reachable K or a dense burst stalls on it
+                k = 2
+                while k * 4 <= max(int(batch), 1):  # max_batch default 4
+                    jax.block_until_ready(exact_scan(
+                        jnp.asarray(np.stack([yb] * (k * 4))
+                                    .reshape(k, 4, -1)),
+                        jnp.full((k, 4), len(y), jnp.int32)))
+                    k *= 2
             try:
                 t.transcribe(paths[0])
                 # the single-file fallback's exact re-segmentation is the

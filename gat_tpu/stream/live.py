@@ -239,6 +239,20 @@ class LiveTranscriber:
             else:
                 clear_to = onsets[0] + 1  # too-short pseudo-note: discard
             del onsets[:1]
+        if force and len(onsets) == 1:
+            # end-of-stream flush with ≥2 onsets at entry: the pairs loop
+            # always leaves the LAST onset unsliced (it waits for the next
+            # onset or poll), and force has no next poll — slice it to the
+            # buffer end now, same rule as the single-onset branch above,
+            # or the stream's trailing note is silently lost.
+            s = buf[onsets[0]:]
+            if len(s) > self.min_slice_len:
+                self._enqueue(self.pad_or_trim_audio(
+                    s, CLIP_DURATION, self.sample_rate))
+                queued += 1
+                clip_n = int(CLIP_DURATION * self.sample_rate)
+                clear_to = min(onsets[0] + max(clip_n, self.min_slice_len),
+                               len(buf))
         if clear_to >= 0:
             self.buffer.clear_until(start_abs + clear_to)
         return queued

@@ -43,6 +43,10 @@ class RingBuffer:
 
     def _record_overwrite(self, lo: int, hi: int) -> None:
         """Under self._lock: count + range-log one overwrite event."""
+        if hi <= lo:
+            # a maxlen-sized block landing on a fully-consumed ring
+            # overwrites nothing — don't log an empty [lo, lo) span
+            return
         self.overwritten += hi - lo
         if self.overwritten_ranges and self.overwritten_ranges[-1][1] == lo:
             self.overwritten_ranges[-1][1] = hi

@@ -1021,6 +1021,39 @@ def test_serve_warmup_nonpow2_batch_warms_padded_full_wave():
     assert exact_sizes == [2, 4]
 
 
+def test_serve_warmup_large_batch_warms_exact_scan_family():
+    """--http_batch 8: a dense burst can flag ≥ 2·max_batch files in one
+    bucket, re-dispatching through the exact run_SCAN at pow2 K — warmup
+    must compile that twin too, or the first burst stalls on it."""
+    import serve as serve_mod
+
+    scan_shapes: list[tuple] = []
+
+    class Stub:
+        clip_length = 0.5
+
+        def transcribe_files(self, paths, **kw):
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+        def transcribe(self, path, **kw):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def _fused_files_fn(self, sr, clip_dur, max_onsets, budget, cand):
+            import numpy as np
+
+            def run(ys, nv):
+                return np.zeros(1)
+
+            def run_scan(ys, nv):
+                scan_shapes.append(tuple(ys.shape[:2]))
+                return np.zeros(1)
+            return run, run_scan
+
+    serve_mod.warmup(Stub(), [1.0], batch=8, verbose=False)
+    assert scan_shapes == [(2, 4)]  # K=2 waves of max_batch=4
+
+
 def test_serve_archive_dir_moves_processed_inputs(tmp_path):
     """--archive_dir: processed inputs leave the watch folder, so the
     per-poll scan stays bounded on long-running deployments (and the

@@ -382,6 +382,28 @@ def test_single_file_exact_fallback(tmp_path, transcriber):
                                    exact["confidences"], atol=1e-5)
 
 
+def test_dispatch_pow2_wave_floors_at_b2():
+    """A lone file (mixed-duration bucket singleton, 5-file remainder,
+    single-file exact fallback) must ride the B=2 program the serve
+    warmup compiled, never a fresh B=1 signature: a cold B=1 jit through
+    the tunnel stalls the first live request for minutes, while one
+    zero-padded row costs microseconds."""
+    import jax.numpy as jnp
+    from gat_tpu.infer.transcriber import Transcriber
+
+    shapes = []
+
+    def fake_run(ys, nv):
+        shapes.append((int(ys.shape[0]), int(nv.shape[0])))
+        return (jnp.asarray(ys[:, :1]),)  # device_get-able
+
+    Transcriber._dispatch_pow2_wave(
+        fake_run, [(jnp.zeros(8, jnp.float32), 8)], 8)
+    Transcriber._dispatch_pow2_wave(
+        fake_run, [(jnp.zeros(8, jnp.float32), 8)] * 3, 8)
+    assert shapes == [(2, 2), (4, 4)]
+
+
 def test_extract_inference_features_mlp_only(tmp_path):
     """melspec_params=None on the DIRECTORY path skips the mel branch
     (MLP-only operation), matching the from_clips/from_audio contract —

@@ -38,6 +38,22 @@ def test_ring_oversized_push():
     np.testing.assert_array_equal(r.get_buffer(), [6, 7, 8, 9])
 
 
+def test_ring_exact_fit_push_logs_no_empty_span():
+    """A maxlen-sized block landing on a fully-consumed ring overwrites
+    nothing: the casualty count must stay 0 AND no empty [lo, lo) span
+    may pollute the loss-attribution log (regression: the full-replace
+    branch recorded one unconditionally)."""
+    r = RingBuffer(4)
+    r.push(np.arange(4, dtype=np.float32))
+    r.clear_from(4)  # consumer took everything
+    r.push(np.arange(4, dtype=np.float32))  # exact fit, no loss
+    assert r.overwritten == 0
+    assert r.overwritten_ranges == []
+    r.push(np.arange(5, dtype=np.float32))  # now a real overwrite
+    assert r.overwritten == 5  # 4 unconsumed + 1 prefix that never fit
+    assert all(hi > lo for lo, hi in r.overwritten_ranges)
+
+
 def test_mic_source_gated():
     with pytest.raises(ImportError, match="sounddevice"):
         MicSource()
@@ -307,6 +323,22 @@ def test_single_onset_clear_preserves_undetectable_next_attack():
     assert live.process_buffer() == 1  # note B
     assert live.note_q.qsize() == 2
     assert live.buffer.overwritten == 0  # no ring-pressure casualties
+
+
+def test_force_flush_slices_trailing_onset_after_pairs():
+    """End-of-stream flush with ≥2 onsets in the final snapshot: the
+    pairs loop slices between consecutive onsets and leaves the LAST one
+    for "the next poll" — but force has no next poll. The trailing note
+    must be sliced to the buffer end, not silently lost (regression: the
+    slice-to-end rule only ran when exactly one onset was present at
+    entry)."""
+    live = _bare_live(ring=33075)
+    live.detect_onsets = lambda y: [1000, 10000, 19000]  # gaps > min_sep
+    live.buffer.push(np.ones(30000, np.float32))  # ring never fills
+    assert live.process_buffer() == 0  # not full, not forced: untouched
+    assert live.process_buffer(force=True) == 3, \
+        "trailing onset lost at end-of-stream flush"
+    assert live.note_q.qsize() == 3
 
 
 # ---------------------------------------------------------------------------
