@@ -291,7 +291,9 @@ class Transcriber:
                          max_batch: int = 4,
                          wave_clip_budget: int | None | str = "auto",
                          cand_budget: int | None | str = "auto",
-                         exact_fallback: bool = True) -> list[dict]:
+                         exact_fallback: bool = True,
+                         max_onsets_ceiling: int | None = 1024
+                         ) -> list[dict]:
         """Batch transcription of MANY files (the serving path;
         `tools/serve.py --batch`). Files group into power-of-two DURATION
         buckets (1, 2, 4, … s — one 10-minute file no longer pads a wave
@@ -329,9 +331,20 @@ class Transcriber:
         the exact scan provably returns the same first max_onsets onsets
         (pick_onsets_from_envelope's repairability contract), so after
         fallback the only `onset_overflow` flags left are genuine
-        `max_onsets` truncations, which no budget change repairs (raise
-        `max_onsets` for those). Pass exact_fallback=False to keep raw
-        budget semantics (flags surface, nothing re-runs)."""
+        `max_onsets` truncations. Pass exact_fallback=False to keep raw
+        budget semantics (flags surface, nothing re-runs).
+
+        Those surviving cap truncations are then repaired too: the
+        reference's per-onset loop has no cap at all (ref
+        version_1/source/audio/slicing.py:147-165 slices EVERY detected
+        onset), so files still flagged after the exact pass re-dispatch
+        through pow2-doubled `max_onsets` exact programs (128, 256, …)
+        until the flag clears or `max_onsets_ceiling` is reached — the
+        compile family stays log-bounded, the common case never pays for
+        dense-file headroom, and a flag that survives now means the file
+        has more than `max_onsets_ceiling` onsets (raise the ceiling, or
+        pass None/0 to disable auto-scaling and keep raw cap
+        semantics)."""
         if clip_duration is None:
             clip_duration = self.clip_length  # checkpoint-trained duration
         if isinstance(wave_clip_budget, str):
@@ -449,6 +462,26 @@ class Transcriber:
                     rerun = [e for e in group if e[0] in fset]
                     if rerun:
                         _run_bucket(exact_fns, rerun, bsec * target_sr)
+            # cap auto-scaling: flags that survive the exact pass are
+            # genuine max_onsets truncations — the reference's slicer has
+            # no cap (it loops over every detected onset), so double
+            # max_onsets and re-dispatch the still-flagged files until
+            # the flag clears or the ceiling stops it. pow2 doubling
+            # keeps the compile family log-bounded; only flagged (rare,
+            # dense) files ever pay for the headroom.
+            m = max_onsets * 2
+            while max_onsets_ceiling and m <= max_onsets_ceiling:
+                capped = {i for i, r in enumerate(results)
+                          if r is not None and r["onset_overflow"]}
+                if not capped:
+                    break
+                fns_m = self._fused_files_fn(target_sr, clip_duration, m,
+                                             None, 0)
+                for bsec, group in buckets.items():
+                    rerun = [e for e in group if e[0] in capped]
+                    if rerun:
+                        _run_bucket(fns_m, rerun, bsec * target_sr)
+                m *= 2
         return results
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
@@ -479,7 +512,8 @@ class Transcriber:
                    save_clips: bool = False, max_onsets: int = 64,
                    fused: bool = False,
                    exact_fallback: bool = True,
-                   cand_budget: int | None = None) -> dict:
+                   cand_budget: int | None = None,
+                   max_onsets_ceiling: int | None = 1024) -> dict:
         """Full transcription of one audio file (ref transcribe.py:77-144):
         slice at `target_sr`, re-rate clips to the checkpoint SR, extract
         features with checkpoint params, ensemble-predict, YIN baseline.
@@ -498,7 +532,10 @@ class Transcriber:
         `exact_fallback` (default on, same contract as transcribe_files):
         if the onset candidate budget's overflow flag raises, the file
         re-runs through the exact program (full-length candidate scan) —
-        a surviving flag means `max_onsets` itself truncated.
+        a surviving flag means `max_onsets` itself truncated, and that is
+        then repaired too by re-running with pow2-doubled max_onsets up
+        to `max_onsets_ceiling` (the reference slicer has no cap; None/0
+        disables, a flag that survives means > ceiling onsets).
         `cand_budget` sizes the onset candidate scan exactly as in
         transcribe_files (None = the proportional default)."""
         if clip_duration is None:
@@ -533,6 +570,16 @@ class Transcriber:
                                                 max_onsets, 0)
                 probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _ = \
                     jax.device_get(exact_run(y_pad, jnp.asarray(n)))
+            # cap auto-scaling: a surviving flag is a genuine max_onsets
+            # truncation — double and re-run until it clears or the
+            # ceiling stops it (same contract as transcribe_files)
+            m = max_onsets * 2
+            while (exact_fallback and max_onsets_ceiling
+                   and bool(np.asarray(ovf)) and m <= max_onsets_ceiling):
+                run_m = self._fused_file_fn(target_sr, clip_duration, m, 0)
+                probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _ = \
+                    jax.device_get(run_m(y_pad, jnp.asarray(n)))
+                m *= 2
             return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
                                       onsets, times, target_sr,
                                       overflow=ovf)
@@ -560,6 +607,17 @@ class Transcriber:
                 jax.device_get(segment_waveform(
                     y22, sr=target_sr, length_sec=clip_duration,
                     max_onsets=max_onsets, cand_budget=0))
+        # cap auto-scaling: a flag that survives (or was cap-only from
+        # the start) is a genuine max_onsets truncation — re-segment with
+        # pow2-doubled caps until it clears or the ceiling stops it
+        m = max_onsets * 2
+        while (exact_fallback and max_onsets_ceiling
+               and bool(np.asarray(overflow)) and m <= max_onsets_ceiling):
+            clips, kept, onsets, ovalid, times, overflow, _ = \
+                jax.device_get(segment_waveform(
+                    y22, sr=target_sr, length_sec=clip_duration,
+                    max_onsets=m, cand_budget=0))
+            m *= 2
         kept_np = np.asarray(kept)
         clips_np = np.asarray(clips)[kept_np]
         if clips_np.shape[0] == 0:

@@ -607,8 +607,11 @@ def main():
     ap.add_argument("--cand_budget", type=int, default=None,
                     help="onset candidate-scan budget per file (the "
                          "serving-speed lever for content of known onset "
-                         "density; truncation sets onset_overflow in the "
-                         "result JSON, never silent)")
+                         "density; truncation that could change results "
+                         "re-dispatches through the exact program, and "
+                         "max_onsets cap overflow auto-scales the cap — "
+                         "onset_overflow in the result JSON survives only "
+                         "past the 1024-onset ceiling, never silent)")
     ap.add_argument("--http_batch", type=int, default=1,
                     help="with --http: micro-batch up to N concurrent "
                          "requests into one batched device dispatch")

@@ -193,16 +193,18 @@ def test_cnn_bf16_inference_label_parity():
 
 def test_results_carry_onset_overflow_flag(tmp_path, transcriber):
     """Every result dict exposes onset_overflow; a roomy budget reads
-    False, a starved one (max_onsets=2 on a 5-note riff) True — through
-    the two-stage path AND the batched files path."""
+    False, a starved one (max_onsets=2 on a 5-note riff, cap
+    auto-scaling disabled) True — through the two-stage path AND the
+    batched files path."""
     y = _riff()
     p = tmp_path / "ovf.wav"
     write_wav(p, y, SR)
     r = transcriber.transcribe(p)
     assert r["onset_overflow"] is False
-    r2 = transcriber.transcribe(p, max_onsets=2)
+    r2 = transcriber.transcribe(p, max_onsets=2, max_onsets_ceiling=None)
     assert r2["onset_overflow"] is True
-    rb = transcriber.transcribe_files([p], max_onsets=2)[0]
+    rb = transcriber.transcribe_files([p], max_onsets=2,
+                                      max_onsets_ceiling=None)[0]
     assert rb["onset_overflow"] is True
     assert rb["labels"] == r2["labels"]
 
@@ -308,9 +310,11 @@ def test_exact_fallback_redispatches_flagged_files(tmp_path, transcriber):
         np.testing.assert_allclose(rf["confidences"], re_["confidences"],
                                    atol=1e-5)
         assert rf["onsets_s"] == re_["onsets_s"]
-    # the irreparable overflow (max_onsets itself) keeps its flag even
-    # after the exact re-dispatch — honesty preserved
-    still = transcriber.transcribe_files([paths[0]], max_onsets=2)[0]
+    # with cap auto-scaling disabled, the irreparable overflow
+    # (max_onsets itself) keeps its flag even after the exact
+    # re-dispatch — honesty preserved
+    still = transcriber.transcribe_files([paths[0]], max_onsets=2,
+                                         max_onsets_ceiling=None)[0]
     assert still["onset_overflow"] is True
 
 
@@ -339,7 +343,8 @@ def test_cap_only_overflow_skips_exact_redispatch(tmp_path, transcriber,
         return [c for c, kw in calls
                 if len(c) >= 5 and c[3] is None and c[4] == 0]
 
-    r = transcriber.transcribe_files([p], max_onsets=2)[0]
+    r = transcriber.transcribe_files([p], max_onsets=2,
+                                     max_onsets_ceiling=None)[0]
     assert r["onset_overflow"] is True  # honest: cap truncation surfaced
     assert not exact_builds(), "cap-only overflow paid an exact re-run"
     # result identical to the no-fallback run (nothing was re-dispatched)
@@ -353,6 +358,40 @@ def test_cap_only_overflow_skips_exact_redispatch(tmp_path, transcriber,
                                          cand_budget=1)[0]
     assert exact_builds(), "fixable overflow did not re-dispatch"
     assert fixed["onset_overflow"] is False
+
+
+def test_cap_autoscale_repairs_max_onsets_truncation(tmp_path, transcriber):
+    """Cap flags that survive the exact pass auto-repair by default: the
+    reference slicer has NO onset cap (version_1/source/audio/
+    slicing.py:147-165 loops over every detected onset), so still-capped
+    files re-dispatch through pow2-doubled max_onsets exact programs
+    until the flag clears — a tiny cap yields the same output as a roomy
+    one. The ceiling bounds the compile family: a file denser than it
+    keeps the honest flag and its first-`ceiling` onsets."""
+    y = _riff()  # 5 notes
+    p = tmp_path / "dense.wav"
+    write_wav(p, y, SR)
+    roomy = transcriber.transcribe_files([p], max_onsets=16)[0]
+    assert roomy["onset_overflow"] is False
+    auto = transcriber.transcribe_files([p], max_onsets=2)[0]
+    assert auto["onset_overflow"] is False
+    assert auto["labels"] == roomy["labels"]
+    assert auto["onsets_s"] == roomy["onsets_s"]
+    np.testing.assert_allclose(auto["confidences"], roomy["confidences"],
+                               atol=1e-5)
+    # ceiling hit: the flag survives and the output is the exact run's
+    # first-`ceiling` onsets (prefix of the roomy result)
+    low = transcriber.transcribe_files([p], max_onsets=2,
+                                       max_onsets_ceiling=4)[0]
+    assert low["onset_overflow"] is True
+    assert low["labels"] == roomy["labels"][:len(low["labels"])]
+    assert 0 < len(low["labels"]) < len(roomy["labels"])
+    # single-file transcribe() carries the same contract on both paths
+    for fused in (False, True):
+        s = transcriber.transcribe(p, max_onsets=2, fused=fused)
+        assert s["onset_overflow"] is False
+        assert s["labels"] == roomy["labels"]
+        assert s["onsets_s"] == roomy["onsets_s"]
 
 
 def test_single_file_exact_fallback(tmp_path, transcriber):
