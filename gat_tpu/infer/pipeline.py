@@ -116,15 +116,18 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
     per-wave sequential walk; truncation raises the same per-file
     overflow flag.
 
-    Outputs end with two per-file (B,) bool flags: `overflow` (ANY
-    budget truncated this file's results) and `fixable` (an exact
-    re-run — cand_budget=0, wave_clip_budget=None — could CHANGE this
-    file's results). They differ exactly on cap-only overflow: when
-    `max_onsets` itself truncated (detect_onsets' cap_overflow), a
-    bigger candidate scan provably returns the same first max_onsets
-    onsets (see pick_onsets_from_envelope), so exact-fallback consumers
-    re-dispatch on `fixable`, never paying a re-run that cannot change
-    anything, while `overflow` still surfaces the truncation."""
+    Outputs end with two per-file (B,) bool flags and one (B,) int32:
+    `overflow` (ANY budget truncated this file's results), `fixable`
+    (an exact re-run — cand_budget=0, wave_clip_budget=None — could
+    CHANGE this file's results), and `n_detected` (pre-cap accepted
+    onset count; exact whenever the candidate bits are clean). The two
+    flags differ exactly on cap-only overflow: when `max_onsets` itself
+    truncated (detect_onsets' cap_overflow), a bigger candidate scan
+    provably returns the same first max_onsets onsets (see
+    pick_onsets_from_envelope), so exact-fallback consumers re-dispatch
+    on `fixable`, never paying a re-run that cannot change anything,
+    while `overflow` still surfaces the truncation and `n_detected`
+    sizes the pow2 cap a cap-auto-scaling re-dispatch needs."""
     from ..segment.slicing import segment_waveform
     from ..ops.yin import yin_pitch
 
@@ -154,7 +157,7 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
         ys = jnp.where(jnp.arange(ys.shape[-1])[None, :]
                        < n_valids[:, None], ys, 0.0)
         (clips, kept, onsets, ovalid, times, overflow,
-         cap_overflow) = jax.vmap(_segment)(ys, n_valids)
+         cap_overflow, n_detected) = jax.vmap(_segment)(ys, n_valids)
         # repairable-by-exact-rerun bit: everything but the max_onsets
         # cap (wave-budget drops OR into it below — an exact run
         # computes every slot, so those always repair)
@@ -198,6 +201,7 @@ def build_files_fn(predictor, scaler, ckpt_sr: int, mfcc_params: dict,
             return (a.reshape((b, k) + a.shape[1:])
                     if a is not None else None)
         return (perfile(probs), perfile(mlp_p), perfile(cnn_p),
-                perfile(pitch), kept, onsets, times, overflow, fixable)
+                perfile(pitch), kept, onsets, times, overflow, fixable,
+                n_detected)
 
     return run

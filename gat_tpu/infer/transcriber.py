@@ -35,6 +35,12 @@ from ..utils.scaler import FeatureScaler
 from ..utils.wavio import read_wav
 from .predictor import NotePredictor
 
+# waves per device dispatch in transcribe_files (the swept v5e sweet
+# spot — docs/PERF.md). serve.py's warmup derives its compile shapes
+# from this so the warmed program family always matches what
+# transcribe_files actually dispatches.
+DEFAULT_MAX_BATCH = 4
+
 __all__ = ["Transcriber"]
 
 
@@ -288,7 +294,7 @@ class Transcriber:
     def transcribe_files(self, paths, target_sr: int = TARGET_SR,
                          clip_duration: float | None = None,
                          max_onsets: int = 64,
-                         max_batch: int = 4,
+                         max_batch: int = DEFAULT_MAX_BATCH,
                          wave_clip_budget: int | None | str = "auto",
                          cand_budget: int | None | str = "auto",
                          exact_fallback: bool = True,
@@ -383,14 +389,16 @@ class Transcriber:
 
         results: list[dict | None] = [None] * len(paths)
         fixable: list[bool] = [False] * len(paths)
+        n_det: list[int] = [0] * len(paths)
 
         def _emit(idx, o):
             # o = per-file tuple (probs, mlp, cnn|None, pitch, kept,
-            # onsets, times, overflow, fixable), already on the host
+            # onsets, times, overflow, fixable, n_detected), on the host
             results[idx] = self._build_result(
                 o[0], o[1], o[2], o[3], o[4], o[5], o[6], target_sr,
                 empty_ok=True, overflow=o[7])
             fixable[idx] = bool(np.asarray(o[8]))
+            n_det[idx] = int(np.asarray(o[9]))
 
         def _run_bucket(fns, group, n_bucket):
             """One bucket through a (run, run_scan) program pair: full
@@ -464,24 +472,42 @@ class Transcriber:
                         _run_bucket(exact_fns, rerun, bsec * target_sr)
             # cap auto-scaling: flags that survive the exact pass are
             # genuine max_onsets truncations — the reference's slicer has
-            # no cap (it loops over every detected onset), so double
-            # max_onsets and re-dispatch the still-flagged files until
-            # the flag clears or the ceiling stops it. pow2 doubling
-            # keeps the compile family log-bounded; only flagged (rare,
-            # dense) files ever pay for the headroom.
-            m = max_onsets * 2
-            while max_onsets_ceiling and m <= max_onsets_ceiling:
-                capped = {i for i, r in enumerate(results)
-                          if r is not None and r["onset_overflow"]}
-                if not capped:
-                    break
-                fns_m = self._fused_files_fn(target_sr, clip_duration, m,
-                                             None, 0)
-                for bsec, group in buckets.items():
-                    rerun = [e for e in group if e[0] in capped]
-                    if rerun:
-                        _run_bucket(fns_m, rerun, bsec * target_sr)
-                m *= 2
+            # no cap (it loops over every detected onset), so re-dispatch
+            # each still-flagged file at the pow2 cap that FITS its
+            # detected count (n_detected is exact whenever the candidate
+            # bits are clean, which cap-only overflow guarantees — a
+            # 1000-onset file pays ONE re-dispatch at 1024, not a ladder
+            # of doublings and their one-time compiles), grouped per cap
+            # so a mixed-density batch pays one dispatch per distinct
+            # cap. The compile family stays the pow2 caps ≤ ceiling;
+            # only flagged (rare, dense) files ever pay for headroom. A
+            # file denser than the ceiling gets one final run AT the
+            # ceiling — the most onsets honesty allows — and keeps its
+            # flag (its cap stops growing, so the loop exits).
+            if max_onsets_ceiling:
+                caps = {i: max_onsets for i in range(len(paths))}
+                while True:
+                    todo: dict[int, set[int]] = {}
+                    for i, r in enumerate(results):
+                        if r is None or not r["onset_overflow"]:
+                            continue
+                        m = 1 << (max(n_det[i], caps[i] + 1)
+                                  - 1).bit_length()
+                        m = min(m, int(max_onsets_ceiling))
+                        if m > caps[i]:
+                            todo.setdefault(m, set()).add(i)
+                    if not todo:
+                        break
+                    for m, fset_m in sorted(todo.items()):
+                        fns_m = self._fused_files_fn(
+                            target_sr, clip_duration, m, None, 0)
+                        for bsec, group in buckets.items():
+                            rerun = [e for e in group if e[0] in fset_m]
+                            if rerun:
+                                _run_bucket(fns_m, rerun,
+                                            bsec * target_sr)
+                        for i in fset_m:
+                            caps[i] = m
         return results
 
     def transcribe_clips(self, clips_ckpt_sr: jnp.ndarray) -> dict:
@@ -557,8 +583,8 @@ class Transcriber:
             n = -(-n_raw * target_sr // sr_in)  # true resampled length
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets,
                                       cand_budget)
-            probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, fix = \
-                jax.device_get(run(y_pad, jnp.asarray(n)))  # one transfer
+            (probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, fix,
+             nd) = jax.device_get(run(y_pad, jnp.asarray(n)))  # 1 transfer
             if exact_fallback and bool(np.asarray(fix)):
                 # exact re-run: full-length candidate scan through the
                 # SINGLE-FILE program family (cand_budget is part of its
@@ -568,18 +594,30 @@ class Transcriber:
                 # file program already computes every slot
                 exact_run = self._fused_file_fn(target_sr, clip_duration,
                                                 max_onsets, 0)
-                probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _ = \
-                    jax.device_get(exact_run(y_pad, jnp.asarray(n)))
+                (probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _,
+                 nd) = jax.device_get(exact_run(y_pad, jnp.asarray(n)))
             # cap auto-scaling: a surviving flag is a genuine max_onsets
-            # truncation — double and re-run until it clears or the
-            # ceiling stops it (same contract as transcribe_files)
-            m = max_onsets * 2
-            while (exact_fallback and max_onsets_ceiling
-                   and bool(np.asarray(ovf)) and m <= max_onsets_ceiling):
+            # truncation — re-run at the pow2 cap that FITS the detected
+            # count (n_detected is exact once the candidate bits are
+            # clean, which cap-only overflow guarantees), so a 1000-onset
+            # file pays ONE re-dispatch, not a ladder of doublings. The
+            # loop only repeats if the count was still censored (never
+            # with a clean scan); m grows strictly, bounded by the
+            # ceiling. Same contract as transcribe_files.
+            m_prev = max_onsets
+            while exact_fallback and max_onsets_ceiling \
+                    and bool(np.asarray(ovf)):
+                m = 1 << (max(int(nd), m_prev + 1) - 1).bit_length()
+                # denser than the ceiling: one final run AT the ceiling
+                # returns the most onsets honesty allows, then the flag
+                # survives (m stops growing → loop exits)
+                m = min(m, int(max_onsets_ceiling))
+                if m <= m_prev:
+                    break
                 run_m = self._fused_file_fn(target_sr, clip_duration, m, 0)
-                probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _ = \
-                    jax.device_get(run_m(y_pad, jnp.asarray(n)))
-                m *= 2
+                (probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _,
+                 nd) = jax.device_get(run_m(y_pad, jnp.asarray(n)))
+                m_prev = m
             return self._build_result(probs, mlp_p, cnn_p, pitch, kept,
                                       onsets, times, target_sr,
                                       overflow=ovf)
@@ -592,7 +630,8 @@ class Transcriber:
         # one device->host transfer for all six segmentation outputs (the
         # per-array np.asarray calls below would each be a blocking ~30 ms
         # tunnel round trip on the default single-file path)
-        clips, kept, onsets, ovalid, times, overflow, cap = jax.device_get(
+        (clips, kept, onsets, ovalid, times, overflow, cap,
+         nd) = jax.device_get(
             segment_waveform(y22, sr=target_sr, length_sec=clip_duration,
                              max_onsets=max_onsets,
                              cand_budget=cand_budget))
@@ -603,21 +642,27 @@ class Transcriber:
             # genuine max_onsets truncation. Cap-only overflow skips the
             # re-run — the exact scan provably returns the same first
             # max_onsets onsets (pick_onsets_from_envelope contract)
-            clips, kept, onsets, ovalid, times, overflow, _ = \
+            clips, kept, onsets, ovalid, times, overflow, _, nd = \
                 jax.device_get(segment_waveform(
                     y22, sr=target_sr, length_sec=clip_duration,
                     max_onsets=max_onsets, cand_budget=0))
         # cap auto-scaling: a flag that survives (or was cap-only from
-        # the start) is a genuine max_onsets truncation — re-segment with
-        # pow2-doubled caps until it clears or the ceiling stops it
-        m = max_onsets * 2
-        while (exact_fallback and max_onsets_ceiling
-               and bool(np.asarray(overflow)) and m <= max_onsets_ceiling):
-            clips, kept, onsets, ovalid, times, overflow, _ = \
+        # the start) is a genuine max_onsets truncation — re-segment ONCE
+        # at the pow2 cap that fits the detected count (exact when the
+        # candidate bits are clean), clamped to the ceiling; see the
+        # fused branch above for the loop contract
+        m_prev = max_onsets
+        while exact_fallback and max_onsets_ceiling \
+                and bool(np.asarray(overflow)):
+            m = 1 << (max(int(nd), m_prev + 1) - 1).bit_length()
+            m = min(m, int(max_onsets_ceiling))
+            if m <= m_prev:
+                break  # ceiling reached: honest flag survives
+            clips, kept, onsets, ovalid, times, overflow, _, nd = \
                 jax.device_get(segment_waveform(
                     y22, sr=target_sr, length_sec=clip_duration,
                     max_onsets=m, cand_budget=0))
-            m *= 2
+            m_prev = m
         kept_np = np.asarray(kept)
         clips_np = np.asarray(clips)[kept_np]
         if clips_np.shape[0] == 0:

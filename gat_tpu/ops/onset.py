@@ -202,7 +202,8 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     ~10.3 ms to the envelope-bound floor on a v5e chip.
 
     Returns (onsets (max_onsets,) int32, valid (max_onsets,) bool,
-    overflow () bool, cap_overflow () bool). `overflow` is True when
+    overflow () bool, cap_overflow () bool, n_kept () int32).
+    `overflow` is True when
     truncation engaged AND could have changed the result: more kept
     onsets than `max_onsets`, or more raw candidates than `cand_budget`
     with the dropped (always latest) candidates not provably rejected by
@@ -218,7 +219,14 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
     only repairable by raising `max_onsets` itself. Exact-fallback
     consumers re-dispatch a file only when `overflow & ~cap_overflow`
     (a budget could have changed the result), never paying an exact
-    re-run that cannot change anything."""
+    re-run that cannot change anything.
+
+    `n_kept` is how many onsets the greedy scan ACCEPTED before the cap
+    (cap_overflow == n_kept > max_onsets). When the candidate-budget
+    bits are clean — cap-only overflow, or any run with cand_budget
+    0/None — the scan saw every candidate, so n_kept is the file's true
+    onset count: cap-auto-scaling consumers jump straight to the pow2
+    cap that fits instead of doubling through intermediate re-runs."""
     if cand_budget is not None and cand_budget < 0:
         raise ValueError(
             f"cand_budget must be >= 0 (0 = full-length scan, None = "
@@ -320,9 +328,10 @@ def pick_onsets_from_envelope(env: jax.Array, sr: int, hop_length: int,
                             jnp.int32)])
     order = order[:max_onsets]
     valid = order < big
-    cap_overflow = jnp.sum(keep) > max_onsets
+    n_kept = jnp.sum(keep, dtype=jnp.int32)
+    cap_overflow = n_kept > max_onsets
     overflow = cand_overflow | cap_overflow
-    return jnp.where(valid, order, 0), valid, overflow, cap_overflow
+    return jnp.where(valid, order, 0), valid, overflow, cap_overflow, n_kept
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "hop_length", "min_sep",
@@ -336,7 +345,8 @@ def detect_onsets(y: jax.Array, sr: int = 22050, hop_length: int = 512,
     """Full onset chain for ONE signal (vmap for batches):
     (n,) → (onset_samples (max_onsets,) int32, valid (max_onsets,) bool,
     overflow () bool — True iff a fixed budget truncated detections,
-    cap_overflow () bool — the irreparable `max_onsets` bit of overflow;
+    cap_overflow () bool — the irreparable `max_onsets` bit of overflow,
+    n_kept () int32 — onsets accepted before the cap;
     see pick_onsets_from_envelope for the repairability contract).
 
     Mirrors the reference slicer: onset_strength → onset_detect(backtrack)

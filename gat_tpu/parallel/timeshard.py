@@ -125,6 +125,7 @@ def detect_onsets_timesharded(y: jax.Array, mesh: Mesh, sr: int = 22050,
     pick, backtrack, min-separation) is the same shared helper the
     single-device path uses (ref detect_onsets semantics,
     slicing.py:106-122), jit-compiled here so it runs as one dispatch.
-    Returns (onsets, valid, overflow, cap_overflow) like detect_onsets."""
+    Returns (onsets, valid, overflow, cap_overflow, n_kept) like
+    detect_onsets."""
     env = onset_envelope_timesharded(y, mesh, sr, hop_length)
     return _pick_jit(env, sr, hop_length, min_sep, max_onsets)

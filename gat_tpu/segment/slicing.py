@@ -124,12 +124,15 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
     """Whole-file segmentation: gate → detect onsets → slice. All device
     ops; mirrors AudioSlicer.sliceNsave's compute (ref slicing.py:147-165)
     without the disk round-trip. Returns (clips, kept, onsets, onsets_valid,
-    times, overflow, cap_overflow) — `overflow` () bool is True iff the
-    onset budgets truncated detections (earliest kept), so callers can
-    surface it; `cap_overflow` isolates the max_onsets bit that no
-    bigger candidate scan can repair (see pick_onsets_from_envelope's
-    repairability contract — exact-fallback callers re-dispatch only on
-    overflow & ~cap_overflow).
+    times, overflow, cap_overflow, n_detected) — `overflow` () bool is
+    True iff the onset budgets truncated detections (earliest kept), so
+    callers can surface it; `cap_overflow` isolates the max_onsets bit
+    that no bigger candidate scan can repair (see
+    pick_onsets_from_envelope's repairability contract — exact-fallback
+    callers re-dispatch only on overflow & ~cap_overflow); `n_detected`
+    () int32 is the pre-cap accepted-onset count (exact whenever the
+    candidate bits are clean — cap-auto-scaling callers size the pow2
+    cap from it directly).
     `cand_budget` overrides the onset candidate-scan budget (see
     pick_onsets_from_envelope): serving paths that know their content's
     onset density can size the sequential scan to it — overflow is
@@ -139,7 +142,7 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
     # reference's own default hop of 512 (ref slicing.py:106,150-151)
     y_gated = gating.gate_waveform(y, min_db, hop_length=hop_length,
                                    n_valid_samples=n_valid_samples)
-    onsets, ovalid, overflow, cap_overflow = _detect_onsets_op(
+    onsets, ovalid, overflow, cap_overflow, n_detected = _detect_onsets_op(
         y_gated, sr=sr, hop_length=512,
         min_sep=min_sep, max_onsets=max_onsets,
         n_valid_samples=n_valid_samples, cand_budget=cand_budget)
@@ -148,7 +151,8 @@ def segment_waveform(y: jax.Array, sr: int = TARGET_SR,
         attack_skip_sec=attack_skip_sec, min_slice_rms_db=min_slice_rms_db,
         strict_reference_compat=strict_reference_compat,
         n_valid_samples=n_valid_samples, onset_hop=512)
-    return clips, kept, onsets, ovalid, times, overflow, cap_overflow
+    return (clips, kept, onsets, ovalid, times, overflow, cap_overflow,
+            n_detected)
 
 
 class AudioSlicer:
@@ -176,7 +180,7 @@ class AudioSlicer:
                       min_sep: float = 0.25, max_onsets: int = 64):
         # one device->host transfer for all three outputs (per-array
         # syncs each cost a ~30 ms tunnel round trip)
-        onsets, valid, overflow, _ = jax.device_get(_detect_onsets_op(
+        onsets, valid, overflow, *_ = jax.device_get(_detect_onsets_op(
             jnp.asarray(y), sr=sr, hop_length=hop_len, min_sep=min_sep,
             max_onsets=max_onsets))
         if bool(overflow):
@@ -217,7 +221,7 @@ class AudioSlicer:
         y, sr = self.load_wav(audio_path, target_sr)
         # one device->host transfer for all six outputs (the per-array
         # np.asarray calls below would each block on the tunnel)
-        clips, kept, onsets, ovalid, times, overflow, _ = jax.device_get(
+        clips, kept, onsets, ovalid, times, overflow, *_ = jax.device_get(
             segment_waveform(
                 jnp.asarray(y), sr=sr, hop_length=hop_len,
                 length_sec=length_sec, min_sep=min_sep,

@@ -115,9 +115,18 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 bsec = 1 << (max(1, math.ceil(float(dur))) - 1).bit_length()
                 yb = np.zeros(bsec * sr, np.float32)
                 yb[: len(y)] = y
+                from .infer.transcriber import DEFAULT_MAX_BATCH
+                mb = 1 << (DEFAULT_MAX_BATCH - 1).bit_length()
                 exact_run, exact_scan = t._fused_files_fn(
                     sr, t.clip_length, 64, None, 0)
                 for b in warmed_bs:
+                    if b > mb:
+                        # unreachable: transcribe_files caps every wave
+                        # at max_batch, so a B>max_batch exact program
+                        # never dispatches (larger groups route through
+                        # run_scan, warmed below) — compiling it would be
+                        # minutes of pure wasted startup per duration
+                        continue
                     jax.block_until_ready(exact_run(
                         jnp.asarray(np.stack([yb] * b)),
                         jnp.full((b,), len(y), jnp.int32)))
@@ -127,11 +136,12 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 # via the public b=8,16,… calls; compile the exact twin
                 # of each reachable K or a dense burst stalls on it
                 k = 2
-                while k * 4 <= max(int(batch), 1):  # max_batch default 4
+                while k * DEFAULT_MAX_BATCH <= max(int(batch), 1):
                     jax.block_until_ready(exact_scan(
-                        jnp.asarray(np.stack([yb] * (k * 4))
-                                    .reshape(k, 4, -1)),
-                        jnp.full((k, 4), len(y), jnp.int32)))
+                        jnp.asarray(np.stack([yb] * (k * DEFAULT_MAX_BATCH))
+                                    .reshape(k, DEFAULT_MAX_BATCH, -1)),
+                        jnp.full((k, DEFAULT_MAX_BATCH), len(y),
+                                 jnp.int32)))
                     k *= 2
             try:
                 t.transcribe(paths[0])

@@ -136,9 +136,18 @@ class LiveTranscriber:
             return y[:n]
         return np.pad(y, (0, n - len(y)))
 
-    def _enqueue(self, clip: np.ndarray) -> None:
+    def _enqueue(self, clip: np.ndarray, drain_first: bool = False) -> None:
         """Bounded queue with drop-oldest backpressure; every eviction is
-        counted in `queue_drops` (explicit casualty, never silent)."""
+        counted in `queue_drops` (explicit casualty, never silent).
+
+        `drain_first`: run inference on everything already queued before
+        enqueueing when the queue is full — used by the end-of-stream
+        flush, where the caller is the consumer thread itself and there
+        is no producer to backpressure: evicting a note there would be
+        pure loss (a flush slicing 3 notes into the maxsize-2 queue used
+        to drop the first one), not load-shedding."""
+        if drain_first and self.note_q.full():
+            self.drain_queue()
         try:
             self.note_q.put_nowait(clip)
         except queue.Full:
@@ -191,11 +200,35 @@ class LiveTranscriber:
         # frame as a minimum, so after a pairs-clear the next note's onset
         # routinely lands at 0 — a falsy-zero sentinel would never clear
         # it and re-enqueue the same note on every poll)
-        if len(onsets) == 1:
+        # a trailing single onset slices to the buffer end in two cases,
+        # decided at ENTRY: (a) it is the only onset (nothing to pair
+        # with — the reference's single-onset rule), or (b) this is the
+        # end-of-stream flush, where the pairs loop's leftover onset has
+        # no next poll to wait for (>=2 onsets at a force flush used to
+        # lose the stream's final note). A non-force snapshot with >=2
+        # onsets instead leaves its last onset pending: the next poll
+        # pairs it. ONE copy of the slice-to-end rule covers both.
+        slice_tail = force or len(onsets) == 1
+        while len(onsets) >= 2:
+            s = buf[onsets[0]:onsets[1]]
+            if len(s) > self.min_slice_len:
+                self._enqueue(self.pad_or_trim_audio(
+                    s, CLIP_DURATION, self.sample_rate), drain_first=force)
+                queued += 1
+                # keep detector context BEFORE the next onset, but always
+                # clear past the consumed note's attack (re-slice guard);
+                # min_sep guarantees ctx + guard fit between two onsets,
+                # so forward progress holds
+                clear_to = max(onsets[1] - self._onset_ctx,
+                               onsets[0] + self._attack_guard)
+            else:
+                clear_to = onsets[0] + 1  # too-short pseudo-note: discard
+            del onsets[:1]
+        if slice_tail and len(onsets) == 1:
             s = buf[onsets[0]:]
             if len(s) > self.min_slice_len:
                 self._enqueue(self.pad_or_trim_audio(
-                    s, CLIP_DURATION, self.sample_rate))
+                    s, CLIP_DURATION, self.sample_rate), drain_first=force)
                 queued += 1
                 # consume the SLICED region (capped at the clip length
                 # actually transcribed): clearing only onset+1 — the
@@ -204,7 +237,10 @@ class LiveTranscriber:
                 # horizon the same note re-triggers on every later
                 # snapshot (measured: the final soak note transcribed
                 # 3×). The note's own decay can't re-trigger (no rising
-                # flux), so exact-once holds.
+                # flux), so exact-once holds. (This clear is always past
+                # any pairs-loop clear: min_sep keeps pair clears below
+                # the last onset, and this one reaches at least
+                # min_slice_len beyond it.)
                 clip_n = int(CLIP_DURATION * self.sample_rate)
                 clear_to = min(onsets[0] + max(clip_n, self.min_slice_len),
                                len(buf))
@@ -223,36 +259,6 @@ class LiveTranscriber:
                         min(clear_to,
                             len(buf) - self._edge_latency - self._onset_ctx),
                         onsets[0] + self._attack_guard)
-                onsets = []
-        while len(onsets) >= 2:
-            s = buf[onsets[0]:onsets[1]]
-            if len(s) > self.min_slice_len:
-                self._enqueue(self.pad_or_trim_audio(
-                    s, CLIP_DURATION, self.sample_rate))
-                queued += 1
-                # keep detector context BEFORE the next onset, but always
-                # clear past the consumed note's attack (re-slice guard);
-                # min_sep guarantees ctx + guard fit between two onsets,
-                # so forward progress holds
-                clear_to = max(onsets[1] - self._onset_ctx,
-                               onsets[0] + self._attack_guard)
-            else:
-                clear_to = onsets[0] + 1  # too-short pseudo-note: discard
-            del onsets[:1]
-        if force and len(onsets) == 1:
-            # end-of-stream flush with ≥2 onsets at entry: the pairs loop
-            # always leaves the LAST onset unsliced (it waits for the next
-            # onset or poll), and force has no next poll — slice it to the
-            # buffer end now, same rule as the single-onset branch above,
-            # or the stream's trailing note is silently lost.
-            s = buf[onsets[0]:]
-            if len(s) > self.min_slice_len:
-                self._enqueue(self.pad_or_trim_audio(
-                    s, CLIP_DURATION, self.sample_rate))
-                queued += 1
-                clip_n = int(CLIP_DURATION * self.sample_rate)
-                clear_to = min(onsets[0] + max(clip_n, self.min_slice_len),
-                               len(buf))
         if clear_to >= 0:
             self.buffer.clear_until(start_abs + clear_to)
         return queued
@@ -318,4 +324,11 @@ class LiveTranscriber:
                     time.sleep(0.1)
             except KeyboardInterrupt:
                 print("Stopping live mic...")
+        # mic stopped: flush the partially-filled ring so the session's
+        # trailing note(s) are transcribed, not lost — the same
+        # end-of-stream rule run_on_source applies (a non-force poll
+        # returns 0 whenever the ring is not full, so without this the
+        # final note of every live session silently vanished)
+        self.process_buffer(force=True)
+        self.drain_queue()
         return self.results

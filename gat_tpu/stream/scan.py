@@ -86,8 +86,8 @@ class ScanStreamer:
             ring, rel_last = carry
             ring = jnp.concatenate([ring[chunk:], chunk_x])
             rel_last = jnp.maximum(rel_last - chunk, -(2 ** 30))
-            onsets, valid, ovf, _ = detect_onsets(ring, sr=sr, min_sep=0.0,
-                                                  max_onsets=k_slots)
+            onsets, valid, ovf, *_ = detect_onsets(ring, sr=sr, min_sep=0.0,
+                                                   max_onsets=k_slots)
             # candidate clips for every budget slot (dynamic_slice clamps
             # out-of-range starts; such slots are masked out below anyway)
             clips = jax.vmap(

@@ -394,6 +394,48 @@ def test_cap_autoscale_repairs_max_onsets_truncation(tmp_path, transcriber):
         assert s["onsets_s"] == roomy["onsets_s"]
 
 
+def test_cap_autoscale_single_redispatch_sized_by_count(tmp_path,
+                                                        transcriber,
+                                                        monkeypatch):
+    """Cap auto-scaling jumps straight to the pow2 cap that FITS the
+    detected onset count (n_detected rides out of the fused program,
+    exact under cap-only overflow) — a 5-note file at max_onsets=2 pays
+    ONE cap re-dispatch at m=8, never the intermediate m=4 doubling and
+    its one-time compile."""
+    y = _riff()  # 5 notes
+    p = tmp_path / "dense5.wav"
+    write_wav(p, y, SR)
+    calls: list[tuple] = []
+    orig = type(transcriber)._fused_files_fn
+
+    def spy(self, *a, **kw):
+        calls.append(a)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(transcriber), "_fused_files_fn", spy)
+    r = transcriber.transcribe_files([p], max_onsets=2)[0]
+    assert r["onset_overflow"] is False
+    # cap re-runs are the exact builds (budget None, cand 0) ABOVE the
+    # requested cap; exactly one, at the count-fitting pow2
+    cap_ms = [a[2] for a in calls
+              if len(a) >= 5 and a[3] is None and a[4] == 0 and a[2] > 2]
+    assert cap_ms == [8], f"expected one m=8 cap re-dispatch, got {cap_ms}"
+    # the single-file fused path sizes its re-run the same way
+    calls.clear()
+    orig1 = type(transcriber)._fused_file_fn
+
+    def spy1(self, *a, **kw):
+        calls.append(a)
+        return orig1(self, *a, **kw)
+
+    monkeypatch.setattr(type(transcriber), "_fused_file_fn", spy1)
+    s = transcriber.transcribe(p, max_onsets=2, fused=True)
+    assert s["onset_overflow"] is False
+    cap_ms1 = [a[2] for a in calls if len(a) >= 4 and a[2] > 2]
+    assert cap_ms1 == [8], \
+        f"single-file path: expected one m=8 re-run, got {cap_ms1}"
+
+
 def test_single_file_exact_fallback(tmp_path, transcriber):
     """transcribe() carries the same exact-fallback contract as
     transcribe_files: a starved cand_budget raises the flag with

@@ -267,19 +267,23 @@ def test_onset_overflow_flag(rng):
     when either the candidate budget or max_onsets truncates, and the
     kept onsets are the earliest ones."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    # roomy budgets: no overflow
-    _, _, ovf, cap = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
+    # roomy budgets: no overflow; n_kept reports the true onset count
+    _, _, ovf, cap, nk = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
     assert not bool(ovf) and not bool(cap)
+    assert int(nk) == 3
     # candidate budget of 2 on a 3-candidate song: overflow — and the
     # cap bit stays clear (an exact re-run COULD repair it)
-    o_t, v_t, ovf_t, cap_t = detect_onsets(jnp.asarray(y), sr=SR,
-                                           cand_budget=2)
+    o_t, v_t, ovf_t, cap_t, _ = detect_onsets(jnp.asarray(y), sr=SR,
+                                              cand_budget=2)
     assert bool(ovf_t) and not bool(cap_t)
     # max_onsets=2 with 3 kept onsets: overflow, earliest two kept,
-    # and the cap bit raised (no candidate scan can repair it)
-    o_m, v_m, ovf_m, cap_m = detect_onsets(jnp.asarray(y), sr=SR,
-                                           max_onsets=2)
+    # the cap bit raised (no candidate scan can repair it) — and n_kept
+    # still counts ALL 3 accepted onsets (clean candidate bits make it
+    # exact), which is what cap-auto-scaling sizes its re-run from
+    o_m, v_m, ovf_m, cap_m, nk_m = detect_onsets(jnp.asarray(y), sr=SR,
+                                                 max_onsets=2)
     assert bool(ovf_m) and bool(cap_m)
+    assert int(nk_m) == 3
     o_f, v_f, *_ = detect_onsets(jnp.asarray(y), sr=SR, max_onsets=64)
     full = np.asarray(o_f)[np.asarray(v_f)]
     np.testing.assert_array_equal(np.asarray(o_m)[np.asarray(v_m)],
@@ -290,7 +294,7 @@ def test_onset_overflow_flag(rng):
     t = 400
     env = rng.uniform(0.5, 1.0, t).astype(np.float32)
     env[::2] += 2.0  # every other frame a local max over a high floor
-    _, _, ovf_d, _ = pick_onsets_from_envelope(
+    _, _, ovf_d, *_ = pick_onsets_from_envelope(
         jnp.asarray(env), SR, 512, 0.0, 8, backtrack=False,
         cand_budget=16)
     assert bool(ovf_d)
@@ -313,7 +317,7 @@ def test_cap_overflow_is_unrepairable_by_exact_rescan(rng):
         env[rng.integers(0, t, t // 4)] += rng.uniform(0.5, 3.0, t // 4)
         for budget in (8, 16, 32):
             for bt in (False, True):
-                o_b, v_b, _, cap = pick_onsets_from_envelope(
+                o_b, v_b, _, cap, _nk = pick_onsets_from_envelope(
                     jnp.asarray(env), SR, 512, 0.0, 4,
                     backtrack=bt, cand_budget=budget)
                 if not bool(cap):
@@ -333,10 +337,12 @@ def test_segment_waveform_overflow_surfaces():
     """segment_waveform passes the flag through; a tiny max_onsets on a
     3-note song trips it."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    *_, ovf, cap = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=2)
+    *_, ovf, cap, nd = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=2)
     assert bool(ovf)
     assert bool(cap)  # a max_onsets truncation is cap overflow
-    *_, ovf2, cap2 = segment_waveform(jnp.asarray(y), sr=SR, max_onsets=64)
+    assert int(nd) == 3  # ...and the true count rides along
+    *_, ovf2, cap2, _ = segment_waveform(jnp.asarray(y), sr=SR,
+                                         max_onsets=64)
     assert not bool(ovf2) and not bool(cap2)
 
 
@@ -345,17 +351,18 @@ def test_segment_waveform_cand_budget_knob():
     budget reproduces the default's segmentation exactly, and a
     too-small one trips the overflow flag instead of failing silently."""
     y = _song([0.4, 1.1, 1.8], [146.83, 196.0, 246.94])
-    clips_d, kept_d, on_d, ov_d, _, ovf_d, _ = segment_waveform(
+    clips_d, kept_d, on_d, ov_d, _, ovf_d, *_ = segment_waveform(
         jnp.asarray(y), sr=SR, max_onsets=16)
-    clips_c, kept_c, on_c, ov_c, _, ovf_c, _ = segment_waveform(
+    clips_c, kept_c, on_c, ov_c, _, ovf_c, *_ = segment_waveform(
         jnp.asarray(y), sr=SR, max_onsets=16, cand_budget=64)
     assert not bool(ovf_d) and not bool(ovf_c)
     np.testing.assert_array_equal(np.asarray(kept_d), np.asarray(kept_c))
     np.testing.assert_array_equal(np.asarray(on_d)[np.asarray(ov_d)],
                                   np.asarray(on_c)[np.asarray(ov_c)])
     np.testing.assert_allclose(np.asarray(clips_d), np.asarray(clips_c))
-    *_, ovf_tiny, cap_tiny = segment_waveform(jnp.asarray(y), sr=SR,
-                                              max_onsets=16, cand_budget=2)
+    *_, ovf_tiny, cap_tiny, _ = segment_waveform(jnp.asarray(y), sr=SR,
+                                                 max_onsets=16,
+                                                 cand_budget=2)
     assert bool(ovf_tiny)
     assert not bool(cap_tiny)  # candidate truncation is repairable
 
@@ -371,9 +378,9 @@ def test_onset_overflow_not_flagged_when_provably_exact():
     env[100] = env[105] = 3.0  # equal peaks 5 < wait frames apart
     kw = dict(sr=SR, hop_length=hop, min_sep=0.0, max_onsets=8,
               backtrack=False)
-    o_f, v_f, ovf_f, _ = pick_onsets_from_envelope(
+    o_f, v_f, ovf_f, *_ = pick_onsets_from_envelope(
         jnp.asarray(env), cand_budget=0, **kw)
-    o_1, v_1, ovf_1, _ = pick_onsets_from_envelope(
+    o_1, v_1, ovf_1, *_ = pick_onsets_from_envelope(
         jnp.asarray(env), cand_budget=1, **kw)
     assert not bool(ovf_f)
     assert not bool(ovf_1)  # truncated, but provably unchanged
@@ -400,7 +407,7 @@ def test_overflow_flag_is_sound_on_random_envelopes(rng):
         for budget in (2, 4, 8, 16, 32, 64):
             for min_sep in (0.1, 0.4):
                 for bt in (False, True):
-                    o_b, v_b, ovf, _ = pick_onsets_from_envelope(
+                    o_b, v_b, ovf, *_ = pick_onsets_from_envelope(
                         jnp.asarray(env), SR, 512, min_sep, 32,
                         backtrack=bt, cand_budget=budget)
                     if bool(ovf):
@@ -582,12 +589,13 @@ def test_padded_vs_exact_detection_property(rng):
                 -np.arange(tail, dtype=np.float32) / (0.02 * SR))
         if trial % 3 == 0:
             y[nv - 2] += 1.0  # loud transient AT the valid end
-        o1, v1, f1, c1 = detect_onsets(jnp.asarray(y), sr=SR)
+        o1, v1, f1, c1, n1 = detect_onsets(jnp.asarray(y), sr=SR)
         ypad = np.zeros(bucket, np.float32)
         ypad[:nv] = y
-        o2, v2, f2, c2 = detect_onsets(jnp.asarray(ypad), sr=SR,
-                                       n_valid_samples=jnp.asarray(nv))
+        o2, v2, f2, c2, n2 = detect_onsets(jnp.asarray(ypad), sr=SR,
+                                           n_valid_samples=jnp.asarray(nv))
         np.testing.assert_array_equal(np.asarray(o1)[np.asarray(v1)],
                                       np.asarray(o2)[np.asarray(v2)])
         assert bool(f1) == bool(f2)
         assert bool(c1) == bool(c2)
+        assert int(n1) == int(n2)

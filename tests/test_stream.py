@@ -106,6 +106,28 @@ def test_queue_drop_oldest_backpressure():
     assert first[0] in (2.0,)
 
 
+def test_force_flush_drains_full_queue_instead_of_dropping():
+    """At the end-of-stream flush the CALLER is the consumer thread — no
+    producer remains to backpressure — so a full queue must drain
+    (inference) before the enqueue, never evict: a 3-note flush into a
+    maxsize-2 queue used to drop the first note as a phantom
+    'drop-oldest' casualty."""
+    live = _bare_live(ring=33075, qsize=2)
+    drained: list = []
+
+    def fake_drain():
+        while not live.note_q.empty():
+            drained.append(live.note_q.get_nowait())
+
+    live.drain_queue = fake_drain
+    live.detect_onsets = lambda y: [1000, 10000, 19000]  # gaps > min_sep
+    live.buffer.push(np.ones(30000, np.float32))
+    assert live.process_buffer(force=True) == 3
+    assert live.queue_drops == 0, \
+        "flush evicted a note with no producer left to shed"
+    assert len(drained) + live.note_q.qsize() == 3
+
+
 def test_ring_pop_drops_newest():
     r = RingBuffer(6)
     r.push(np.arange(5, dtype=np.float32))
