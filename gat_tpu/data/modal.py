@@ -140,6 +140,14 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
             and stressor not in _STRESSORS:
         raise ValueError(f"unknown stressor {stressor!r}")
     rng = np.random.default_rng(seed)
+    # held-out-family marker FIRST, before any audio exists: an
+    # interrupted render must never leave a valid-looking but unmarked
+    # dataset that TrainingManager._refuse_eval_only would accept —
+    # the marker's whole job is to make that leak impossible
+    out_root.mkdir(parents=True, exist_ok=True)
+    (out_root / EVAL_ONLY_MARKER).write_text(
+        '{"eval_only": true, "renderer": "modal", "reason": '
+        '"held-out evaluation family - see gat_tpu/data/modal.py"}\n')
     pending = []
     for ci, name in enumerate(class_names):
         f0 = float(midi_to_hz(note_to_midi(name)))
@@ -170,10 +178,4 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
         pending.clear()
         if verbose and ci % 10 == 0:
             print(f"[render_modal_dataset] {ci + 1}/{len(class_names)}")
-    # held-out-family marker: training entry points refuse any dataset
-    # carrying this file (TrainingManager._choose_dataset), so the eval
-    # family can never silently leak into training data
-    (out_root / EVAL_ONLY_MARKER).write_text(
-        '{"eval_only": true, "renderer": "modal", "reason": '
-        '"held-out evaluation family - see gat_tpu/data/modal.py"}\n')
     return out_root

@@ -44,6 +44,22 @@ DEFAULT_MAX_BATCH = 4
 __all__ = ["Transcriber"]
 
 
+def _next_onset_cap(n_detected: int, prev_cap: int,
+                    ceiling: int | None) -> int | None:
+    """The next `max_onsets` for one cap auto-scaling re-run: the pow2
+    that FITS the detected count (strictly above the previous cap, so a
+    censored count still makes progress), clamped to the ceiling. None
+    = no larger cap is allowed (ceiling disabled or already reached) —
+    the caller keeps the honest overflow flag. ONE definition shared by
+    transcribe_files, the fused single-file path, and the two-stage
+    path, so the cap-scaling arithmetic can never drift between them."""
+    if not ceiling:
+        return None
+    m = 1 << (max(int(n_detected), prev_cap + 1) - 1).bit_length()
+    m = min(m, int(ceiling))
+    return m if m > prev_cap else None
+
+
 class Transcriber:
     def __init__(self, mlp_ckpt=None, cnn_ckpt=None, mlp_root=None,
                  cnn_root=None, cnn_weight: float = 0.80,
@@ -491,10 +507,9 @@ class Transcriber:
                     for i, r in enumerate(results):
                         if r is None or not r["onset_overflow"]:
                             continue
-                        m = 1 << (max(n_det[i], caps[i] + 1)
-                                  - 1).bit_length()
-                        m = min(m, int(max_onsets_ceiling))
-                        if m > caps[i]:
+                        m = _next_onset_cap(n_det[i], caps[i],
+                                            max_onsets_ceiling)
+                        if m is not None:
                             todo.setdefault(m, set()).add(i)
                     if not todo:
                         break
@@ -605,14 +620,12 @@ class Transcriber:
             # with a clean scan); m grows strictly, bounded by the
             # ceiling. Same contract as transcribe_files.
             m_prev = max_onsets
-            while exact_fallback and max_onsets_ceiling \
-                    and bool(np.asarray(ovf)):
-                m = 1 << (max(int(nd), m_prev + 1) - 1).bit_length()
+            while exact_fallback and bool(np.asarray(ovf)):
                 # denser than the ceiling: one final run AT the ceiling
                 # returns the most onsets honesty allows, then the flag
-                # survives (m stops growing → loop exits)
-                m = min(m, int(max_onsets_ceiling))
-                if m <= m_prev:
+                # survives (the next cap is None → loop exits)
+                m = _next_onset_cap(int(nd), m_prev, max_onsets_ceiling)
+                if m is None:
                     break
                 run_m = self._fused_file_fn(target_sr, clip_duration, m, 0)
                 (probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, _,
@@ -652,12 +665,10 @@ class Transcriber:
         # candidate bits are clean), clamped to the ceiling; see the
         # fused branch above for the loop contract
         m_prev = max_onsets
-        while exact_fallback and max_onsets_ceiling \
-                and bool(np.asarray(overflow)):
-            m = 1 << (max(int(nd), m_prev + 1) - 1).bit_length()
-            m = min(m, int(max_onsets_ceiling))
-            if m <= m_prev:
-                break  # ceiling reached: honest flag survives
+        while exact_fallback and bool(np.asarray(overflow)):
+            m = _next_onset_cap(int(nd), m_prev, max_onsets_ceiling)
+            if m is None:
+                break  # ceiling reached/disabled: honest flag survives
             clips, kept, onsets, ovalid, times, overflow, _, nd = \
                 jax.device_get(segment_waveform(
                     y22, sr=target_sr, length_sec=clip_duration,

@@ -45,7 +45,7 @@ def result_to_json(result: dict) -> dict:
 
 
 def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
-           verbose: bool = True) -> None:
+           verbose: bool = True, warm_onset_caps: int = 0) -> None:
     """Pre-compile the serving device programs before traffic arrives.
 
     For each requested duration, synthesizes `batch` pluck WAVs (real
@@ -143,6 +143,22 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                         jnp.full((k, DEFAULT_MAX_BATCH), len(y),
                                  jnp.int32)))
                     k *= 2
+                # opt-in: the cap auto-scaling exact programs (pow2
+                # max_onsets 128, 256, … ≤ warm_onset_caps). OFF by
+                # default — each level is a fresh minutes-long compile
+                # per duration, and with the persistent XLA cache the
+                # first dense file pays it once per machine, not per
+                # process; deployments that KNOW dense content arrives
+                # (and can't tolerate one slow first request) pre-pay
+                # here. B=2 is the wave floor lone dense files ride.
+                m = 128
+                while warm_onset_caps and m <= int(warm_onset_caps):
+                    cap_run, _ = t._fused_files_fn(
+                        sr, t.clip_length, m, None, 0)
+                    jax.block_until_ready(cap_run(
+                        jnp.asarray(np.stack([yb] * 2)),
+                        jnp.full((2,), len(y), jnp.int32)))
+                    m *= 2
             try:
                 t.transcribe(paths[0])
                 # the single-file fallback's exact re-segmentation is the
@@ -638,6 +654,14 @@ def main():
                          "before serving, e.g. --warmup 4,60 — first "
                          "requests then hit warm jit caches (and the "
                          "persistent XLA cache across restarts)")
+    ap.add_argument("--warm_onset_caps", type=int, default=0,
+                    help="with --warmup: also pre-compile the cap "
+                         "auto-scaling exact programs at pow2 max_onsets "
+                         "128.. up to this value (e.g. 1024) — for "
+                         "deployments expecting dense content that can't "
+                         "tolerate the first >64-onset file's one-time "
+                         "compile stall; costs minutes of extra startup "
+                         "per level per duration")
     args = ap.parse_args()
     # persistent XLA cache: steady-state serving recompiles nothing, but
     # process restarts on real TPUs would otherwise pay minutes of
@@ -660,7 +684,8 @@ def main():
         if tw is None:
             from .infer import Transcriber
             tw = Transcriber()
-        warmup(tw, durs, batch=batch, cand_budget=args.cand_budget)
+        warmup(tw, durs, batch=batch, cand_budget=args.cand_budget,
+               warm_onset_caps=args.warm_onset_caps)
         return tw
 
     if args.http is not None:

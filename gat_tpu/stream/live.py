@@ -100,8 +100,16 @@ class LiveTranscriber:
         # the exactly-once invariant by construction at any rate.
         self._onset_ctx = 4 * 1024
         self._attack_guard = 2 * 1024 + 1
+        # ...and to min_slice_t: a pair of onsets closer than the minimum
+        # slice length can only ever be discarded (the too-short branch
+        # in process_buffer), so detecting both would grind the consumer
+        # into re-detect/re-discard loops with ~1-sample forward progress
+        # while the ring overruns — keep the detector from reporting
+        # pairs the slicer cannot consume (one hop of margin so the
+        # strict `len > min_slice_len` check passes at the boundary)
         self._min_sep_s = max(
-            0.3, (self._onset_ctx + self._attack_guard + 1) / sample_rate)
+            0.3, min_slice_t + 1024 / sample_rate,
+            (self._onset_ctx + self._attack_guard + 1) / sample_rate)
         # detector RIGHT-EDGE latency: a peak at envelope frame n is only
         # confirmable once post_max/post_avg (≤ 3 frames at hop 1024) and
         # the centered STFT's n_fft/2 look-ahead exist — an attack inside
@@ -222,7 +230,14 @@ class LiveTranscriber:
                 clear_to = max(onsets[1] - self._onset_ctx,
                                onsets[0] + self._attack_guard)
             else:
-                clear_to = onsets[0] + 1  # too-short pseudo-note: discard
+                # too-short pseudo-note (only reachable when backtrack
+                # compressed a pair below min_slice_len — min_sep is
+                # floored at min_slice_t above): discard it, advancing
+                # past its attack when that cannot destroy the next
+                # onset's detection context, else the minimum 1 sample
+                clear_to = max(onsets[0] + 1,
+                               min(onsets[0] + self._attack_guard,
+                                   onsets[1] - self._onset_ctx))
             del onsets[:1]
         if slice_tail and len(onsets) == 1:
             s = buf[onsets[0]:]

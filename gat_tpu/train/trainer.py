@@ -101,6 +101,11 @@ class Trainer:
     # whole-set eval dispatch granularity (examples per device call on
     # the fast path); class attr so tests can shrink it
     _EVAL_CHUNK = 65536
+    # largest val set kept device-resident across per-epoch evaluate
+    # calls (float32 feature bytes); larger sets stream host slices per
+    # chunk instead of pinning the whole set in HBM (replicated per
+    # device under a mesh)
+    _EVAL_RESIDENT_BYTES = 1 << 29  # 512 MB
 
     def __init__(self, model, train_dl, val_dl=None, reverse_map=None,
                  lr: float = 1e-3, weight_decay: float = 1e-4,
@@ -497,19 +502,33 @@ class Trainer:
             # identical to the loop below (drop_last loaders skip the
             # fast path — the loop's trailing-batch drop is part of
             # their contract)
-            c = self._val_data
-            if not (c and c[0] is dl and c[1] is dl.X and c[2] is dl.y):
-                self._val_data = (
-                    dl, dl.X, dl.y,
-                    self._put(jnp.asarray(dl.X, jnp.float32)),
-                    self._put(jnp.asarray(dl.y)))
-            X_dev, Y_dev = self._val_data[3], self._val_data[4]
             n = len(dl.y)
             chunk = self._EVAL_CHUNK
+            # whole-set device residency (cached across the per-epoch
+            # evaluate calls — one upload per training run) is bounded:
+            # a val set past _EVAL_RESIDENT_BYTES streams host slices
+            # per chunk instead, paying re-upload per epoch rather than
+            # pinning gigabytes in HBM (replicated per device on a mesh)
+            resident = (np.asarray(dl.X).nbytes
+                        <= self._EVAL_RESIDENT_BYTES)
+            if resident:
+                c = self._val_data
+                if not (c and c[0] is dl and c[1] is dl.X
+                        and c[2] is dl.y):
+                    self._val_data = (
+                        dl, dl.X, dl.y,
+                        self._put(jnp.asarray(dl.X, jnp.float32)),
+                        self._put(jnp.asarray(dl.y)))
+                X_dev, Y_dev = self._val_data[3], self._val_data[4]
             for i in range(0, n, chunk):
+                if resident:
+                    xc, yc = X_dev[i:i + chunk], Y_dev[i:i + chunk]
+                else:
+                    xc = self._put(jnp.asarray(dl.X[i:i + chunk],
+                                               jnp.float32))
+                    yc = self._put(jnp.asarray(dl.y[i:i + chunk]))
                 loss, corr, preds = self._eval_step(
-                    self.params, self.extra, X_dev[i:i + chunk],
-                    Y_dev[i:i + chunk])
+                    self.params, self.extra, xc, yc)
                 bs = min(chunk, n - i)
                 loss_sum += float(loss) * bs
                 correct += int(corr)

@@ -128,6 +128,22 @@ def test_force_flush_drains_full_queue_instead_of_dropping():
     assert len(drained) + live.note_q.qsize() == 3
 
 
+def test_min_sep_floors_at_min_slice_len():
+    """The onset detector's min separation must cover min_slice_t: a
+    pair of onsets closer than the minimum slice length can only ever
+    hit the too-short discard branch, grinding the consumer into
+    re-detect/re-discard crawl (~1 sample of progress per poll) while
+    the ring overruns. Raising min_slice_t must lift min_sep with it."""
+    from gat_tpu.infer import Transcriber
+    t = Transcriber()
+    live = LiveTranscriber(t, verbose=False, min_slice_t=0.5)
+    assert live._min_sep_s * live.sample_rate > live.min_slice_len
+    # ...and the default keeps one hop of margin over the strict
+    # `len > min_slice_len` check
+    live_d = LiveTranscriber(t, verbose=False)
+    assert live_d._min_sep_s * live_d.sample_rate > live_d.min_slice_len
+
+
 def test_ring_pop_drops_newest():
     r = RingBuffer(6)
     r.push(np.arange(5, dtype=np.float32))

@@ -247,6 +247,26 @@ def test_modal_isolation_guard_refuses_training(tmp_path):
     assert sorted(set(labels)) == ["A2", "E2"] and len(wavs) == 2
 
 
+def test_modal_marker_written_before_rendering(tmp_path, monkeypatch):
+    """An interrupted render must never leave a valid-looking but
+    UNMARKED dataset the training guard would accept: the EVAL_ONLY
+    marker is written before the first wav, so a crash mid-render still
+    leaves the poison pill in place."""
+    from gat_tpu.data.modal import render_modal_dataset, EVAL_ONLY_MARKER
+    import gat_tpu.utils.native_wav as nw
+
+    def boom(pending):
+        raise KeyboardInterrupt  # simulate Ctrl-C mid-render
+
+    monkeypatch.setattr(nw, "write_wav_batch", boom)
+    root = tmp_path / "modal_interrupted"
+    with pytest.raises(KeyboardInterrupt):
+        render_modal_dataset(root, class_names=["E2"],
+                             variants_per_class=1, seed=0)
+    assert (root / EVAL_ONLY_MARKER).exists(), \
+        "interrupted render left an unmarked eval-family dataset"
+
+
 def test_train_synthetic_cli_cannot_reach_modal():
     """tools/train_synthetic.py --family has no 'modal' choice: argparse
     rejects it before any dataset synthesis can run."""

@@ -278,19 +278,24 @@ def main():
         # correct-counts aggregate so each row's CI reflects the full N
         agg: dict[str, int] = {}
         n_total = 0
-        first = None
+        seed_res = []
         for s in range(args.seeds):
             res = evaluate_set(t, tmp / f"{name}_s{s}", args.variants,
                                args.seed + 1000 * s, witness=witness,
                                **dict(kwargs))
-            if first is None:
-                first = res
+            seed_res.append(res)
             n_total += res["n_clips"]
             for k, v in res["_correct"].items():
                 if v is not None:
                     agg[k] = agg.get(k, 0) + v
         if base is None:
-            base = first
+            # confusion-report basis: ALL seeds of the first set, so the
+            # per-class detail describes the same N as the headline row
+            # (a single-seed report silently covered n/args.seeds clips)
+            base = {"_labels": [l for r in seed_res
+                                for l in r["_labels"]],
+                    "probs": np.concatenate(
+                        [r["_result"]["probs"] for r in seed_res])}
         row = {"n_clips": n_total}
         for k, v in agg.items():
             # "agreement" pairs with the witness: point estimate and CI
@@ -314,12 +319,13 @@ def main():
     report["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(report, indent=2))
 
-    # confusion detail for the base (mixed) set
+    # confusion detail for the base (mixed) set, aggregated over all
+    # eval seeds (same N as the headline row)
     labels = base["_labels"]
     classes = sorted(set(labels))
     y_true = np.asarray([classes.index(l) for l in labels])
     rm = t.predictor.reverse_map
-    preds = base["_result"]["probs"].argmax(axis=1)
+    preds = base["probs"].argmax(axis=1)
     pred_names = [rm[int(i)] for i in preds]
     y_pred = np.asarray([classes.index(n) if n in classes else -1
                          for n in pred_names])
