@@ -40,6 +40,18 @@ from .predictor import NotePredictor
 # from this so the warmed program family always matches what
 # transcribe_files actually dispatches.
 DEFAULT_MAX_BATCH = 4
+# per-file onset-slot default (transcribe_files / the exact-fallback
+# programs) — named so serve.warmup compiles the same family
+DEFAULT_MAX_ONSETS = 64
+
+
+def bucket_seconds(duration_s: float) -> int:
+    """The pow2 duration bucket (whole seconds) transcribe_files groups
+    a file into. ONE definition shared with serve.warmup, so warmed
+    program shapes can never drift from what transcribe_files actually
+    dispatches."""
+    sec = max(1, int(-(-float(duration_s) // 1)))  # ceil to whole seconds
+    return 1 << (sec - 1).bit_length()
 
 __all__ = ["Transcriber"]
 
@@ -309,7 +321,7 @@ class Transcriber:
 
     def transcribe_files(self, paths, target_sr: int = TARGET_SR,
                          clip_duration: float | None = None,
-                         max_onsets: int = 64,
+                         max_onsets: int = DEFAULT_MAX_ONSETS,
                          max_batch: int = DEFAULT_MAX_BATCH,
                          wave_clip_budget: int | None | str = "auto",
                          cand_budget: int | None | str = "auto",
@@ -359,14 +371,16 @@ class Transcriber:
         Those surviving cap truncations are then repaired too: the
         reference's per-onset loop has no cap at all (ref
         version_1/source/audio/slicing.py:147-165 slices EVERY detected
-        onset), so files still flagged after the exact pass re-dispatch
-        through pow2-doubled `max_onsets` exact programs (128, 256, …)
-        until the flag clears or `max_onsets_ceiling` is reached — the
-        compile family stays log-bounded, the common case never pays for
-        dense-file headroom, and a flag that survives now means the file
-        has more than `max_onsets_ceiling` onsets (raise the ceiling, or
-        pass None/0 to disable auto-scaling and keep raw cap
-        semantics)."""
+        onset), so each file still flagged after the exact pass
+        re-dispatches ONCE through the exact program at the pow2
+        `max_onsets` that fits its detected count (`_next_onset_cap`;
+        the count is exact under cap-only overflow), clamped to
+        `max_onsets_ceiling` — the compile family stays log-bounded,
+        the common case never pays for dense-file headroom, files
+        grouped per target cap share a dispatch, and a flag that
+        survives now means the file has more than `max_onsets_ceiling`
+        onsets (raise the ceiling, or pass None/0 to disable
+        auto-scaling and keep raw cap semantics)."""
         if clip_duration is None:
             clip_duration = self.clip_length  # checkpoint-trained duration
         if isinstance(wave_clip_budget, str):
@@ -389,7 +403,7 @@ class Transcriber:
             y_np = np.asarray(y_raw, np.float32)
             n_raw = int(y_np.shape[-1])
             sec = max(1, -(-n_raw // sr_in))  # whole seconds (ceil)
-            bsec = 1 << (sec - 1).bit_length()  # duration bucket (pow2 s)
+            bsec = bucket_seconds(sec)  # duration bucket (pow2 s)
             if n_raw < sec * sr_in:
                 # whole-second pad on the HOST, pre-upload: device-side
                 # padding would compile a fresh jnp.pad program per raw

@@ -108,17 +108,23 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 # flag, so it is unreachable from the public calls above —
                 # compile it directly or the first dense file stalls a
                 # request on a fresh minutes-long compile
-                import math
-
                 import jax
                 import jax.numpy as jnp
-                bsec = 1 << (max(1, math.ceil(float(dur))) - 1).bit_length()
+                # shapes/constants come from the Transcriber's OWN
+                # definitions (bucket_seconds, DEFAULT_MAX_ONSETS,
+                # DEFAULT_MAX_BATCH) — warmup must compile exactly the
+                # program family transcribe_files dispatches, and a
+                # re-derived formula here would silently desynchronize
+                # when the bucketing changes
+                from .infer.transcriber import (DEFAULT_MAX_BATCH,
+                                                DEFAULT_MAX_ONSETS,
+                                                bucket_seconds)
+                bsec = bucket_seconds(dur)
                 yb = np.zeros(bsec * sr, np.float32)
                 yb[: len(y)] = y
-                from .infer.transcriber import DEFAULT_MAX_BATCH
                 mb = 1 << (DEFAULT_MAX_BATCH - 1).bit_length()
                 exact_run, exact_scan = t._fused_files_fn(
-                    sr, t.clip_length, 64, None, 0)
+                    sr, t.clip_length, DEFAULT_MAX_ONSETS, None, 0)
                 for b in warmed_bs:
                     if b > mb:
                         # unreachable: transcribe_files caps every wave
