@@ -77,7 +77,7 @@ class Transcriber:
                  cnn_root=None, cnn_weight: float = 0.80,
                  require_cnn: bool = True,
                  pitch_prior_weight: float = 0.0,
-                 cnn_dtype=None, use_cnn: bool = True):
+                 cnn_dtype=None, use_cnn: bool = True, mesh=None):
         """Resolve + load both checkpoints, validate their embedded
         configs, and initialize the ensemble (ref transcribe.py:26-75).
         `require_cnn=False` permits MLP-only operation (the reference
@@ -91,7 +91,18 @@ class Transcriber:
         parity. `cnn_dtype=jnp.bfloat16` runs the CNN forward in bf16
         (weights stay f32): measured +10% throughput at batch ≥1024 on
         v5e with 100% label agreement, but −5% at the batch-256 sweet
-        spot, so f32 stays the default — docs/PERF.md."""
+        spot, so f32 stays the default — docs/PERF.md.
+
+        `mesh` (a jax.sharding.Mesh, e.g. parallel.make_mesh(N)) runs
+        the BATCH serving path (`transcribe_files`, so `serve.py
+        --mesh N`) data-parallel over it: weights replicate once,
+        file waves shard over the `data` axis (each device segments
+        and transcribes its own files end-to-end, no cross-device
+        traffic), and wave sizes floor at the data-axis size so every
+        dispatch divides evenly. Same results as single-device
+        (pure data parallelism — tested bit-equal on the virtual
+        mesh). Single-file paths (`transcribe`) ignore the mesh: one
+        file has no batch axis to shard."""
         self.feature_builder = FeatureBuilder()
         self.predictor = NotePredictor(cnn_weight=cnn_weight,
                                        pitch_prior_weight=pitch_prior_weight,
@@ -144,6 +155,21 @@ class Transcriber:
 
         self.predictor.load_models(self.model_ckpts.get("mlp"),
                                    self.model_ckpts.get("cnn"))
+
+        self.mesh = mesh
+        self._data_par = 1
+        if mesh is not None:
+            # replicate weights over the mesh ONCE (the per-dispatch
+            # alternative would re-place them every wave); the new dicts'
+            # id()s key fresh _fused_cache entries automatically
+            from ..parallel.mesh import replicated, DATA
+            self._data_par = int(mesh.shape[DATA])
+            rep = replicated(mesh)
+            self.predictor.mlp_variables = jax.device_put(
+                self.predictor.mlp_variables, rep)
+            if self.predictor.cnn_variables is not None:
+                self.predictor.cnn_variables = jax.device_put(
+                    self.predictor.cnn_variables, rep)
 
     # ------------------------------------------------------------------
     def _feature_params(self):
@@ -214,7 +240,7 @@ class Transcriber:
         (B, n) shape on its own)."""
         rm = self.predictor.reverse_map
         key = ("files", target_sr, clip_duration, max_onsets,
-               wave_clip_budget, cand_budget,
+               wave_clip_budget, cand_budget, id(self.mesh),
                self.predictor.cnn_weight,
                self.predictor.pitch_prior_weight,
                self.predictor.pitch_prior_sigma,
@@ -232,17 +258,28 @@ class Transcriber:
             self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
             melspec_params, target_sr, clip_duration, max_onsets,
             wave_clip_budget=wave_clip_budget, cand_budget=cand_budget)
-        run = jax.jit(body)
-        # scanned variant: K file-batches per dispatch, serialized
-        # on-device via ONE lax.scan over (K, B, n) — the micro-batch
-        # dispatch amortization that won the clip path (docs/PERF.md
-        # "Scanned micro-batches"), applied to the serving path
-        # (VERDICT r2 §next-2)
-
-        @jax.jit
-        def run_scan(yss, nvs):
-            return jax.lax.scan(
-                lambda _, xs: (None, body(*xs)), None, (yss, nvs))[1]
+        scan_body = (lambda yss, nvs: jax.lax.scan(
+            lambda _, xs: (None, body(*xs)), None, (yss, nvs))[1])
+        if self.mesh is not None:
+            # data-parallel serving: the file batch shards over `data`
+            # (B leading for full waves, axis 1 under the scan's (K, B,
+            # n) super-batch — K stays a device-local scan), weights
+            # already replicated by __init__; XLA inserts no collectives
+            # because each device's files are independent end-to-end
+            from ..parallel.mesh import data_sharding, data_sharding_axis
+            run = jax.jit(body, in_shardings=(
+                data_sharding(self.mesh, 2), data_sharding(self.mesh, 1)))
+            run_scan = jax.jit(scan_body, in_shardings=(
+                data_sharding_axis(self.mesh, 1, 3),
+                data_sharding_axis(self.mesh, 1, 2)))
+        else:
+            run = jax.jit(body)
+            # scanned variant: K file-batches per dispatch, serialized
+            # on-device via ONE lax.scan over (K, B, n) — the micro-batch
+            # dispatch amortization that won the clip path (docs/PERF.md
+            # "Scanned micro-batches"), applied to the serving path
+            # (VERDICT r2 §next-2)
+            run_scan = jax.jit(scan_body)
 
         self._fused_cache[key] = ((run, run_scan),
                                   self.predictor.mlp_variables,
@@ -250,7 +287,7 @@ class Transcriber:
         return run, run_scan
 
     @staticmethod
-    def _dispatch_pow2_wave(run, entries, n_bucket: int):
+    def _dispatch_pow2_wave(run, entries, n_bucket: int, b_floor: int = 2):
         """Dispatch one wave of (y, n_valid) entries through a batched
         files program: pad to power-of-two B with silent zero rows
         (n_valid=0 → no onsets, so padding never changes results), stack,
@@ -265,8 +302,12 @@ class Transcriber:
         singleton, a 5-file group's remainder) rides the B=2 program the
         serve warmup already compiled — one zero row costs microseconds,
         a fresh B=1 jit through the tunnel costs minutes on the first
-        live request."""
+        live request. `b_floor` raises the floor when a mesh shards B
+        over the data axis: every dispatch pads to a multiple of it
+        (equal to the pow2 max for pow2 floors, the common case)."""
         b = max(2, 1 << (len(entries) - 1).bit_length())
+        if b_floor > 1:
+            b = -(-b // b_floor) * b_floor
         ys = jnp.stack([y for y, _ in entries]
                        + [jnp.zeros((n_bucket,), jnp.float32)]
                        * (b - len(entries)))
@@ -383,6 +424,11 @@ class Transcriber:
         auto-scaling and keep raw cap semantics)."""
         if clip_duration is None:
             clip_duration = self.clip_length  # checkpoint-trained duration
+        if self._data_par > 1 and max_batch % self._data_par:
+            # mesh serving shards each wave's B over the data axis, so
+            # waves must divide it: round max_batch up (each device then
+            # handles max_batch // data_par files per dispatch)
+            max_batch = -(-max_batch // self._data_par) * self._data_par
         if isinstance(wave_clip_budget, str):
             if wave_clip_budget != "auto":
                 raise ValueError(f"wave_clip_budget must be an int, None, "
@@ -467,7 +513,8 @@ class Transcriber:
             for w0 in range(0, len(group), max_batch):
                 wave = group[w0:w0 + max_batch]
                 outs = self._dispatch_pow2_wave(
-                    bfns, [(y, nv) for _, y, nv in wave], n_bucket)
+                    bfns, [(y, nv) for _, y, nv in wave], n_bucket,
+                    b_floor=self._data_par)
                 for j, (idx, _, _) in enumerate(wave):
                     _emit(idx, tuple(
                         o[j] if o is not None else None for o in outs))

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import PARALLEL_CONFIG
 
 __all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
-           "pad_to_multiple", "P"]
+           "data_sharding_axis", "pad_to_multiple", "P"]
 
 DATA = PARALLEL_CONFIG.DATA_AXIS
 MODEL = PARALLEL_CONFIG.MODEL_AXIS
@@ -46,6 +46,16 @@ def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def data_sharding_axis(mesh: Mesh, axis: int, ndim: int) -> NamedSharding:
+    """Shard `axis` over `data`, rest replicated — for batches whose
+    parallel axis is not leading (e.g. the serving path's scanned
+    (K, B, n) super-batches shard B, axis 1, while K stays a device-local
+    lax.scan)."""
+    spec = [None] * ndim
+    spec[axis] = DATA
+    return NamedSharding(mesh, P(*spec))
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):

@@ -598,7 +598,16 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 return
             self._json(200, result_to_json(result))
 
-    srv = http.server.ThreadingHTTPServer((host, port), Handler)
+    class _Server(http.server.ThreadingHTTPServer):
+        # a serving endpoint takes bursts: socketserver's default accept
+        # backlog of 5 pending connections lets the kernel RST the rest
+        # of a concurrent burst (client-side ConnectionResetError 104)
+        # before a handler thread ever sees them — the micro-batcher
+        # exists precisely to absorb such bursts, so give the listener
+        # room to hold one while waves drain
+        request_queue_size = 128
+
+    srv = _Server((host, port), Handler)
     if server_holder is not None:
         server_holder.append(srv)
     if verbose:
@@ -660,6 +669,13 @@ def main():
                          "before serving, e.g. --warmup 4,60 — first "
                          "requests then hit warm jit caches (and the "
                          "persistent XLA cache across restarts)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run the batch serving path data-parallel over "
+                         "an N-device mesh (Transcriber(mesh=...)): file "
+                         "waves shard over the data axis, weights "
+                         "replicate once; results identical to "
+                         "single-device. Pair with --batch/--http_batch "
+                         ">= N so waves fill every device")
     ap.add_argument("--warm_onset_caps", type=int, default=0,
                     help="with --warmup: also pre-compile the cap "
                          "auto-scaling exact programs at pow2 max_onsets "
@@ -674,10 +690,14 @@ def main():
     # first-compile per (B, n) program signature
     from .utils.jaxenv import enable_compilation_cache
     enable_compilation_cache()
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+        mesh = make_mesh(args.mesh)
     t = None
-    if args.pitch_prior > 0:
+    if args.pitch_prior > 0 or mesh is not None:
         from .infer import Transcriber
-        t = Transcriber(pitch_prior_weight=args.pitch_prior)
+        t = Transcriber(pitch_prior_weight=args.pitch_prior, mesh=mesh)
     def _warm(batch: int):
         if not args.warmup:
             return t
