@@ -113,3 +113,59 @@ def test_scan_stream_results_carry_overflow_flag(streamer):
     out_d = tiny.transcribe_stream(dense)
     assert any(r["onset_overflow"] for r in out_d), \
         [(r["onset_s"], r["onset_overflow"]) for r in out_d]
+
+
+def _collapse(labels):
+    """Drop consecutive duplicates: per-buffer envelope normalization can
+    add same-label echo emissions in either engine (docs/PARITY.md 'known
+    differences'), so cross-engine comparison is on the collapsed note
+    sequence."""
+    out = []
+    for l in labels:
+        if not out or out[-1] != l:
+            out.append(l)
+    return out
+
+
+@pytest.mark.parametrize("riff", ["dense", "sparse"])
+def test_cross_engine_note_sequence_parity(riff):
+    """The two streaming engines — ScanStreamer (device lax.scan ring,
+    stream/scan.py) and LiveTranscriber (host ring + bounded queue,
+    stream/live.py, ref transcribe_live.py:165-196) — implement two
+    different emission policies for the same job. Feed both the SAME
+    audio and assert the emitted note sequences agree up to the
+    documented per-buffer-normalization echo allowance (VERDICT r4
+    §weak-3: without this tie, the engines' note sets could drift apart
+    silently as either evolves)."""
+    from gat_tpu.stream import LiveTranscriber, ArraySource
+
+    if riff == "dense":
+        # 0.55 s spacing: above LiveTranscriber's min-separation floor
+        # (~0.35 s at 22.05 kHz) and >1 note per ScanStreamer chunk
+        notes = [("A2", 110.0), ("D3", 146.83), ("G3", 196.0),
+                 ("B3", 246.94), ("E4", 329.63), ("A4", 440.0)]
+        spacing, dur = 0.55, 0.45
+    else:
+        notes = [("G3", 196.0), ("D3", 146.83)]
+        spacing, dur = 1.6, 0.45
+    total = 0.4 + spacing * len(notes) + 1.0
+    y = np.zeros(int(total * SR), np.float32)
+    expected = []
+    for i, (name, f) in enumerate(notes):
+        n = make_pluck(f, SR, dur, seed=i)
+        fade = int(0.3 * len(n))
+        n[-fade:] *= np.linspace(1, 0, fade, dtype=np.float32)
+        s = int((0.4 + spacing * i) * SR)
+        y[s:s + len(n)] += n
+        expected.append(name)
+
+    t = Transcriber()
+    scan_results = ScanStreamer(t, sr=SR).transcribe_stream(y)
+    live = LiveTranscriber(t, sample_rate=SR, verbose=False)
+    live_results = live.run_on_source(ArraySource(y, blocksize=1024))
+
+    scan_seq = _collapse([r["labels"][0] for r in scan_results])
+    live_seq = _collapse([r["labels"][0] for r in live_results])
+    assert scan_seq == live_seq == expected, (
+        f"engines diverged on the {riff} riff:\n"
+        f"  scan: {scan_seq}\n  live: {live_seq}\n  want: {expected}")

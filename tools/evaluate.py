@@ -155,6 +155,44 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
         # consumer written against either output must not KeyError
         out["witness_accuracy"] = round(correct["witness"] / n, 4)
         out["witness_agreement"] = round(correct["agreement"] / n, 4)
+        # disagreement breakdown (VERDICT r4 §next-5): classify every
+        # default-vs-witness split by interval class — octave slips are
+        # the signature failure of a pitch-adjacent front-end under
+        # timbre shift (YIN's too), semitone neighbors indicate borderline
+        # feature drift, anything else is a collapse — and by who (if
+        # anyone) matched the ground-truth label. Mirrors the reference's
+        # per-class confusion practice (ref mlp_trainer.py:225-269) at
+        # the sim-to-real seam instead of the val split.
+        from gat_tpu.ops.pitch import note_to_midi
+        dis = {"octave": 0, "semitone": 0, "other": 0,
+               "default_correct": 0, "witness_correct": 0, "neither": 0}
+        for dn, wn, lab in zip(d_names, w_names, labels):
+            if dn == wn:
+                continue
+            delta = abs(note_to_midi(dn) - note_to_midi(wn))
+            dis["octave" if delta % 12 == 0
+                else ("semitone" if delta <= 2 else "other")] += 1
+            dis["default_correct" if dn == lab
+                else ("witness_correct" if wn == lab else "neither")] += 1
+        out["_disagree"] = dis
+        # feature-space domain shift vs the REAL-data scaler (VERDICT r4
+        # §next-4): the witness checkpoint ships the StandardScaler the
+        # reference fitted on real-recording MFCC features (ref
+        # features.py:250-254) — the only real-data artifact beyond the
+        # weights. Scoring this set's UNSCALED 65-dim features as
+        # z-scores under that scaler's mean/scale measures whether
+        # synthetic clips sit inside the real recordings' feature
+        # distribution (E|z|≈0.80, P(|z|>3)≈0.003 for a matched sample).
+        if witness.scaler is not None:
+            mfcc_params = witness.model_configs["mlp"]["features"]["params"]
+            mf, _ = witness.feature_builder \
+                .extract_inference_features_from_clips(
+                    clips, witness.ckpt_sr, mfcc_params, None, scaler=None)
+            z = ((np.asarray(mf) - witness.scaler.mean_)
+                 / witness.scaler.scale_)
+            out["_domain_z"] = {"sum_abs": np.abs(z).sum(axis=0),
+                                "n_gt3": (np.abs(z) > 3.0).sum(axis=0),
+                                "n": z.shape[0]}
 
     out["_correct"] = correct
     return out
@@ -279,6 +317,8 @@ def main():
         agg: dict[str, int] = {}
         n_total = 0
         seed_res = []
+        dis_agg: dict[str, int] = {}
+        z_agg: dict | None = None
         for s in range(args.seeds):
             res = evaluate_set(t, tmp / f"{name}_s{s}", args.variants,
                                args.seed + 1000 * s, witness=witness,
@@ -288,6 +328,16 @@ def main():
             for k, v in res["_correct"].items():
                 if v is not None:
                     agg[k] = agg.get(k, 0) + v
+            for k, v in res.get("_disagree", {}).items():
+                dis_agg[k] = dis_agg.get(k, 0) + v
+            dz = res.get("_domain_z")
+            if dz is not None:
+                if z_agg is None:
+                    z_agg = {k: dz[k].copy() if hasattr(dz[k], "copy")
+                             else dz[k] for k in dz}
+                else:
+                    for k in dz:
+                        z_agg[k] = z_agg[k] + dz[k]
         if base is None:
             # confusion-report basis: ALL seeds of the first set, so the
             # per-class detail describes the same N as the headline row
@@ -305,6 +355,23 @@ def main():
             row[f"{stem}_accuracy" if k != "agreement"
                 else stem] = round(v / n_total, 4)
             row[f"{stem}_ci95"] = wilson_ci(v, n_total)
+        if dis_agg:
+            dis_agg["n_disagreements"] = (dis_agg.get("octave", 0)
+                                          + dis_agg.get("semitone", 0)
+                                          + dis_agg.get("other", 0))
+            row["witness_disagreement"] = dis_agg
+        if z_agg is not None:
+            # per-dim mean |z| under the real-data scaler; dim 64 is the
+            # appended log10-pitch feature, 0..63 the MFCC means
+            mean_abs = z_agg["sum_abs"] / max(z_agg["n"], 1)
+            order = np.argsort(mean_abs)[::-1][:5]
+            row["domain_shift"] = {
+                "mean_abs_z": round(float(mean_abs.mean()), 3),
+                "frac_gt3": round(float(z_agg["n_gt3"].sum())
+                                  / max(z_agg["n"] * mean_abs.size, 1), 4),
+                "top_dims": [[int(d), round(float(mean_abs[d]), 2)]
+                             for d in order],
+            }
         report["sets"][name] = row
         ci = row["default_ci95"]
         wcol = (f"wit={row['witness_accuracy']:.4f} "
@@ -316,6 +383,13 @@ def main():
               f"mlp={row['mlp_accuracy']:.4f} "
               f"cnn={row['cnn_accuracy']:.4f} "
               f"yin={row['yin_accuracy']:.4f} {wcol}(n={n_total})")
+        if "witness_disagreement" in row and "domain_shift" in row:
+            d, z = row["witness_disagreement"], row["domain_shift"]
+            print(f"[evaluate] {'':20s} disagree: oct={d['octave']} "
+                  f"semi={d['semitone']} other={d['other']} "
+                  f"(def✓={d['default_correct']} wit✓={d['witness_correct']}"
+                  f" neither={d['neither']})  |z|={z['mean_abs_z']:.2f} "
+                  f"P(|z|>3)={z['frac_gt3']:.4f}")
     report["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(report, indent=2))
 
