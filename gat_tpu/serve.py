@@ -222,6 +222,9 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
 
     if not once and poll_hook is None:  # tests keep pytest's handler
         signal.signal(signal.SIGINT, _sigint)
+        # SIGTERM (systemd/k8s stop) drains the same way: finish the
+        # current poll's waves, then exit 0 — never mid-file
+        signal.signal(signal.SIGTERM, _sigint)
         if verbose:
             print(f"[serve] watching {in_dir} → {out_dir} "
                    "(Ctrl+C to stop)")
@@ -327,7 +330,9 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
 def serve_http(port: int = 8080, host: str = "127.0.0.1",
                transcriber=None, verbose: bool = True,
                server_holder: list | None = None, batch: int = 1,
-               window_s: float = 0.025, max_body_mb: float = 256.0):
+               window_s: float = 0.025, max_body_mb: float = 256.0,
+               max_queue: int = 64, dispatchers: int = 1,
+               drain_timeout_s: float = 60.0):
     """HTTP transcription endpoint (stdlib `http.server`, no new deps):
 
     - ``POST /transcribe`` — body is a whole ``.wav`` file; responds with
@@ -357,7 +362,27 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     latency waiting for companions (the rendezvous cost of batching —
     size ``window_s`` to your traffic's arrival spacing); the wave
     dispatches early the moment it fills. A batched failure falls back
-    per-request so one bad body cannot fail its neighbors."""
+    per-request so one bad body cannot fail its neighbors.
+
+    Load + lifecycle hardening (VERDICT r4 §next-7):
+
+    - ``max_queue`` bounds the micro-batch rendezvous queue: a burst
+      beyond the service rate gets an immediate ``503`` +
+      ``Retry-After: 1`` instead of growing host memory and tail latency
+      without bound (load shedding at admission, before the body is
+      spooled to disk is not possible — the depth check runs after the
+      body read, but before any device work or queue growth).
+    - ``dispatchers`` (>1) runs N dispatcher threads, each draining and
+      dispatching its own wave: one wave's host-side prep (decode,
+      resample upload) overlaps another's device time. Results are
+      per-request regardless. Under ``--mesh N`` a SINGLE wave already
+      shards over all N devices (pure data parallelism), so mesh serving
+      keeps devices busy either way — extra dispatchers there only hide
+      host gaps; size waves with ``batch >= N`` first.
+    - graceful drain: SIGTERM (and Ctrl+C) stops accepting connections,
+      lets in-flight requests and queued waves finish (bounded by
+      ``drain_timeout_s``), then returns cleanly — in-flight clients get
+      their responses instead of a dead socket."""
     import http.server
     import queue as queue_mod
     import tempfile
@@ -371,6 +396,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     mlock = threading.Lock()
     metrics = {"codes": {}, "req_s_sum": 0.0, "req_count": 0,
                "dispatches": 0, "dispatch_files": 0}
+    active = {"n": 0}  # POST handlers currently in flight (drain waits)
 
     def _count_dispatch(nfiles: int):
         with mlock:
@@ -395,37 +421,87 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         return "\n".join(lines) + "\n"
 
     class _MicroBatcher:
-        """Rendezvous point: handler threads submit paths, one dispatcher
-        thread groups them into transcribe_files waves."""
+        """Rendezvous point: handler threads submit paths, dispatcher
+        thread(s) group them into transcribe_files waves. The queue is
+        BOUNDED (`max_depth`): a submit past the limit is refused
+        immediately ({"overload": True} — the handler answers 503) so a
+        burst beyond the service rate sheds load instead of growing
+        memory and latency without bound. `close()` drains for graceful
+        shutdown: no new admissions, queued + in-flight waves finish."""
 
-        def __init__(self, t, batch: int, window_s: float):
+        def __init__(self, t, batch: int, window_s: float,
+                     max_depth: int = 64, n_dispatchers: int = 1):
             self.t, self.batch, self.window = t, batch, window_s
+            self.max_depth = max(int(max_depth), 1)
             self.q: queue_mod.Queue = queue_mod.Queue()
-            threading.Thread(target=self._run, daemon=True).start()
+            self.closing = False
+            self._inflight = 0  # requests taken off the queue, unfinished
+            self._state = threading.Lock()
+            self._threads = [threading.Thread(target=self._run, daemon=True)
+                             for _ in range(max(int(n_dispatchers), 1))]
+            for th in self._threads:
+                th.start()
 
         def submit(self, path) -> dict:
             done = threading.Event()
             slot: dict = {"done": done}
-            self.q.put((path, slot))
+            with self._state:
+                # admission under the state lock: closing and depth are
+                # checked atomically with the put, so a drain never races
+                # a late enqueue and qsize can't overshoot max_depth
+                if self.closing or self.q.qsize() >= self.max_depth:
+                    return {"overload": True}
+                self.q.put((path, slot))
             done.wait()
             return slot
 
-        def _drain_wave(self) -> list:
-            wave = [self.q.get()]  # block for the first request
+        def close(self, timeout_s: float = 60.0) -> bool:
+            """Graceful drain: refuse new admissions, wait for queued and
+            in-flight requests to finish (bounded), wake the dispatcher
+            threads. Returns True on a clean drain."""
+            with self._state:
+                self.closing = True
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                with self._state:
+                    if self.q.qsize() == 0 and self._inflight == 0:
+                        break
+                time.sleep(0.02)
+            else:
+                return False
+            for _ in self._threads:
+                self.q.put(None)  # wake each blocked dispatcher to exit
+            return True
+
+        def _drain_wave(self) -> list | None:
+            first = self.q.get()  # block for the first request
+            if first is None:
+                return None  # close() sentinel
+            wave = [first]
+            with self._state:
+                self._inflight += 1
             deadline = time.monotonic() + self.window
             while len(wave) < self.batch:
                 rem = deadline - time.monotonic()
                 if rem <= 0:
                     break
                 try:
-                    wave.append(self.q.get(timeout=rem))
+                    nxt = self.q.get(timeout=rem)
                 except queue_mod.Empty:
                     break
+                if nxt is None:
+                    self.q.put(None)  # re-post the sentinel for _run
+                    break
+                wave.append(nxt)
+                with self._state:
+                    self._inflight += 1
             return wave
 
         def _run(self):
             while True:
                 wave = self._drain_wave()
+                if wave is None:
+                    return  # graceful shutdown
                 try:
                     if len(wave) == 1:
                         results = [self.t.transcribe(wave[0][0])]
@@ -457,8 +533,12 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 finally:
                     for _, slot in wave:
                         slot["done"].set()
+                    with self._state:
+                        self._inflight -= len(wave)
 
-    batcher = _MicroBatcher(t, batch, window_s) if batch > 1 else None
+    batcher = (_MicroBatcher(t, batch, window_s, max_depth=max_queue,
+                             n_dispatchers=dispatchers)
+               if batch > 1 else None)
 
     class Handler(http.server.BaseHTTPRequestHandler):
         timeout = 120  # bounds reads from stalled clients (incl. drains)
@@ -467,7 +547,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             if verbose:
                 print(f"[serve.http] {fmt % args}")
 
-        def _json(self, code: int, payload: dict):
+        def _json(self, code: int, payload: dict,
+                  extra_headers: dict | None = None):
             with mlock:
                 metrics["codes"][code] = metrics["codes"].get(code, 0) + 1
                 if self.command == "POST" and not self._accounted:
@@ -485,6 +566,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra_headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -505,6 +588,8 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         def do_POST(self):
             self._t0 = time.perf_counter()
             self._accounted = False
+            with mlock:
+                active["n"] += 1  # graceful drain waits on this
             try:
                 self._do_post()
             finally:
@@ -512,6 +597,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 # written) still records its observation — count and sum
                 # together, so the summary invariant holds either way
                 with mlock:
+                    active["n"] -= 1
                     if not self._accounted:
                         self._accounted = True
                         metrics["req_count"] += 1
@@ -568,6 +654,17 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                     f.flush()
                     if batcher is not None:
                         slot = batcher.submit(f.name)
+                        if slot.get("overload"):
+                            # queue past max_queue (or draining): shed
+                            # load NOW — an unbounded queue under a
+                            # sustained burst grows memory and tail
+                            # latency with no signal to the client
+                            self._json(503, {
+                                "labels": [],
+                                "error": "server overloaded (micro-batch "
+                                         "queue full) — retry later",
+                            }, extra_headers={"Retry-After": "1"})
+                            return
                         if "exc" in slot:
                             raise slot["exc"]
                         result = slot["result"]
@@ -613,12 +710,47 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     if verbose:
         print(f"[serve] http on {host}:{srv.server_address[1]} "
               "(POST /transcribe, GET /healthz; Ctrl+C to stop)")
+
+    # SIGTERM = orchestrated shutdown (systemd/k8s): stop ACCEPTING, then
+    # drain below — in-flight clients get their responses instead of a
+    # dead socket. shutdown() must run off-thread (it blocks until
+    # serve_forever exits, and the handler runs ON the serving thread).
+    # Installed only from the main thread: tests drive serve_http from
+    # worker threads, where signal.signal raises.
+    def _sigterm(_sig, _frm):
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    installed_sig = False
+    if threading.current_thread() is threading.main_thread():
+        signal.signal(signal.SIGTERM, _sigterm)
+        installed_sig = True
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        if installed_sig:
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        # graceful drain: the listener is closed, but handler threads
+        # (ThreadingHTTPServer daemons) and queued micro-batch waves may
+        # still be mid-request — wait for the batcher to flush and every
+        # accepted POST to write its response, bounded by drain_timeout_s
+        deadline = time.monotonic() + drain_timeout_s
+        clean = batcher.close(max(deadline - time.monotonic(), 0.0)) \
+            if batcher is not None else True
+        while True:
+            with mlock:
+                if active["n"] == 0:
+                    break
+            if time.monotonic() >= deadline:
+                clean = False
+                break
+            time.sleep(0.02)
         srv.server_close()
+        if verbose:
+            msg = "drained clean" if clean else \
+                f"drain timed out after {drain_timeout_s:g}s"
+            print(f"[serve] http stopped ({msg})")
 
 
 def main():
@@ -664,6 +796,16 @@ def main():
     ap.add_argument("--http_max_mb", type=float, default=256.0,
                     help="with --http: reject request bodies larger than "
                          "this many MB with a 413 (bounds host memory)")
+    ap.add_argument("--http_max_queue", type=int, default=64,
+                    help="with --http_batch>1: bound on queued requests "
+                         "awaiting a micro-batch wave — past it, POSTs "
+                         "get an immediate 503 + Retry-After (load "
+                         "shedding) instead of unbounded queue growth")
+    ap.add_argument("--http_dispatchers", type=int, default=1,
+                    help="with --http_batch>1: dispatcher threads pulling "
+                         "waves (2 lets one wave's host prep overlap "
+                         "another's device time; under --mesh a single "
+                         "wave already spans all devices)")
     ap.add_argument("--warmup", type=str, default=None, metavar="SECS",
                     help="comma-separated durations (s) to pre-compile "
                          "before serving, e.g. --warmup 4,60 — first "
@@ -732,12 +874,15 @@ def main():
         serve_http(args.http, transcriber=_warm(args.http_batch),
                    batch=args.http_batch,
                    window_s=args.http_window_ms / 1000.0,
-                   max_body_mb=args.http_max_mb)
+                   max_body_mb=args.http_max_mb,
+                   max_queue=args.http_max_queue,
+                   dispatchers=args.http_dispatchers)
         return 0
     if args.http_batch != 1 or args.http_window_ms != 25.0 \
-            or args.http_max_mb != 256.0:
-        ap.error("--http_batch/--http_window_ms/--http_max_mb "
-                 "require --http")
+            or args.http_max_mb != 256.0 or args.http_max_queue != 64 \
+            or args.http_dispatchers != 1:
+        ap.error("--http_batch/--http_window_ms/--http_max_mb/"
+                 "--http_max_queue/--http_dispatchers require --http")
     if args.in_dir is None or args.out_dir is None:
         ap.error("--in_dir and --out_dir are required without --http")
     serve(args.in_dir, args.out_dir, once=args.once, poll_s=args.poll_s,

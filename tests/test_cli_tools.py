@@ -1163,3 +1163,180 @@ def test_create_pitch_dataset_ignores_ancestor_dir_names(tmp_path):
     copied = list(out.rglob("*.wav"))
     assert len(copied) == 1
     assert copied[0].name.startswith("s3_f5__")  # not s12
+
+
+def test_serve_http_burst_sheds_load_and_loses_nothing():
+    """Load soak (VERDICT r4 §next-7): a concurrent burst past the
+    bounded micro-batch queue gets immediate 503 + Retry-After (load
+    shedding — the queue must not grow without bound), while every
+    admitted request is answered exactly once with a correct 200. No
+    request may vanish or be answered twice."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    served = []
+    slock = threading.Lock()
+
+    class SlowStub:
+        def transcribe(self, path):
+            time.sleep(0.15)
+            with slock:
+                served.append(1)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            time.sleep(0.15)  # hold the dispatcher so a backlog builds
+            with slock:
+                served.append(len(paths))
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    holder, th, port = _start_http(
+        dict(transcriber=SlowStub(), batch=2, window_s=0.01, max_queue=3,
+             drain_timeout_s=30.0))
+    out: list = []
+    olock = threading.Lock()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=b"RIFF" + b"x" * 64,
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                with olock:
+                    out.append((resp.status, json.loads(resp.read()), None))
+        except urllib.error.HTTPError as e:
+            with olock:
+                out.append((e.code, json.loads(e.read()),
+                            e.headers.get("Retry-After")))
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(16)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=60)
+        # exactly one response per request — none lost, none duplicated
+        assert len(out) == 16, f"{len(out)} responses for 16 requests"
+        codes = sorted(c for c, _, _ in out)
+        assert set(codes) <= {200, 503}, codes
+        n200 = codes.count(200)
+        assert n200 >= 1 and codes.count(503) >= 1, codes
+        # every 200 actually rode a dispatch; every 503 carries the hint
+        assert sum(served) == n200
+        assert all(r["labels"] == ["A2"] for c, r, _ in out if c == 200)
+        assert all(ra == "1" for c, _, ra in out if c == 503)
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=30)
+        assert not th.is_alive(), "server thread failed to drain and exit"
+
+
+def test_serve_http_graceful_drain_answers_inflight():
+    """Lifecycle soak: shutdown() while requests are queued/in-flight —
+    the listener stops, but every ADMITTED request still gets its 200
+    (the drain flushes the micro-batch queue and waits for handler
+    threads) and the server thread exits cleanly."""
+    import json
+    import threading
+    import urllib.request
+
+    class SlowStub:
+        def transcribe(self, path):
+            time.sleep(0.3)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            time.sleep(0.3)
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    holder, th, port = _start_http(
+        dict(transcriber=SlowStub(), batch=2, window_s=0.05, max_queue=16,
+             drain_timeout_s=30.0))
+    out: list = []
+    olock = threading.Lock()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=b"RIFF" + b"x" * 64,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            with olock:
+                out.append((resp.status, json.loads(resp.read())))
+
+    threads = [threading.Thread(target=post) for _ in range(6)]
+    for x in threads:
+        x.start()
+    time.sleep(0.1)  # let the burst be admitted / queued
+    holder[0].shutdown()  # SIGTERM path: stop accepting, then drain
+    for x in threads:
+        x.join(timeout=60)
+    th.join(timeout=30)
+    assert not th.is_alive(), "server thread failed to drain and exit"
+    assert len(out) == 6, f"in-flight requests lost on drain: {out}"
+    assert all(c == 200 and r["labels"] == ["A2"] for c, r in out)
+
+
+def test_serve_http_concurrent_dispatchers_overlap():
+    """--http_dispatchers 2: two waves dispatch CONCURRENTLY (one wave's
+    host prep can overlap another's device time), and results stay
+    per-request correct."""
+    import json
+    import threading
+    import urllib.request
+
+    peak = {"now": 0, "max": 0}
+    plock = threading.Lock()
+
+    class Stub:
+        def _enter(self):
+            with plock:
+                peak["now"] += 1
+                peak["max"] = max(peak["max"], peak["now"])
+
+        def _exit(self):
+            with plock:
+                peak["now"] -= 1
+
+        def transcribe(self, path):
+            self._enter()
+            time.sleep(0.25)
+            self._exit()
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            self._enter()
+            time.sleep(0.25)
+            self._exit()
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), batch=2, window_s=0.02, dispatchers=2,
+             max_queue=16, drain_timeout_s=30.0))
+    out: list = []
+    olock = threading.Lock()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=b"RIFF" + b"x" * 64,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            with olock:
+                out.append((resp.status, json.loads(resp.read())))
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(8)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=60)
+        assert len(out) == 8
+        assert all(c == 200 and r["labels"] == ["A2"] for c, r in out)
+        assert peak["max"] >= 2, "dispatchers never overlapped"
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=30)
