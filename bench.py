@@ -283,6 +283,36 @@ def numpy_baseline() -> float:
     raise RuntimeError(f"numpy baseline failed: {out.stderr[-2000:]}")
 
 
+def files_cpu_baseline() -> float:
+    """Reference-equivalent CPU floor for the SERVING metric: one whole
+    recording at a time through the fused file program on the CPU
+    backend (the reference transcribes files sequentially, one per call
+    — ref transcribe.py:77-144). Measured in a subprocess, cached with
+    its timestamp like the clip floors."""
+    cache = _read_cache()
+    if ("files_cpu_audio_s_per_s" in cache
+            and "files_cpu_audio_s_per_s_measured_at" in cache):
+        return float(cache["files_cpu_audio_s_per_s"])
+    code = (
+        "import jax, json;"
+        "jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "from bench import measure_file;"
+        "v = measure_file(duration_s=60.0, iters=3)['audio_s_per_s'];"
+        "print('FILES_CPU_BASELINE=' + json.dumps(v))" % str(REPO))
+    out = subprocess.run([sys.executable, "-c", code], env=dict(os.environ),
+                         capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("FILES_CPU_BASELINE="):
+            v = float(json.loads(line.split("=", 1)[1]))
+            cache["files_cpu_audio_s_per_s"] = v
+            cache["files_cpu_audio_s_per_s_measured_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%S")
+            _CACHE.write_text(json.dumps(cache))
+            return v
+    raise RuntimeError(f"files cpu baseline failed: {out.stderr[-2000:]}")
+
+
 def measure_latency(iters: int = 50) -> float:
     """p50 single-clip latency (s): one clip through the fused graph with
     a host sync per call — the BASELINE.md latency metric. Includes the
@@ -303,6 +333,141 @@ def measure_latency(iters: int = 50) -> float:
         jax.block_until_ready(jfn(pool[i % len(pool)]))
         times.append(time.perf_counter() - t0)
     return float(np.percentile(times, 50))
+
+
+def measure_transcribe_stages(duration_s: float = 4.0, iters: int = 20,
+                              warmup: int = 3) -> dict:
+    """Per-stage budget of `Transcriber.transcribe()` — the reference's
+    primary interactive path (ref transcribe_cli.py:16-114) — so the
+    "sub-ms on-chip" claim becomes a number a co-located deployment can
+    check stage by stage (VERDICT r4 §next-8).
+
+    Two views of the same work:
+      * `stages_ms` — p50 wall per stage WITH a sync after each device
+        stage. Through this tunneled TPU every sync pays the ~30 ms
+        round trip, so these rows measure the LINK, not the chip; they
+        are what a remote client of this exact stack sees.
+      * `device_sustained_ms` — the two device programs (segmentation,
+        clip ensemble) re-measured with pipelined dispatch over distinct
+        inputs and ONE end sync: the honest on-chip cost per dispatch.
+      * `colocated_estimate_ms` — host stages (decode, result assembly,
+        host transfers of result-sized arrays are ~free co-located) +
+        sustained device stages: what a non-tunneled deployment should
+        expect end-to-end for one file.
+    """
+    import tempfile
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gat_tpu.config import TARGET_SR
+    from gat_tpu.infer import Transcriber
+    from gat_tpu.ops.resample import resample, fix_length
+    from gat_tpu.segment.slicing import segment_waveform
+    from gat_tpu.utils.wavio import read_wav, write_wav
+
+    t = Transcriber()
+    sr = TARGET_SR
+    n = int(duration_s * sr)
+    bucket = -(-n // sr) * sr
+    # distinct FILES on disk: decode is part of the budget, and repeat
+    # executions of identical device inputs are elided by the tunnel
+    # stack (CLAUDE.md) — every stage must see fresh content
+    td = tempfile.TemporaryDirectory()
+    paths = []
+    for i in range(iters + warmup):
+        p = Path(td.name) / f"lat_{i}.wav"
+        write_wav(p, _riff_waveform(bucket, n, sr, seed=i)[:n], sr)
+        paths.append(p)
+
+    stages = {k: [] for k in ("decode_host", "resample_upload",
+                              "segment_dispatch", "segment_transfer",
+                              "ensemble_dispatch", "assemble_host",
+                              "total")}
+    kept_batch = None
+    for i, p in enumerate(paths):
+        rec = {}
+        t0 = time.perf_counter()
+        y, sr_in = read_wav(p)
+        rec["decode_host"] = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        y22 = jnp.asarray(resample(y, sr_in, sr))
+        jax.block_until_ready(y22)
+        rec["resample_upload"] = time.perf_counter() - t1
+
+        t2 = time.perf_counter()
+        seg = segment_waveform(y22, sr=sr, length_sec=t.clip_length,
+                               max_onsets=64)
+        jax.block_until_ready(seg)
+        rec["segment_dispatch"] = time.perf_counter() - t2
+
+        t3 = time.perf_counter()
+        seg_h = jax.device_get(seg)
+        rec["segment_transfer"] = time.perf_counter() - t3
+
+        clips, kept = seg_h[0], seg_h[1]
+        clips_np = np.asarray(clips)[np.asarray(kept)]
+        t4 = time.perf_counter()
+        clips_ckpt = fix_length(resample(jnp.asarray(clips_np), sr,
+                                         t.ckpt_sr),
+                                int(t.ckpt_sr * t.clip_length))
+        result = t.transcribe_clips(clips_ckpt)
+        rec["ensemble_dispatch"] = time.perf_counter() - t4
+
+        t5 = time.perf_counter()
+        _ = {"labels": result["labels"],
+             "onsets_s": (np.asarray(seg_h[2])[np.asarray(kept)]
+                          / float(sr)).tolist()}
+        rec["assemble_host"] = time.perf_counter() - t5
+        rec["total"] = time.perf_counter() - t0
+        kept_batch = len(clips_np)
+        if i >= warmup:
+            for k, v in rec.items():
+                stages[k].append(v)
+
+    p50 = {k: round(float(np.percentile(v, 50)) * 1000, 2)
+           for k, v in stages.items()}
+
+    # sustained on-chip cost of the two device stages: pipelined
+    # dispatch over distinct device-resident inputs, one end sync
+    def _sustained(fn, pool, reps=30):
+        out = fn(*pool[-1])
+        jax.block_until_ready(out)
+        tt = time.perf_counter()
+        for j in range(reps):
+            out = fn(*pool[j % len(pool)])
+        jax.block_until_ready(out)
+        return (time.perf_counter() - tt) / reps * 1000
+
+    seg_pool = [(jax.device_put(_riff_waveform(bucket, n, sr, 500 + j)),)
+                for j in range(4)]
+    jax.block_until_ready([x for (x,) in seg_pool])
+    seg_fn = (lambda y: segment_waveform(
+        y, sr=sr, length_sec=t.clip_length, max_onsets=64))
+    seg_ms = _sustained(seg_fn, seg_pool)
+
+    from __graft_entry__ import entry
+    b = max(1, kept_batch or 1)
+    fn, (ex,) = entry(batch=b)
+    jfn = jax.jit(fn)
+    clip_pool = [(jax.device_put(_make_clips(b, ex.shape[1], t.ckpt_sr,
+                                             seed=700 + j)),)
+                 for j in range(4)]
+    jax.block_until_ready([x for (x,) in clip_pool])
+    ens_ms = _sustained(jfn, clip_pool)
+
+    colocated = (p50["decode_host"] + seg_ms + ens_ms
+                 + p50["assemble_host"])
+    return {
+        "file_s": duration_s,
+        "clips_kept": kept_batch,
+        "stages_ms_p50_tunnel": p50,
+        "device_sustained_ms": {"segmentation": round(seg_ms, 3),
+                                "clip_ensemble": round(ens_ms, 3)},
+        "colocated_estimate_ms": round(colocated, 2),
+        "note": "tunnel rows include ~30 ms/sync link RTT; "
+                "colocated = decode + sustained device stages + assembly",
+    }
 
 
 def measure_stream_chunk(iters: int = 40) -> float:
@@ -455,7 +620,8 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
                   iters: int = 30, max_onsets: int = 128,
                   scan_chunks: int = 1,
                   wave_clip_budget: int | None = None,
-                  cand_budget: int | None = None) -> dict:
+                  cand_budget: int | None = None,
+                  pool_n: int = 4) -> dict:
     """Sustained MULTI-file throughput (audio-s/s): B whole recordings
     per dispatch through the batched fused file program
     (`Transcriber.transcribe_files` compute path) — per-file segmentation
@@ -487,7 +653,7 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
     else:
         fn = run
         nv = jax.device_put(jnp.full((n_files,), n, jnp.int32))
-    pool = [jax.device_put(batch(1000 * i)) for i in range(4)]
+    pool = [jax.device_put(batch(1000 * i)) for i in range(max(pool_n, 2))]
     jax.block_until_ready(pool)
     warm = jax.device_put(batch(99000))
     for _ in range(2):
@@ -506,6 +672,17 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
     # settings can be costed end-to-end
     flagged = int(np.asarray(out[7]).sum())
     fixable = int(np.asarray(out[8]).sum())
+    # FLOP accounting for the serving graph: XLA's estimate for ONE wave
+    # program (the scan body — cost_analysis counts a while-loop body
+    # once, so lower the single-wave `run` and scale by K). The compile
+    # is cached persistently (.jax_cache), so repeat benches pay nothing.
+    if k > 1:
+        wave_flops = _compiled_flops(run.lower(
+            pool[0][0] if k > 1 else pool[0], nv[0]).compile())
+    else:
+        wave_flops = _compiled_flops(run.lower(pool[0], nv).compile())
+    mfu = (wave_flops * k * iters / dt / PEAK_FLOPS
+           if wave_flops else None)
     return {
         "audio_s_per_s": round(duration_s * n_files * k * iters / dt, 1),
         "dispatch_ms": round(dt / iters * 1000, 2),
@@ -518,6 +695,8 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
         "max_onsets": max_onsets,
         "wave_clip_budget": wave_clip_budget,
         "cand_budget": cand_budget,
+        "xla_flops_per_wave": wave_flops,
+        "mfu": round(mfu, 4) if mfu is not None else None,
     }
 
 
@@ -625,11 +804,16 @@ def main():
         return
     if os.environ.get("BENCH_MODE") == "latency":
         p50 = measure_latency()
+        # the end-to-end transcribe() stage budget (VERDICT r4 §next-8):
+        # tunnel-inclusive per-stage walls + sustained device costs + a
+        # co-located end-to-end estimate
+        stages = measure_transcribe_stages()
         print(json.dumps({
             "metric": "p50_single_clip_latency",
             "value": round(p50 * 1000, 3),
             "unit": "ms",
             "vs_baseline": 1.0,
+            "transcribe_stage_budget": stages,
         }))
         return
     if os.environ.get("BENCH_MODE") == "stages":
@@ -655,6 +839,33 @@ def main():
     iters = ITERS if scan_k == 1 else max(8, ITERS // scan_k)
     value, details = measure(BATCH, iters, return_details=True,
                              scan_chunks=scan_k, repeats=repeats)
+    # the SERVING metric rides in the same driver-audited line (VERDICT
+    # r4 §next-3): the batched file path at the shipped transcribe_files
+    # config (B=4 waves, K=32 scanned, onsets 112, budget 384, cand 448
+    # — the BENCH_MODE=files defaults), with its own reference-equivalent
+    # CPU floor (sequential per-file processing). A files-leg failure
+    # degrades to an error field, never the headline metric.
+    files_fields: dict = {}
+    if os.environ.get("BENCH_SKIP_FILES", "") != "1":
+        try:
+            fdet = measure_files(n_files=4, scan_chunks=32, iters=20,
+                                 max_onsets=112, wave_clip_budget=384,
+                                 cand_budget=448, pool_n=2)
+            ffloor = files_cpu_baseline()
+            fcache = _read_cache()
+            files_fields = {
+                "files_audio_s_per_s": fdet["audio_s_per_s"],
+                "files_vs_cpu": round(fdet["audio_s_per_s"] / ffloor, 2),
+                "files_mfu": fdet["mfu"],
+                "files_dispatch_ms": fdet["dispatch_ms"],
+                "files_floors": {
+                    "cpu_audio_s_per_s": round(ffloor, 2),
+                    "cpu_measured_at": fcache.get(
+                        "files_cpu_audio_s_per_s_measured_at"),
+                },
+            }
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            files_fields = {"files_error": f"{type(e).__name__}: {e}"}
     # self-contained ratios (VERDICT r3 §weak-5): the floor VALUES this
     # run divided by, and when each was measured, ride in the same JSON
     # line — a vs_baseline swing is auditable as numerator vs denominator
@@ -676,6 +887,7 @@ def main():
         "mfu": details["mfu"],
         "step_ms": details["step_ms"],
         "scan_chunks": scan_k,
+        **files_fields,
     }))
 
 
