@@ -50,7 +50,8 @@ def parse_trace(trace_dir: str, top: int = 25):
 
 
 def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int,
-                  budget: int | None = None, scan: int = 1):
+                  budget: int | None = None, scan: int = 1,
+                  max_onsets: int = 128, cand: int | None = None):
     """(jit fn, list of distinct device-resident input tuples) for the
     chosen graph. Inputs MUST be distinct per iteration: repeat
     executions on the same buffers are elided by a layer of the
@@ -80,8 +81,10 @@ def _trace_inputs(graph: str, batch: int, file_s: float, n_files: int,
             for _ in range(4)]
         return run, pool
     if graph == "files":
-        run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION, 128,
-                                          wave_clip_budget=budget)
+        run, run_scan = t._fused_files_fn(TARGET_SR, CLIP_DURATION,
+                                          max_onsets,
+                                          wave_clip_budget=budget,
+                                          cand_budget=cand)
         if scan > 1:  # trace the shipped K-scan super-batch program
             nv = jax.device_put(
                 jnp.full((scan, n_files), n, jnp.int32))
@@ -110,6 +113,10 @@ def main():
     ap.add_argument("--budget", type=int, default=None,
                     help="wave_clip_budget for --graph files (the "
                          "serving default is tuned in bench.py)")
+    ap.add_argument("--onsets", type=int, default=128,
+                    help="max_onsets for --graph files (shipped serving\n                         config: 112)")
+    ap.add_argument("--cand", type=int, default=None,
+                    help="cand_budget for --graph files (shipped: 448)")
     ap.add_argument("--scan", type=int, default=1,
                     help="K file-batches per dispatch for --graph files "
                          "(traces the scanned super-batch program)")
@@ -125,7 +132,8 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           str(REPO / ".jax_cache"))
         jfn, pool = _trace_inputs(args.graph, args.batch, args.file_s,
-                                  args.n_files, args.budget, args.scan)
+                                  args.n_files, args.budget, args.scan,
+                                  args.onsets, args.cand)
         jax.block_until_ready([p[0] for p in pool])
         for _ in range(2):
             out = jfn(*pool[0])
