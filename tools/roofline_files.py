@@ -6,11 +6,18 @@ cycles go, stage by stage, against the chip's peaks.
 Compiles the SHIPPED serving wave program (B files × bucket seconds,
 onset budget / wave clip budget / candidate budget = the bench + serve
 defaults), pulls XLA's own cost model out of the compiled executable —
-`flops`, `bytes accessed` (HBM traffic), and per-op `estimated_cycles`
-grouped by the op_name metadata each op carries — and prints one JSON
-report. Pair with the measured dispatch time (BENCH_MODE=files) to get
-MFU / bandwidth-utilization numbers: utilization = roofline bound time /
-measured time.
+`flops`, `bytes accessed`, and per-op `estimated_cycles` grouped by the
+op_name metadata each op carries — and prints one JSON report.
+
+Interpretation caveat (measured round 5, docs/PERF.md): XLA's "bytes
+accessed" counts every HLO-boundary operand+result, INCLUDING traffic
+fusion keeps in VMEM — it is an upper bound on real HBM bytes, not a
+measurement. On this graph the measured wave time (2.54 ms, B=4/K=32)
+beats the counted-traffic time (4.52 ms at 819 GB/s), i.e. apparent
+BW 1.46 TB/s > the v5e's physical 819 GB/s peak — proof the count
+overcounts and the program is NOT HBM-bandwidth-bound. Pass
+--measured_wave_ms (from BENCH_MODE=files dispatch_ms / K) and the
+report states the three bounds and the verdict explicitly.
 
 Usage: python tools/roofline_files.py [--files 4] [--seconds 60]
            [--onsets 112] [--budget 384] [--cand 448] [--platform tpu]
@@ -87,6 +94,10 @@ def main():
     ap.add_argument("--clip_batch", type=int, default=256,
                     help="also report the clip-path step at this batch "
                          "for side-by-side comparison (0 disables)")
+    ap.add_argument("--measured_wave_ms", type=float, default=None,
+                    help="measured per-wave dispatch time "
+                         "(BENCH_MODE=files dispatch_ms / scan_chunks); "
+                         "adds apparent-BW + bound verdict to the report")
     args = ap.parse_args()
 
     import jax
@@ -120,16 +131,35 @@ def main():
         },
         "wave": {
             "xla_flops": flops,
-            "hbm_bytes": hbm,
-            "t_flops_ms": round(flops / PEAK_FLOPS * 1e3, 3),
-            "t_hbm_ms": round(hbm / PEAK_HBM * 1e3, 3),
-            "roofline_bound_ms": round(
-                max(flops / PEAK_FLOPS, hbm / PEAK_HBM) * 1e3, 3),
-            "roofline_audio_s_per_s": round(
-                audio_s / max(flops / PEAK_FLOPS, hbm / PEAK_HBM), 1),
+            "xla_bytes_accessed": hbm,
+            # t_flops is a hard floor (MXU at peak); t_bytes is NOT a
+            # floor — counted bytes are an upper bound on real traffic
+            # (see module docstring), so measured time may legitimately
+            # beat it.
+            "t_flops_ms_floor": round(flops / PEAK_FLOPS * 1e3, 3),
+            "t_counted_traffic_ms_ub": round(hbm / PEAK_HBM * 1e3, 3),
             "arithmetic_intensity_flop_per_byte": round(
                 flops / hbm, 2) if hbm else None,
         },
+        "measured": (lambda ms: {
+            "wave_ms": ms,
+            "audio_s_per_s": round(audio_s / ms * 1e3, 1),
+            "mfu": round(flops / PEAK_FLOPS * 1e3 / ms, 3),
+            "apparent_hbm_GBps": round(hbm / 1e9 / ms * 1e3, 1),
+            "bw_util_vs_xla_traffic": round(
+                hbm / PEAK_HBM * 1e3 / ms, 3),
+            "verdict": (
+                "not HBM-bandwidth-bound: measured time beats the "
+                "counted-traffic bound (apparent BW > physical peak), "
+                "so XLA's byte count overcounts VMEM-resident fusion "
+                "traffic; with MFU also well under 1, the wave is "
+                "occupancy-bound in its sequential scan chain "
+                "(docs/PERF.md round 5)"
+                if hbm / PEAK_HBM * 1e3 / ms > 1.0 else
+                "memory-bound at the counted traffic"
+                if hbm / PEAK_HBM > flops / PEAK_FLOPS else
+                "compute-bound"),
+        })(args.measured_wave_ms) if args.measured_wave_ms else None,
         "stage_estimated_ms": {
             k: round(v / TPU_CLOCK_HZ * 1e3, 3)
             for k, v in sorted(cyc.items(), key=lambda kv: -kv[1])},
@@ -149,11 +179,9 @@ def main():
         clip_audio = args.clip_batch * example.shape[1] / 11025.0
         report["clip_step"] = {
             "batch": args.clip_batch,
-            "xla_flops": cflops, "hbm_bytes": chbm,
-            "t_flops_ms": round(cflops / PEAK_FLOPS * 1e3, 3),
-            "t_hbm_ms": round(chbm / PEAK_HBM * 1e3, 3),
-            "roofline_audio_s_per_s": round(
-                clip_audio / max(cflops / PEAK_FLOPS, chbm / PEAK_HBM), 1),
+            "xla_flops": cflops, "xla_bytes_accessed": chbm,
+            "t_flops_ms_floor": round(cflops / PEAK_FLOPS * 1e3, 3),
+            "t_counted_traffic_ms_ub": round(chbm / PEAK_HBM * 1e3, 3),
         }
 
     print(json.dumps(report, indent=2))
