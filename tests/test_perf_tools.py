@@ -32,10 +32,21 @@ def test_parse_trace_filters_host_lanes_and_sums_durations(tmp_path, capsys):
          "args": {"name": "/device:TPU:0"}},
         {"ph": "M", "name": "process_name", "pid": 9,
          "args": {"name": "python host threads"}},
-        # device ops: same op split across two events must sum
-        {"ph": "X", "pid": 7, "name": "fusion.1", "dur": 10.0},
-        {"ph": "X", "pid": 7, "name": "fusion.1", "dur": 5.0},
-        {"ph": "X", "pid": 7, "name": "while.85", "dur": 100.0},
+        # device ops: same op split across two events must sum; per-op
+        # metadata feeds the achieved-rate annotation + category rollup
+        {"ph": "X", "pid": 7, "name": "fusion.1", "dur": 10.0,
+         "args": {"hlo_category": "loop fusion", "model_flops": "2000",
+                  "bytes_accessed": "1000"}},
+        {"ph": "X", "pid": 7, "name": "fusion.1", "dur": 5.0,
+         "args": {"hlo_category": "loop fusion", "model_flops": "1000",
+                  "bytes_accessed": "500"}},
+        {"ph": "X", "pid": 7, "name": "gemm.2", "dur": 25.0,
+         "args": {"hlo_category": "convolution fusion"}},
+        # wrappers: the jit envelope and the while scan contain the
+        # leaves above — both must be EXCLUDED from the rollup partition
+        {"ph": "X", "pid": 7, "name": "while.85", "dur": 100.0,
+         "args": {"hlo_category": "while"}},
+        {"ph": "X", "pid": 7, "name": "jit_step(123)", "dur": 101.0},
         # host lane op: must be excluded from the table
         {"ph": "X", "pid": 9, "name": "PyEval", "dur": 9999.0},
     ]
@@ -43,9 +54,18 @@ def test_parse_trace_filters_host_lanes_and_sums_durations(tmp_path, capsys):
     tables = parse_trace(str(tmp_path), top=10)
     assert len(tables) == 1
     rows = dict(tables[0][1])
-    assert rows == {"while.85": 100.0, "fusion.1": 15.0}
+    assert rows == {"jit_step(123)": 101.0, "while.85": 100.0,
+                    "gemm.2": 25.0, "fusion.1": 15.0}
     out = capsys.readouterr().out
     assert "device lanes" in out and "PyEval" not in out
+    # rollup: leaves only (40 us), wrappers reported as envelope
+    assert "by hlo_category (leaf ops, 0.0 ms; program envelope 0.1 ms)" \
+        in out
+    assert "62.5%  convolution fusion" in out
+    assert "37.5%  loop fusion" in out
+    assert "while" not in out.split("by hlo_category")[1]
+    # achieved rate annotation: 3000 flops / 15 us = 0.20 TF/s... scaled
+    assert "TF/s" in out and "GB/s" in out
 
 
 def test_parse_trace_without_device_metadata_keeps_all_lanes(tmp_path):

@@ -36,16 +36,63 @@ def parse_trace(trace_dir: str, top: int = 25):
                        and any(k in str(e.get("args", {}).get("name", ""))
                                .lower() for k in ("tpu", "device", "xla"))}
         dur = collections.Counter()
+        # per-op metadata the TPU runtime attaches to each X event:
+        # hlo_category (fusion kind), model_flops, bytes_accessed —
+        # summed alongside dur so top ops can print achieved FLOP/s and
+        # apparent BW, and the per-category rollup below is possible.
+        cat = {}
+        flops = collections.Counter()
+        bytes_ = collections.Counter()
         for e in events:
             if e.get("ph") == "X" and "dur" in e and (
                     not device_pids or e.get("pid") in device_pids):
-                dur[e.get("name", "?")] += e["dur"]
+                name = e.get("name", "?")
+                dur[name] += e["dur"]
+                args = e.get("args", {}) or {}
+                if name not in cat and "hlo_category" in args:
+                    cat[name] = args["hlo_category"]
+                try:
+                    flops[name] += float(args.get("model_flops", 0))
+                    bytes_[name] += float(args.get("bytes_accessed", 0))
+                except (TypeError, ValueError):
+                    pass
         rows = dur.most_common(top)
         tables.append((f, rows))
         scope = "device lanes" if device_pids else "all lanes (no device pid found)"
         print(f"--- {Path(f).name}: top {top} by total us ({scope}) ---")
         for name, us in rows:
-            print(f"{us:>12.1f} us  {name[:90]}")
+            extra = ""
+            if us > 0 and (flops[name] or bytes_[name]):
+                parts = []
+                if flops[name]:
+                    parts.append(f"{flops[name] / us / 1e6:7.2f} TF/s")
+                if bytes_[name]:
+                    parts.append(f"{bytes_[name] / us / 1e3:7.1f} GB/s")
+                extra = "  [" + " ".join(parts) + f" {cat.get(name, '')}]"
+            print(f"{us:>12.1f} us  {name[:60]}{extra}")
+        # rollup by hlo_category: where the device time goes by op KIND
+        # (readable even though XLA's fusion numbers are opaque).
+        # Wrapper events NEST — the jit_* envelope contains the while
+        # scan which contains every leaf op — so wrappers are excluded
+        # from the partition (they'd double-count all their children);
+        # shares are of the leaf total, which ≈ the program wall.
+        if cat:
+            by_cat = collections.Counter()
+            wrap_us = 0.0
+            for name, us in dur.items():
+                c = cat.get(name)
+                if c is None and (name.startswith("jit_")
+                                  or name.startswith("jit(")):
+                    wrap_us = max(wrap_us, us)
+                    continue
+                if c == "while":
+                    continue  # scan wrapper: contains its body's leaves
+                by_cat[c or "(uncategorized)"] += us
+            total = sum(by_cat.values()) or 1
+            print(f"--- by hlo_category (leaf ops, {total / 1e3:.1f} ms; "
+                  f"program envelope {wrap_us / 1e3:.1f} ms) ---")
+            for c, us in by_cat.most_common():
+                print(f"{us:>12.1f} us  {us / total:6.1%}  {c}")
     return tables
 
 
