@@ -872,8 +872,14 @@ def main():
         p50 = measure_latency()
         # the end-to-end transcribe() stage budget (VERDICT r4 §next-8):
         # tunnel-inclusive per-stage walls + sustained device costs + a
-        # co-located end-to-end estimate
-        stages = measure_transcribe_stages()
+        # co-located end-to-end estimate. Guarded like the default
+        # line's files leg: the stage budget pays fresh lax.map compiles
+        # (~25 min cold through the tunnel) and must not be able to
+        # destroy the already-measured headline p50 on failure.
+        try:
+            stages = measure_transcribe_stages()
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            stages = {"error": f"{type(e).__name__}: {e}"}
         print(json.dumps({
             "metric": "p50_single_clip_latency",
             "value": round(p50 * 1000, 3),
@@ -914,6 +920,13 @@ def main():
     files_fields: dict = {}
     if os.environ.get("BENCH_SKIP_FILES", "") != "1":
         try:
+            # pool_n=2 (vs measure_files' default 4) halves the ~1.4 GB
+            # of wave-pool uploads this leg adds to the default line.
+            # Two buffers still alternate every iteration, and the
+            # tunnel's duplicate-execution elision (CLAUDE.md) was
+            # checked not to trigger on revisited buffers: same-day
+            # pool_n=2 (93.5k) vs pool_n=4 (94.3k) agree within drift,
+            # where elision would have read ~2x high.
             fdet = measure_files(n_files=4, scan_chunks=32, iters=20,
                                  max_onsets=112, wave_clip_budget=384,
                                  cand_budget=448, pool_n=2)

@@ -107,7 +107,14 @@ class Transcriber:
         self.predictor = NotePredictor(cnn_weight=cnn_weight,
                                        pitch_prior_weight=pitch_prior_weight,
                                        cnn_dtype=cnn_dtype)
+        # program cache: check-then-build runs under a lock so
+        # concurrent callers (serve --http_dispatchers N share one
+        # Transcriber) agree on ONE jit wrapper per key — two wrappers
+        # for the same program would each pay the multi-minute first
+        # compile instead of the second caller reusing the first's
+        import threading
         self._fused_cache: dict = {}
+        self._fused_lock = threading.Lock()
 
         mlp_root = Path(mlp_root) if mlp_root else MLP_CONFIG.CHECKPOINTS_DIR
         cnn_root = Path(cnn_root) if cnn_root else CNN_CONFIG.CHECKPOINTS_DIR
@@ -201,29 +208,32 @@ class Transcriber:
                tuple(sorted(rm.items())) if rm else None,
                id(self.predictor.mlp_variables),
                id(self.predictor.cnn_variables))
-        if key in self._fused_cache:
-            return self._fused_cache[key][0]
+        with self._fused_lock:
+            if key in self._fused_cache:
+                return self._fused_cache[key][0]
 
-        mfcc_params, melspec_params = self._feature_params()
-        if "cnn" not in self.model_ckpts:
-            melspec_params = None
-        from .pipeline import build_files_fn
-        # the single-file fused program IS the batch body at B=1: one
-        # copy of the parity-critical recipe (EOF zero-tail mask,
-        # segment, re-rate, ensemble, YIN) shared with the serving path
-        body = build_files_fn(
-            self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, target_sr, clip_duration, max_onsets,
-            cand_budget=cand_budget)
+            mfcc_params, melspec_params = self._feature_params()
+            if "cnn" not in self.model_ckpts:
+                melspec_params = None
+            from .pipeline import build_files_fn
+            # the single-file fused program IS the batch body at B=1:
+            # one copy of the parity-critical recipe (EOF zero-tail
+            # mask, segment, re-rate, ensemble, YIN) shared with the
+            # serving path
+            body = build_files_fn(
+                self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
+                melspec_params, target_sr, clip_duration, max_onsets,
+                cand_budget=cand_budget)
 
-        @jax.jit
-        def run(y, n_valid):
-            outs = body(y[None], jnp.asarray(n_valid)[None])
-            return tuple(o[0] if o is not None else None for o in outs)
+            @jax.jit
+            def run(y, n_valid):
+                outs = body(y[None], jnp.asarray(n_valid)[None])
+                return tuple(o[0] if o is not None else None
+                             for o in outs)
 
-        self._fused_cache[key] = (run, self.predictor.mlp_variables,
-                                  self.predictor.cnn_variables)
-        return run
+            self._fused_cache[key] = (run, self.predictor.mlp_variables,
+                                      self.predictor.cnn_variables)
+            return run
 
     def _fused_files_fn(self, target_sr: int, clip_duration: float,
                         max_onsets: int,
@@ -247,44 +257,49 @@ class Transcriber:
                tuple(sorted(rm.items())) if rm else None,
                id(self.predictor.mlp_variables),
                id(self.predictor.cnn_variables))
-        if key in self._fused_cache:
-            return self._fused_cache[key][0]
+        with self._fused_lock:
+            if key in self._fused_cache:
+                return self._fused_cache[key][0]
 
-        mfcc_params, melspec_params = self._feature_params()
-        if "cnn" not in self.model_ckpts:
-            melspec_params = None
-        from .pipeline import build_files_fn
-        body = build_files_fn(
-            self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
-            melspec_params, target_sr, clip_duration, max_onsets,
-            wave_clip_budget=wave_clip_budget, cand_budget=cand_budget)
-        scan_body = (lambda yss, nvs: jax.lax.scan(
-            lambda _, xs: (None, body(*xs)), None, (yss, nvs))[1])
-        if self.mesh is not None:
-            # data-parallel serving: the file batch shards over `data`
-            # (B leading for full waves, axis 1 under the scan's (K, B,
-            # n) super-batch — K stays a device-local scan), weights
-            # already replicated by __init__; XLA inserts no collectives
-            # because each device's files are independent end-to-end
-            from ..parallel.mesh import data_sharding, data_sharding_axis
-            run = jax.jit(body, in_shardings=(
-                data_sharding(self.mesh, 2), data_sharding(self.mesh, 1)))
-            run_scan = jax.jit(scan_body, in_shardings=(
-                data_sharding_axis(self.mesh, 1, 3),
-                data_sharding_axis(self.mesh, 1, 2)))
-        else:
-            run = jax.jit(body)
-            # scanned variant: K file-batches per dispatch, serialized
-            # on-device via ONE lax.scan over (K, B, n) — the micro-batch
-            # dispatch amortization that won the clip path (docs/PERF.md
-            # "Scanned micro-batches"), applied to the serving path
-            # (VERDICT r2 §next-2)
-            run_scan = jax.jit(scan_body)
+            mfcc_params, melspec_params = self._feature_params()
+            if "cnn" not in self.model_ckpts:
+                melspec_params = None
+            from .pipeline import build_files_fn
+            body = build_files_fn(
+                self.predictor, self.scaler, self.ckpt_sr, mfcc_params,
+                melspec_params, target_sr, clip_duration, max_onsets,
+                wave_clip_budget=wave_clip_budget,
+                cand_budget=cand_budget)
+            scan_body = (lambda yss, nvs: jax.lax.scan(
+                lambda _, xs: (None, body(*xs)), None, (yss, nvs))[1])
+            if self.mesh is not None:
+                # data-parallel serving: the file batch shards over
+                # `data` (B leading for full waves, axis 1 under the
+                # scan's (K, B, n) super-batch — K stays a device-local
+                # scan), weights already replicated by __init__; XLA
+                # inserts no collectives because each device's files
+                # are independent end-to-end
+                from ..parallel.mesh import (data_sharding,
+                                             data_sharding_axis)
+                run = jax.jit(body, in_shardings=(
+                    data_sharding(self.mesh, 2),
+                    data_sharding(self.mesh, 1)))
+                run_scan = jax.jit(scan_body, in_shardings=(
+                    data_sharding_axis(self.mesh, 1, 3),
+                    data_sharding_axis(self.mesh, 1, 2)))
+            else:
+                run = jax.jit(body)
+                # scanned variant: K file-batches per dispatch,
+                # serialized on-device via ONE lax.scan over (K, B, n)
+                # — the micro-batch dispatch amortization that won the
+                # clip path (docs/PERF.md "Scanned micro-batches"),
+                # applied to the serving path (VERDICT r2 §next-2)
+                run_scan = jax.jit(scan_body)
 
-        self._fused_cache[key] = ((run, run_scan),
-                                  self.predictor.mlp_variables,
-                                  self.predictor.cnn_variables)
-        return run, run_scan
+            self._fused_cache[key] = ((run, run_scan),
+                                      self.predictor.mlp_variables,
+                                      self.predictor.cnn_variables)
+            return run, run_scan
 
     @staticmethod
     def _dispatch_pow2_wave(run, entries, n_bucket: int, b_floor: int = 2):

@@ -435,7 +435,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             self.max_depth = max(int(max_depth), 1)
             self.q: queue_mod.Queue = queue_mod.Queue()
             self.closing = False
-            self._inflight = 0  # requests taken off the queue, unfinished
+            self._inflight = 0  # requests admitted, not yet finished
             self._state = threading.Lock()
             self._threads = [threading.Thread(target=self._run, daemon=True)
                              for _ in range(max(int(n_dispatchers), 1))]
@@ -448,9 +448,14 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             with self._state:
                 # admission under the state lock: closing and depth are
                 # checked atomically with the put, so a drain never races
-                # a late enqueue and qsize can't overshoot max_depth
+                # a late enqueue and qsize can't overshoot max_depth.
+                # _inflight counts from ADMISSION (not from the
+                # dispatcher's q.get) so close()'s drain check can never
+                # observe the gap between a pop and the dispatcher
+                # marking the wave live.
                 if self.closing or self.q.qsize() >= self.max_depth:
                     return {"overload": True}
+                self._inflight += 1
                 self.q.put((path, slot))
             done.wait()
             return slot
@@ -477,9 +482,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
             first = self.q.get()  # block for the first request
             if first is None:
                 return None  # close() sentinel
-            wave = [first]
-            with self._state:
-                self._inflight += 1
+            wave = [first]  # _inflight already counted at admission
             deadline = time.monotonic() + self.window
             while len(wave) < self.batch:
                 rem = deadline - time.monotonic()
@@ -493,8 +496,6 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                     self.q.put(None)  # re-post the sentinel for _run
                     break
                 wave.append(nxt)
-                with self._state:
-                    self._inflight += 1
             return wave
 
         def _run(self):
@@ -720,8 +721,10 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     def _sigterm(_sig, _frm):
         threading.Thread(target=srv.shutdown, daemon=True).start()
 
+    prev_sig = None
     installed_sig = False
     if threading.current_thread() is threading.main_thread():
+        prev_sig = signal.getsignal(signal.SIGTERM)
         signal.signal(signal.SIGTERM, _sigterm)
         installed_sig = True
     try:
@@ -730,7 +733,11 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         pass
     finally:
         if installed_sig:
-            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            # restore the HOST's handler, not SIG_DFL: an embedding
+            # process with its own SIGTERM cleanup must get it back
+            signal.signal(signal.SIGTERM,
+                          prev_sig if prev_sig is not None
+                          else signal.SIG_DFL)
         # graceful drain: the listener is closed, but handler threads
         # (ThreadingHTTPServer daemons) and queued micro-batch waves may
         # still be mid-request — wait for the batcher to flush and every

@@ -170,8 +170,12 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
             if dn == wn:
                 continue
             delta = abs(note_to_midi(dn) - note_to_midi(wn))
+            # semitone = EXACTLY one semitone (the borderline-drift
+            # signature); a whole-tone split is already a collapse and
+            # counts as "other" — a <=2 bucket would overstate true
+            # neighbor mass
             dis["octave" if delta % 12 == 0
-                else ("semitone" if delta <= 2 else "other")] += 1
+                else ("semitone" if delta == 1 else "other")] += 1
             dis["default_correct" if dn == lab
                 else ("witness_correct" if wn == lab else "neither")] += 1
         out["_disagree"] = dis
@@ -188,8 +192,7 @@ def evaluate_set(transcriber, root, variants: int, seed: int,
             mf, _ = witness.feature_builder \
                 .extract_inference_features_from_clips(
                     clips, witness.ckpt_sr, mfcc_params, None, scaler=None)
-            z = ((np.asarray(mf) - witness.scaler.mean_)
-                 / witness.scaler.scale_)
+            z = np.asarray(witness.scaler.transform(mf))
             out["_domain_z"] = {"sum_abs": np.abs(z).sum(axis=0),
                                 "n_gt3": (np.abs(z) > 3.0).sum(axis=0),
                                 "n": z.shape[0]}

@@ -33,9 +33,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# v5e peaks (same constants as bench.py)
-PEAK_FLOPS = 197e12   # bf16 MXU
-PEAK_HBM = 819e9      # HBM bandwidth, bytes/s
+# v5e peaks — same env-overridable source of truth as bench.py, so a
+# BENCH_PEAK_* override keeps bench's mfu/bw_util and this report's
+# floors/verdict on the same denominator (other TPU generations)
+import os
+PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # bf16 MXU
+PEAK_HBM = float(os.environ.get("BENCH_PEAK_HBM", 819e9))  # HBM bytes/s
 TPU_CLOCK_HZ = 940e6  # TensorCore clock (cycles → ms)
 
 # stage attribution: first matching substring of the op_name path wins.
@@ -176,7 +179,6 @@ def main():
         cca = _cost(cc)
         cflops = float(cca.get("flops", 0.0))
         chbm = float(cca.get("bytes accessed", 0.0))
-        clip_audio = args.clip_batch * example.shape[1] / 11025.0
         report["clip_step"] = {
             "batch": args.clip_batch,
             "xla_flops": cflops, "xla_bytes_accessed": chbm,
