@@ -634,3 +634,44 @@ def test_transcribe_files_rejects_negative_wave_clip_budget(
     write_wav(p, _riff(), SR)
     with pytest.raises(ValueError, match="wave_clip_budget"):
         transcriber.transcribe_files([p], wave_clip_budget=-1)
+
+
+def test_concurrent_cold_cache_builds_one_program(tmp_path):
+    """serve --http_dispatchers N shares one Transcriber across threads:
+    concurrent FIRST uses of an uncached (duration, budget) key must
+    agree on ONE jit wrapper (the check-then-build runs under
+    _fused_lock) — two wrappers would each pay the full cold compile —
+    and every thread's result must be correct."""
+    import threading
+
+    p = tmp_path / "r.wav"
+    write_wav(p, _riff(), SR)
+    t = Transcriber()
+    assert not t._fused_cache  # cold
+
+    results, errs = [], []
+
+    def go():
+        try:
+            # fused=True is the path that populates the single-file
+            # program cache (the default two-stage path uses
+            # module-level jits); transcribe_files exercises the
+            # "files" key the HTTP dispatchers actually share
+            results.append((list(t.transcribe(p, fused=True)["labels"]),
+                            list(t.transcribe_files([p])[0]["labels"])))
+        except Exception as e:  # noqa: BLE001 — surfaced by the assert
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=go) for _ in range(4)]
+    for x in threads:
+        x.start()
+    for x in threads:
+        x.join(timeout=300)
+    assert not errs, errs
+    assert len(results) == 4
+    assert all(r == results[0] and r[0] for r in results)
+    # exactly one entry per program key; no duplicate/overwritten builds
+    single_keys = [k for k in t._fused_cache if k[0] != "files"]
+    files_keys = [k for k in t._fused_cache if k[0] == "files"]
+    assert len(single_keys) == 1, list(t._fused_cache)
+    assert len(files_keys) == 1, list(t._fused_cache)
