@@ -95,13 +95,7 @@ PEAK_HBM = float(os.environ.get("BENCH_PEAK_HBM", 819e9))
 
 def _compiled_flops(compiled) -> float | None:
     """XLA's own per-execution FLOP estimate for a compiled executable."""
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
+    return _compiled_cost(compiled)[0]
 
 
 def _compiled_cost(compiled) -> tuple[float | None, float | None]:
@@ -732,9 +726,9 @@ def measure_files(n_files: int = 4, duration_s: float = 60.0,
     # program (the scan body — cost_analysis counts a while-loop body
     # once, so lower the single-wave `run` and scale by K). The compile
     # is cached persistently (.jax_cache), so repeat benches pay nothing.
-    if k > 1:
-        wave_flops, wave_bytes = _compiled_cost(run.lower(
-            pool[0][0] if k > 1 else pool[0], nv[0]).compile())
+    if k > 1:  # pool entries are (K, B, n) super-batches; nv is (K, B)
+        wave_flops, wave_bytes = _compiled_cost(
+            run.lower(pool[0][0], nv[0]).compile())
     else:
         wave_flops, wave_bytes = _compiled_cost(
             run.lower(pool[0], nv).compile())

@@ -353,8 +353,10 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     server object before ``serve_forever`` so another thread can
     ``shutdown()`` it.
 
-    ``batch=1`` (default): one device dispatch at a time, handlers
-    serialize on a lock. ``batch>1``: cross-request micro-batching —
+    ``batch=1`` (default): each request is a wave of one — still routed
+    through the bounded queue, so load shedding, ``dispatchers``, and
+    graceful drain apply uniformly. ``batch>1``: cross-request
+    micro-batching —
     concurrent POSTs rendezvous for up to ``window_s`` and ride ONE
     batched fused device program (``Transcriber.transcribe_files``), the
     same amortization the watch-folder ``--batch`` path gets for file
@@ -390,7 +392,6 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
     from .infer import Transcriber
 
     t = transcriber or Transcriber()
-    lock = threading.Lock()
 
     # /metrics observability (Prometheus text format, stdlib only)
     mlock = threading.Lock()
@@ -463,20 +464,29 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         def close(self, timeout_s: float = 60.0) -> bool:
             """Graceful drain: refuse new admissions, wait for queued and
             in-flight requests to finish (bounded), wake the dispatcher
-            threads. Returns True on a clean drain."""
+            threads. Returns True on a clean drain. The drained-state
+            check runs at least once (timeout_s=0 on an idle batcher is
+            a clean drain), and the exit sentinels are posted even on a
+            timeout: FIFO ordering puts them behind any still-queued
+            requests, so a dispatcher wedged past the deadline (e.g. a
+            cold multi-minute compile) finishes what was admitted and
+            then EXITS, instead of living — and dispatching device
+            work — forever inside an embedding process."""
             with self._state:
                 self.closing = True
             deadline = time.monotonic() + timeout_s
-            while time.monotonic() < deadline:
+            clean = False
+            while True:
                 with self._state:
                     if self.q.qsize() == 0 and self._inflight == 0:
+                        clean = True
                         break
+                if time.monotonic() >= deadline:
+                    break
                 time.sleep(0.02)
-            else:
-                return False
             for _ in self._threads:
                 self.q.put(None)  # wake each blocked dispatcher to exit
-            return True
+            return clean
 
         def _drain_wave(self) -> list | None:
             first = self.q.get()  # block for the first request
@@ -537,9 +547,13 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                     with self._state:
                         self._inflight -= len(wave)
 
-    batcher = (_MicroBatcher(t, batch, window_s, max_depth=max_queue,
-                             n_dispatchers=dispatchers)
-               if batch > 1 else None)
+    # the batcher runs at EVERY batch size (a batch=1 wave is a wave of
+    # one, dispatched immediately — the rendezvous loop never waits when
+    # the wave is already full), so max_queue's 503 load shedding,
+    # dispatcher concurrency, and graceful drain apply to the default
+    # single-request configuration too, not only to --http_batch>1
+    batcher = _MicroBatcher(t, batch, window_s, max_depth=max_queue,
+                            n_dispatchers=dispatchers)
 
     class Handler(http.server.BaseHTTPRequestHandler):
         timeout = 120  # bounds reads from stalled clients (incl. drains)
@@ -653,34 +667,29 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
                 with tempfile.NamedTemporaryFile(suffix=".wav") as f:
                     f.write(data)
                     f.flush()
-                    if batcher is not None:
-                        slot = batcher.submit(f.name)
-                        if slot.get("overload"):
-                            # queue past max_queue (or draining): shed
-                            # load NOW — an unbounded queue under a
-                            # sustained burst grows memory and tail
-                            # latency with no signal to the client
-                            self._json(503, {
-                                "labels": [],
-                                "error": "server overloaded (micro-batch "
-                                         "queue full) — retry later",
-                            }, extra_headers={"Retry-After": "1"})
-                            return
-                        if "exc" in slot:
-                            raise slot["exc"]
-                        result = slot["result"]
-                        if not result.get("labels"):
-                            # match the single-dispatch silence contract
-                            # (transcribe raises; transcribe_files
-                            # returns an empty result instead)
-                            self._json(200, {"labels": [],
-                                             "error": "no clips survived "
-                                                      "slicing"})
-                            return
-                    else:
-                        with lock:  # one graph dispatch at a time
-                            result = t.transcribe(f.name)
-                            _count_dispatch(1)
+                    slot = batcher.submit(f.name)
+                    if slot.get("overload"):
+                        # queue past max_queue (or draining): shed
+                        # load NOW — an unbounded queue under a
+                        # sustained burst grows memory and tail
+                        # latency with no signal to the client
+                        self._json(503, {
+                            "labels": [],
+                            "error": "server overloaded (micro-batch "
+                                     "queue full) — retry later",
+                        }, extra_headers={"Retry-After": "1"})
+                        return
+                    if "exc" in slot:
+                        raise slot["exc"]
+                    result = slot["result"]
+                    if not result.get("labels"):
+                        # match the single-dispatch silence contract
+                        # (transcribe raises; transcribe_files
+                        # returns an empty result instead)
+                        self._json(200, {"labels": [],
+                                         "error": "no clips survived "
+                                                  "slicing"})
+                        return
             except ValueError as e:
                 # silence (no clips survived slicing) is valid content →
                 # 200 with empty labels, matching batch semantics; any
@@ -743,8 +752,7 @@ def serve_http(port: int = 8080, host: str = "127.0.0.1",
         # still be mid-request — wait for the batcher to flush and every
         # accepted POST to write its response, bounded by drain_timeout_s
         deadline = time.monotonic() + drain_timeout_s
-        clean = batcher.close(max(deadline - time.monotonic(), 0.0)) \
-            if batcher is not None else True
+        clean = batcher.close(max(deadline - time.monotonic(), 0.0))
         while True:
             with mlock:
                 if active["n"] == 0:

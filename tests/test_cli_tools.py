@@ -1234,6 +1234,107 @@ def test_serve_http_burst_sheds_load_and_loses_nothing():
         assert not th.is_alive(), "server thread failed to drain and exit"
 
 
+def test_serve_http_batch1_sheds_load_too():
+    """The bounded queue + 503 shedding apply at the DEFAULT
+    --http_batch 1 as well (round-5 review): previously batch=1
+    bypassed the micro-batcher entirely, so max_queue was silently
+    ignored on the single-request path and a sustained burst grew
+    unbounded handler threads with no backpressure signal."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    served = []
+    slock = threading.Lock()
+
+    class SlowStub:
+        def transcribe(self, path):
+            time.sleep(0.15)  # hold the dispatcher so a backlog builds
+            with slock:
+                served.append(1)
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    holder, th, port = _start_http(
+        dict(transcriber=SlowStub(), batch=1, max_queue=2,
+             drain_timeout_s=30.0))
+    out: list = []
+    olock = threading.Lock()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=b"RIFF" + b"x" * 64,
+            method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                with olock:
+                    out.append((resp.status, json.loads(resp.read()), None))
+        except urllib.error.HTTPError as e:
+            with olock:
+                out.append((e.code, json.loads(e.read()),
+                            e.headers.get("Retry-After")))
+
+    try:
+        threads = [threading.Thread(target=post) for _ in range(12)]
+        for x in threads:
+            x.start()
+        for x in threads:
+            x.join(timeout=60)
+        assert len(out) == 12, f"{len(out)} responses for 12 requests"
+        codes = sorted(c for c, _, _ in out)
+        assert set(codes) <= {200, 503}, codes
+        n200 = codes.count(200)
+        assert n200 >= 1 and codes.count(503) >= 1, codes
+        assert sum(served) == n200  # exactly-once per admitted request
+        assert all(r["labels"] == ["A2"] for c, r, _ in out if c == 200)
+        assert all(ra == "1" for c, _, ra in out if c == 503)
+    finally:
+        holder[0].shutdown()
+        th.join(timeout=30)
+        assert not th.is_alive(), "server thread failed to drain and exit"
+
+
+def test_serve_http_dispatchers_exit_even_with_zero_drain_timeout():
+    """Dispatcher lifecycle (round-5 review): the drain posts its exit
+    sentinels UNCONDITIONALLY and checks the drained state at least
+    once, so (a) drain_timeout_s=0 on an idle server is still a clean
+    drain (the old while/else skipped the emptiness check entirely at
+    deadline<=now), and (b) the dispatcher threads always EXIT after
+    shutdown instead of living forever inside an embedding process."""
+    import threading
+    import urllib.request
+
+    class Stub:
+        def transcribe(self, path):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def transcribe_files(self, paths, **kw):
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+    before = set(threading.enumerate())
+    holder, th, port = _start_http(
+        dict(transcriber=Stub(), batch=2, window_s=0.01, dispatchers=3,
+             drain_timeout_s=0.0))
+    spawned = set(threading.enumerate()) - before  # server + 3 dispatchers
+    assert len(spawned) >= 4, f"expected >=4 new threads, got {spawned}"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/transcribe", data=b"RIFF" + b"x" * 64,
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+    holder[0].shutdown()
+    th.join(timeout=30)
+    assert not th.is_alive(), "server thread failed to exit"
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        if not any(x.is_alive() for x in spawned):
+            break
+        time.sleep(0.05)
+    leaked = [x for x in spawned if x.is_alive()]
+    assert not leaked, f"dispatcher threads leaked after drain: {leaked}"
+
+
 def test_serve_http_graceful_drain_answers_inflight():
     """Lifecycle soak: shutdown() while requests are queued/in-flight —
     the listener stops, but every ADMITTED request still gets its 200

@@ -33,12 +33,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# v5e peaks — same env-overridable source of truth as bench.py, so a
-# BENCH_PEAK_* override keeps bench's mfu/bw_util and this report's
-# floors/verdict on the same denominator (other TPU generations)
-import os
-PEAK_FLOPS = float(os.environ.get("BENCH_PEAK_FLOPS", 197e12))  # bf16 MXU
-PEAK_HBM = float(os.environ.get("BENCH_PEAK_HBM", 819e9))  # HBM bytes/s
+# v5e peaks — imported from bench.py (the single source of truth, incl.
+# its BENCH_PEAK_* env overrides), so bench's mfu/bw_util and this
+# report's floors/verdict always share one denominator; bench.py's
+# module level is stdlib-only, so this import is cheap
+from bench import PEAK_FLOPS, PEAK_HBM  # noqa: E402
 TPU_CLOCK_HZ = 940e6  # TensorCore clock (cycles → ms)
 
 # stage attribution: first matching substring of the op_name path wins.
