@@ -3,10 +3,12 @@
 Behavioral spec: version_1/source/note_predictor.py (C16). Models are
 rebuilt from the checkpoint's `model_init_args`, weights come from the
 checkpoint's variables, and predictions blend softmax probabilities
-0.2·MLP + 0.8·CNN before argmax → reverse_map labels. The blended
-forward of both models is a single jit graph; `predict_debug` sweeps
-ensemble weights (ref note_predictor.py:138-157) reusing it (the weight
-is a traced scalar, so the sweep costs no recompiles).
+0.2·MLP + 0.8·CNN before argmax → reverse_map labels. Both model
+forwards, the blend, and the optional pitch prior run as ONE jit graph
+(`_ensemble_fn`) — a single device dispatch with the blend weight as a
+traced scalar; `predict_debug` sweeps ensemble weights (ref
+note_predictor.py:138-157) by re-blending the per-model probs on host
+from one forward pass.
 
 Beyond the reference: an optional YIN pitch prior (`pitch_prior_weight`
 > 0) mixes a Gaussian-over-semitone-distance distribution from the
@@ -17,8 +19,6 @@ prior restores unseen-timbre accuracy at the cost of one (shared) YIN
 pass. Off by default: the reference blend stays the parity behavior.
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -69,13 +69,20 @@ class NotePredictor:
         self.cnn_variables = None
         self.reverse_map: dict[int, str] | None = None
         self.cnn_weight = cnn_weight
-        self.mlp_weight = 1.0 - cnn_weight
         self.pitch_prior_weight = pitch_prior_weight
         self.pitch_prior_sigma = pitch_prior_sigma
         # CNN inference compute dtype override (weights stay f32 in the
         # checkpoint; flax casts per-op). bfloat16 is the AMP-style
         # inference analog — A/B'd on v5e in docs/PERF.md.
         self.cnn_dtype = cnn_dtype
+        self._ensemble_cache: dict = {}
+
+    @property
+    def mlp_weight(self) -> float:
+        """Always the complement of `cnn_weight` — a property so a
+        post-construction `cnn_weight` change (supported by the fused
+        program cache keys) can never leave this stale."""
+        return 1.0 - self.cnn_weight
 
     # ----- loading -------------------------------------------------------
     def load_models(self, mlp_ckpt_data: dict | None = None,
@@ -129,18 +136,46 @@ class NotePredictor:
                   "predictions will be class indices only.")
 
     # ----- forward graphs ------------------------------------------------
-    @functools.cached_property
-    def _mlp_probs_fn(self):
-        @jax.jit
-        def f(variables, x):
-            return jax.nn.softmax(self.mlp.apply(variables, x), axis=-1)
-        return f
+    def _ensemble_fn(self, has_mlp: bool, has_cnn: bool, has_prior: bool):
+        """ONE jitted graph for the whole feature-level ensemble: both
+        model forwards, the softmax blend, and (optionally) the pitch
+        prior — a single device dispatch instead of one per model plus
+        eager blending (each extra dispatch is a hop, ~30 ms through a
+        tunneled TPU). The blend weight `w` is a TRACED scalar, so
+        `predict_debug`'s weight sweep reuses the same executable with
+        no recompiles. Cached per (presence pattern, prior config, model
+        identity); weights are call arguments, so a trainer swapping
+        variables hits the same program."""
+        key = (has_mlp, has_cnn, has_prior, id(self.mlp), id(self.cnn),
+               self.pitch_prior_weight, self.pitch_prior_sigma,
+               (tuple(sorted(self.reverse_map.items()))
+                if has_prior and self.reverse_map else None))
+        fn = self._ensemble_cache.get(key)
+        if fn is not None:
+            return fn
+        mlp, cnn = self.mlp, self.cnn
+        class_midi = (class_midi_values(self.reverse_map)
+                      if has_prior else None)
+        prior_w, prior_sigma = (self.pitch_prior_weight,
+                                self.pitch_prior_sigma)
 
-    @functools.cached_property
-    def _cnn_probs_fn(self):
         @jax.jit
-        def f(variables, x):
-            return jax.nn.softmax(self.cnn.apply(variables, x), axis=-1)
+        def f(mlp_vars, cnn_vars, mfcc, mel, w, pitch_hz):
+            mlp_probs = (jax.nn.softmax(mlp.apply(mlp_vars, mfcc), axis=-1)
+                         if has_mlp else None)
+            cnn_probs = (jax.nn.softmax(cnn.apply(cnn_vars, mel), axis=-1)
+                         if has_cnn else None)
+            if has_mlp and has_cnn:
+                probs = (1.0 - w) * mlp_probs + w * cnn_probs
+            else:
+                probs = cnn_probs if has_cnn else mlp_probs
+            if has_prior:
+                probs = apply_pitch_prior(probs, pitch_hz, class_midi,
+                                          weight=prior_w,
+                                          sigma=prior_sigma)
+            return probs, mlp_probs, cnn_probs
+
+        self._ensemble_cache[key] = f
         return f
 
     @staticmethod
@@ -155,39 +190,33 @@ class NotePredictor:
 
     def ensemble_probs(self, mfcc_features=None, melspec_features=None,
                        cnn_weight: float | None = None, pitch_hz=None):
-        """Blended class probabilities plus per-model probs (device).
-        When the pitch prior is enabled and `pitch_hz` (N,) is given, the
-        blend is re-weighted toward classes near the estimated f0."""
-        mlp_probs = cnn_probs = None
-        if mfcc_features is not None:
-            if self.mlp is None:
-                raise RuntimeError("[predict] MLP not loaded")
-            x = jnp.asarray(mfcc_features, jnp.float32)
-            mlp_probs = self._mlp_probs_fn(self.mlp_variables, x)
-        if melspec_features is not None:
-            if self.cnn is None:
-                raise RuntimeError("[predict] CNN not loaded")
-            x = self._to_nhwc(jnp.asarray(melspec_features, jnp.float32))
-            cnn_probs = self._cnn_probs_fn(self.cnn_variables, x)
-
-        w = self.cnn_weight if cnn_weight is None else cnn_weight
-        if mlp_probs is not None and cnn_probs is not None:
-            probs = (1.0 - w) * mlp_probs + w * cnn_probs
-        elif cnn_probs is not None:
-            probs = cnn_probs
-        elif mlp_probs is not None:
-            probs = mlp_probs
-        else:
+        """Blended class probabilities plus per-model probs (device),
+        computed by ONE jit dispatch (`_ensemble_fn`). When the pitch
+        prior is enabled and `pitch_hz` (N,) is given, the blend is
+        re-weighted toward classes near the estimated f0."""
+        has_mlp = mfcc_features is not None
+        has_cnn = melspec_features is not None
+        if has_mlp and self.mlp is None:
+            raise RuntimeError("[predict] MLP not loaded")
+        if has_cnn and self.cnn is None:
+            raise RuntimeError("[predict] CNN not loaded")
+        if not has_mlp and not has_cnn:
             raise ValueError(
                 "[predict] Must provide either mfcc_features or "
                 "melspec_features")
-        if (pitch_hz is not None and self.pitch_prior_weight > 0
-                and self.reverse_map):
-            probs = apply_pitch_prior(
-                probs, pitch_hz, class_midi_values(self.reverse_map),
-                weight=self.pitch_prior_weight,
-                sigma=self.pitch_prior_sigma)
-        return probs, mlp_probs, cnn_probs
+        has_prior = (pitch_hz is not None and self.pitch_prior_weight > 0
+                     and bool(self.reverse_map))
+        w = self.cnn_weight if cnn_weight is None else cnn_weight
+        fn = self._ensemble_fn(has_mlp, has_cnn, has_prior)
+        return fn(self.mlp_variables if has_mlp else None,
+                  self.cnn_variables if has_cnn else None,
+                  jnp.asarray(mfcc_features, jnp.float32)
+                  if has_mlp else None,
+                  self._to_nhwc(jnp.asarray(melspec_features, jnp.float32))
+                  if has_cnn else None,
+                  jnp.float32(w),
+                  jnp.asarray(pitch_hz, jnp.float32)
+                  if has_prior else None)
 
     # ----- public prediction API -----------------------------------------
     def _result_dict(self, probs, mlp_probs, cnn_probs) -> dict:
@@ -226,11 +255,21 @@ class NotePredictor:
 
     def predict_debug(self, test_weights, mfcc_features=None,
                       melspec_features=None):
-        """Sweep CNN ensemble weights (ref note_predictor.py:138-157)."""
+        """Sweep CNN ensemble weights (ref note_predictor.py:138-157).
+        The model forwards run ONCE (one dispatch, one transfer); each
+        swept weight re-blends the per-model probs on host — the blend
+        is a 2-term affine combination, so no device work or recompile
+        is needed per weight."""
+        probs, mlp_probs, cnn_probs = jax.device_get(self.ensemble_probs(
+            mfcc_features, melspec_features))
         out = []
         for w in test_weights:
-            pred = self._result_dict(*self.ensemble_probs(
-                mfcc_features, melspec_features, cnn_weight=float(w)))
+            if mlp_probs is not None and cnn_probs is not None:
+                blended = ((1.0 - float(w)) * np.asarray(mlp_probs)
+                           + float(w) * np.asarray(cnn_probs))
+            else:
+                blended = np.asarray(probs)  # single-model: w is moot
+            pred = self._result_dict(blended, mlp_probs, cnn_probs)
             out.append((w, pred))
             print("weight: ", w)
             print(pred["labels"], pred["confidences"])

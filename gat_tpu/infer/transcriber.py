@@ -342,11 +342,19 @@ class Transcriber:
         if not kept_np.any():
             if not empty_ok:
                 raise ValueError("[transcribe] No clips survived slicing.")
+            # schema-consistent empties: per_model_probs entries are
+            # (0, C) arrays for LOADED models (None only when the model
+            # is absent), exactly like the non-empty branch — consumers
+            # that concatenate/shape-inspect across a batch must not
+            # TypeError on the one silent file in it
+            c = np.asarray(probs).shape[1:]
             return {"indices": np.zeros(0, np.int64), "labels": [],
                     "confidences": np.zeros(0, np.float32),
-                    "probs": np.zeros((0,) + np.asarray(probs).shape[1:],
-                                      np.float32),
-                    "per_model_probs": {"mlp": None, "cnn": None},
+                    "probs": np.zeros((0,) + c, np.float32),
+                    "per_model_probs": {
+                        "mlp": np.zeros((0,) + c, np.float32),
+                        "cnn": (np.zeros((0,) + c, np.float32)
+                                if cnn_p is not None else None)},
                     "dsp_info": [], "onsets_s": [], "times": [],
                     "onset_overflow": overflow}
         probs = np.asarray(probs)[kept_np]
@@ -612,9 +620,16 @@ class Transcriber:
             clips_ckpt_sr, self.ckpt_sr, mfcc_params, melspec_params,
             self.scaler)
         pitch_dev = yin_pitch(clips_ckpt_sr, self.ckpt_sr)
-        result = self.predictor.predict(mf, ms, pitch_hz=pitch_dev)
+        # ONE blocking transfer for the ensemble outputs AND the pitch
+        # track (a separate np.asarray(pitch_dev) after predict() would
+        # be a second ~30 ms tunnel round trip per file on the default
+        # single-file path)
+        probs, mlp_p, cnn_p, pitches = jax.device_get(
+            (*self.predictor.ensemble_probs(mf, ms, pitch_hz=pitch_dev),
+             pitch_dev))
+        result = self.predictor._result_dict(probs, mlp_p, cnn_p)
 
-        pitches = np.asarray(pitch_dev)
+        pitches = np.asarray(pitches)
         result["dsp_info"] = []
         for hz in pitches:
             midi, name, midi_f = estimate_note(float(hz))
@@ -626,7 +641,8 @@ class Transcriber:
                    audio_name: str = "transcribe_audio",
                    target_sr: int = TARGET_SR,
                    clip_duration: float | None = None,
-                   save_clips: bool = False, max_onsets: int = 64,
+                   save_clips: bool = False,
+                   max_onsets: int = DEFAULT_MAX_ONSETS,
                    fused: bool = False,
                    exact_fallback: bool = True,
                    cand_budget: int | None = None,
@@ -659,19 +675,25 @@ class Transcriber:
             clip_duration = self.clip_length  # checkpoint-trained duration
         y, sr_in = read_wav(audio_path)
 
+        # whole-second host pad BEFORE resample (both branches; same
+        # quantization as transcribe_files): device program signatures
+        # specialize per LENGTH, so an unquantized path would compile a
+        # fresh program family for every never-seen raw duration —
+        # minutes each on a tunneled TPU, unbounded jit-cache growth on
+        # a serving box. Padding costs one n_valid mask instead (the
+        # EOF zero-tail contract, padded-vs-exact parity in
+        # docs/PARITY.md); the polyphase filter zero-extends edges
+        # either way, so the first n samples are identical —
+        # regression-tested in test_infer.
+        y_np = np.asarray(y, np.float32)
+        n_raw = int(y_np.shape[-1])
+        sec = max(1, -(-n_raw // sr_in))
+        if n_raw < sec * sr_in:
+            y_np = np.pad(y_np, (0, sec * sr_in - n_raw))
+        n = -(-n_raw * target_sr // sr_in)  # true resampled length
+
         if fused and not save_clips:
-            # whole-second host pad BEFORE resample (see transcribe_files:
-            # keeps the device program signatures quantized to whole
-            # seconds instead of one per raw length; the polyphase filter
-            # zero-extends edges either way, so the first n samples are
-            # identical — regression-tested in test_infer)
-            y_np = np.asarray(y, np.float32)
-            n_raw = int(y_np.shape[-1])
-            sec = max(1, -(-n_raw // sr_in))
-            if n_raw < sec * sr_in:
-                y_np = np.pad(y_np, (0, sec * sr_in - n_raw))
             y_pad = resample(jnp.asarray(y_np), sr_in, target_sr)
-            n = -(-n_raw * target_sr // sr_in)  # true resampled length
             run = self._fused_file_fn(target_sr, clip_duration, max_onsets,
                                       cand_budget)
             (probs, mlp_p, cnn_p, pitch, kept, onsets, times, ovf, fix,
@@ -715,7 +737,8 @@ class Transcriber:
         # rates resample no-ops to the host array and this is the single
         # upload): an np.asarray here would block-download the whole
         # waveform over the tunnel only to re-upload it for segmentation
-        y22 = jnp.asarray(resample(y, sr_in, target_sr))
+        y22 = jnp.asarray(resample(jnp.asarray(y_np), sr_in, target_sr))
+        nv = jnp.asarray(n, jnp.int32)  # dynamic: no per-length recompile
         # one device->host transfer for all six segmentation outputs (the
         # per-array np.asarray calls below would each be a blocking ~30 ms
         # tunnel round trip on the default single-file path)
@@ -723,6 +746,7 @@ class Transcriber:
          nd) = jax.device_get(
             segment_waveform(y22, sr=target_sr, length_sec=clip_duration,
                              max_onsets=max_onsets,
+                             n_valid_samples=nv,
                              cand_budget=cand_budget))
         if exact_fallback and bool(np.asarray(overflow)) \
                 and not bool(np.asarray(cap)):
@@ -734,7 +758,8 @@ class Transcriber:
             clips, kept, onsets, ovalid, times, overflow, _, nd = \
                 jax.device_get(segment_waveform(
                     y22, sr=target_sr, length_sec=clip_duration,
-                    max_onsets=max_onsets, cand_budget=0))
+                    max_onsets=max_onsets, n_valid_samples=nv,
+                    cand_budget=0))
         # cap auto-scaling: a flag that survives (or was cap-only from
         # the start) is a genuine max_onsets truncation — re-segment ONCE
         # at the pow2 cap that fits the detected count (exact when the
@@ -748,7 +773,7 @@ class Transcriber:
             clips, kept, onsets, ovalid, times, overflow, _, nd = \
                 jax.device_get(segment_waveform(
                     y22, sr=target_sr, length_sec=clip_duration,
-                    max_onsets=m, cand_budget=0))
+                    max_onsets=m, n_valid_samples=nv, cand_budget=0))
             m_prev = m
         kept_np = np.asarray(kept)
         clips_np = np.asarray(clips)[kept_np]

@@ -675,3 +675,37 @@ def test_concurrent_cold_cache_builds_one_program(tmp_path):
     files_keys = [k for k in t._fused_cache if k[0] == "files"]
     assert len(single_keys) == 1, list(t._fused_cache)
     assert len(files_keys) == 1, list(t._fused_cache)
+
+
+def test_transcribe_two_stage_quantizes_program_shapes(tmp_path,
+                                                       transcriber,
+                                                       monkeypatch):
+    """Two raw durations inside the same whole-second bucket must reach
+    segment_waveform with the SAME padded length and distinct n_valid
+    masks (round-5 review): an unquantized single-file path compiles a
+    fresh device program family for every never-seen raw duration —
+    minutes each on a tunneled TPU, unbounded jit-cache growth on a
+    serving box — while the padded-vs-exact parity contract
+    (docs/PARITY.md) keeps the results identical."""
+    import gat_tpu.infer.transcriber as tr_mod
+    seen = []
+    orig = tr_mod.segment_waveform
+
+    def spy(y, **kw):
+        nv = kw.get("n_valid_samples")
+        seen.append((int(y.shape[-1]), None if nv is None else int(nv)))
+        return orig(y, **kw)
+
+    monkeypatch.setattr(tr_mod, "segment_waveform", spy)
+    labels = []
+    for i, dur in enumerate((3.71, 3.832)):
+        y = _riff(NOTES[:3], dur=dur)
+        p = tmp_path / f"quant_{i}.wav"
+        write_wav(p, y, SR)
+        labels.append(transcriber.transcribe(p)["labels"])
+    assert labels[0] == labels[1] == [n for _, _, n in NOTES[:2]]
+    lens = {ln for ln, _ in seen}
+    assert lens == {4 * SR}, f"unquantized segment shapes: {seen}"
+    nvs = [nv for _, nv in seen]
+    assert all(nv is not None for nv in nvs), seen
+    assert nvs[0] != nvs[1]  # true lengths differ; the program shape not
