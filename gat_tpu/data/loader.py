@@ -93,16 +93,26 @@ class AudioDatasetLoader:
             from ..utils.native_wav import read_wav_batch
             decoded = read_wav_batch([p for p, _ in pairs])
         else:
-            decoded = [read_wav(p, mono=False) for p, _ in pairs]
+            # read_wav(mono=False) yields (n, channels); the device ops
+            # below (resample/fix_length) act on the LAST axis, and the
+            # reference's librosa mono=False convention is
+            # channels-first (ref loading.py:36-105) — transpose so
+            # time is the operated axis and the returned layout matches
+            # the reference
+            decoded = [(x.T if x.ndim == 2 else x, sr)
+                       for x, sr in (read_wav(p, mono=False)
+                                     for p, _ in pairs)]
         raw = [x for x, _ in decoded]
         srs_in = [sr for _, sr in decoded]
 
-        # group by (source_sr, length) so each resample is one traced batch
+        # group by (source_sr, shape) so each resample is one traced
+        # batch (shape, not just length: mono=False files can differ in
+        # channel count and would not stack)
         wavs: list[np.ndarray | None] = [None] * len(raw)
-        groups: dict[tuple[int, int], list[int]] = {}
+        groups: dict[tuple, list[int]] = {}
         for i, (x, sr) in enumerate(zip(raw, srs_in)):
-            groups.setdefault((sr, len(x)), []).append(i)
-        for (sr, _n), idxs in groups.items():
+            groups.setdefault((sr,) + tuple(x.shape), []).append(i)
+        for (sr, *_shape), idxs in groups.items():
             batch = np.stack([raw[i] for i in idxs])
             out = np.asarray(resample(batch, sr, self.target_sr))
             if self.fixed_len is not None:
@@ -111,8 +121,12 @@ class AudioDatasetLoader:
                 wavs[i] = out[j].astype(np.float32)
 
         if pad_to_max:
-            max_len = max(len(w) for w in wavs)
-            wavs = [np.pad(w, (0, max_len - len(w))) for w in wavs]
+            # pad the TIME axis only (mono arrays are 1-D; mono=False
+            # arrays are (channels, n))
+            max_len = max(int(w.shape[-1]) for w in wavs)
+            wavs = [np.pad(w, [(0, 0)] * (w.ndim - 1)
+                           + [(0, max_len - int(w.shape[-1]))])
+                    for w in wavs]
         for w in wavs:
             # cached arrays are shared across consumers — an in-place
             # write must raise, not silently poison later trainings

@@ -139,6 +139,15 @@ def render_modal_dataset(out_root, class_names=None, sr: int = 22050,
     if stressor is not None and stressor != "mix" \
             and stressor not in _STRESSORS:
         raise ValueError(f"unknown stressor {stressor!r}")
+    if channel is not None:
+        # validate upfront like stressor (and like synth.py's writer): a
+        # typo'd channel name must not surface mid-generation and leave
+        # a partially written, marker-bearing dataset dir on disk
+        from .channel import CHANNELS
+        valid = tuple(CHANNELS) + ("mix", "mix_chain", "full_chain")
+        if channel not in valid:
+            raise ValueError(f"unknown channel {channel!r}; "
+                             f"choose from {valid}")
     rng = np.random.default_rng(seed)
     # held-out-family marker FIRST, before any audio exists: an
     # interrupted render must never leave a valid-looking but unmarked

@@ -212,7 +212,16 @@ def _variant_seed(seed: int, ci: int, i: int,
     `seed*100000 + ci*100 + i` streams for variants_per_class <= 100
     (the shipped checkpoints and every published eval set); larger
     runs widen the stride — and the per-seed block with it — so
-    (class, variant) pairs can never alias across classes or seeds."""
+    (class, variant) pairs can never alias across classes or seeds.
+
+    Scope: the guarantee covers THIS scheme's outputs. The KS renderer
+    uses a separate legacy stream (`seed*1000 + ci`, see
+    synthesize_note_dataset) whose values can coincide with this
+    scheme's at small seeds (seed=0: KS class ci vs class 0's variant
+    ci) — kept verbatim because the shipped checkpoints were trained
+    from it; the coincidence seeds two DIFFERENT synthesis algorithms
+    (delay-line burst vs FM/additive parameter draws), so the shared
+    bitstream produces unrelated audio, not duplicate samples."""
     stride = max(100, variants_per_class)
     return seed * stride * 1000 + ci * stride + i
 

@@ -69,15 +69,14 @@ class TrainingManager:
 
     @staticmethod
     def _dir_signature(ds_path) -> int:
+        # enumerate with the loader's OWN discovery walk (iter_paths),
+        # so the signature covers exactly the files the loader would
+        # decode — a hand-rolled second walk here could drift from the
+        # loader's rules and serve a regenerated dataset stale
         sig = 0
-        for folder in sorted(os.listdir(ds_path)):
-            fp = Path(ds_path) / folder
-            if not fp.is_dir():
-                continue
-            for fname in sorted(os.listdir(fp)):
-                if fname.endswith(".wav"):
-                    st = (fp / fname).stat()
-                    sig = hash((sig, fname, st.st_mtime_ns, st.st_size))
+        for p, _label in AudioDatasetLoader([ds_path]).iter_paths():
+            st = p.stat()
+            sig = hash((sig, p.name, st.st_mtime_ns, st.st_size))
         return sig
 
     @staticmethod
@@ -109,14 +108,31 @@ class TrainingManager:
         (ref training_manager.py:38-46)."""
         if dataset is not None:
             p = Path(dataset)
-            if p.is_dir():
-                return self._refuse_eval_only(p)
+            # explicit path forms (Path objects, absolute strings) keep
+            # path semantics; bare names and sub/name strings resolve
+            # via the REGISTRY first, so an unrelated same-named
+            # directory in the process CWD can never silently shadow a
+            # registered dataset (a relative path that matches no
+            # registry entry still works via the fallback below)
+            if (isinstance(dataset, (Path, os.PathLike))
+                    or p.is_absolute()):
+                if p.is_dir():
+                    return self._refuse_eval_only(p)
+                raise FileNotFoundError(
+                    f"[_choose_dataset] Not a dataset directory: {p}")
             names, paths = get_available_datasets(self.datasets_root)
             if isinstance(dataset, int) or str(dataset).isdigit():
-                return self._refuse_eval_only(paths[int(dataset)])
+                i = int(dataset)
+                if not 0 <= i < len(paths):
+                    raise FileNotFoundError(
+                        f"[_choose_dataset] dataset index {i} out of "
+                        f"range (0 to {len(paths) - 1})")
+                return self._refuse_eval_only(paths[i])
             for n, pp in zip(names, paths):
                 if n == dataset or n.endswith(f"/{dataset}"):
                     return self._refuse_eval_only(pp)
+            if p.is_dir():
+                return self._refuse_eval_only(p)
             raise FileNotFoundError(
                 f"[_choose_dataset] Unknown dataset: {dataset}")
         names, paths = get_available_datasets(self.datasets_root)

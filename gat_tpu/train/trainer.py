@@ -24,6 +24,7 @@ Checkpoints carry the full C15 schema plus optimizer state for resume.
 """
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 
@@ -66,6 +67,19 @@ class ReduceLROnPlateau:
             self.lr = max(self.lr * self.factor, self.min_lr)
             self.num_bad = 0
         return self.lr
+
+
+@functools.partial(jax.jit, static_argnames="n")
+def _split_chain(key, n: int):
+    """`n` sequential `jax.random.split` steps as ONE device dispatch:
+    returns (advanced_key, (n, 2) subkeys), bitwise-identical to the
+    host loop `for _ in range(n): key, sub = split(key)` (split is
+    deterministic) — the scanned-epoch path uses this so deriving
+    per-batch dropout keys costs one round trip, not n."""
+    def step(k, _):
+        k, sub = jax.random.split(k)
+        return k, sub
+    return jax.lax.scan(step, key, None, length=n)
 
 
 def _kaiming_std(fan_in: int, a: float = 0.01) -> float:
@@ -180,6 +194,9 @@ class Trainer:
         # eval dispatch (finding: the fast path re-uploaded dl.X every
         # epoch); reset alongside _dev_data at each train() call
         self._val_data: tuple | None = None
+        # True only inside train()'s epoch loop: gates _val_data reuse
+        # (direct public evaluate() calls re-upload — see evaluate())
+        self._in_train = False
 
     # ------------------------------------------------------------------
     def _check_dims(self, dl):
@@ -330,6 +347,23 @@ class Trainer:
         return jax.device_put(a, replicated(self.mesh))
 
     # ------------------------------------------------------------------
+    def _dev_cached(self, attr: str, dl):
+        """Identity-keyed device upload of (dl.X, dl.y), cached on
+        `self.<attr>` — ONE definition of the cache-check/refresh idiom
+        for the train and eval paths, so the reset/mutation semantics
+        live in one place. The key is object identity (loader, X, y):
+        cheap, but blind to IN-PLACE mutation — callers own the reset
+        discipline (train() clears both slots per call; evaluate()
+        clears its slot on direct public calls)."""
+        c = getattr(self, attr)
+        if not (c and c[0] is dl and c[1] is dl.X and c[2] is dl.y):
+            setattr(self, attr, (
+                dl, dl.X, dl.y,
+                self._put(jnp.asarray(dl.X, jnp.float32)),
+                self._put(jnp.asarray(dl.y))))
+            c = getattr(self, attr)
+        return c[3], c[4]
+
     def _run_epoch_scanned(self, train_dl):
         """One epoch as ONE device dispatch (plus at most one extra for a
         partial trailing batch): same batches, same order, same dropout
@@ -337,14 +371,7 @@ class Trainer:
         just scanned on device with X/Y resident. Returns
         (loss_sum, correct, total)."""
         from .data import ArrayDataLoader  # noqa: F401 (type check only)
-        c = self._dev_data
-        if not (c and c[0] is train_dl and c[1] is train_dl.X
-                and c[2] is train_dl.y):
-            self._dev_data = (
-                train_dl, train_dl.X, train_dl.y,
-                self._put(jnp.asarray(train_dl.X, jnp.float32)),
-                self._put(jnp.asarray(train_dl.y)))
-        X_dev, Y_dev = self._dev_data[3], self._dev_data[4]
+        X_dev, Y_dev = self._dev_cached("_dev_data", train_dl)
         if self._epoch_fn is None:
             self._epoch_fn = self._build_epoch_fn()
 
@@ -356,11 +383,12 @@ class Trainer:
         loss_sum, correct, total = 0.0, 0, 0
         if nb:
             perm = jnp.asarray(idx[:nb * bs].reshape(nb, bs))
-            subs = []
-            for _ in range(nb):
-                self._dropout_key, sub = jax.random.split(self._dropout_key)
-                subs.append(sub)
-            rngs = jnp.stack(subs)
+            # per-batch dropout keys as ONE dispatch: a host loop of nb
+            # sequential jax.random.split calls is nb tiny device round
+            # trips (~30 ms each through a tunneled TPU) before the
+            # scanned epoch even starts; the scan below produces the
+            # bitwise-identical key sequence (split is deterministic)
+            self._dropout_key, rngs = _split_chain(self._dropout_key, nb)
             (self.params, self.extra, self.opt_state, losses, corrects,
              gnorms) = self._epoch_fn(self.params, self.extra,
                                       self.opt_state, X_dev, Y_dev,
@@ -412,6 +440,26 @@ class Trainer:
         self._dev_data = None
         self._val_data = None
 
+        self._in_train = True  # evaluate() may reuse _val_data per-call
+        try:
+            self._train_epochs(epochs, train_dl, use_scan, es_window_len,
+                               es_slope_limit, verbose)
+        finally:
+            self._in_train = False
+
+        if plot_metrics:
+            plot_curves({"Accuracy": self.train_accuracy_history,
+                         "Loss": self.train_loss_history},
+                        title="Training Curves")
+            plot_curves({"Accuracy": self.val_accuracy_history,
+                         "Loss": self.val_loss_history},
+                        title="Validation Curves")
+        if verbose:
+            print(f"\n[train] Training complete. "
+                  f"({time.time() - t0:.1f}s)\n")
+
+    def _train_epochs(self, epochs, train_dl, use_scan, es_window_len,
+                      es_slope_limit, verbose):
         for ep in range(1, epochs + 1):
             if verbose:
                 print(f"[train] EPOCH {ep}/{epochs}")
@@ -467,17 +515,6 @@ class Trainer:
                           f"val loss: {val_loss:.4f} | "
                           f"val accuracy: {val_acc:.4f}")
 
-        if plot_metrics:
-            plot_curves({"Accuracy": self.train_accuracy_history,
-                         "Loss": self.train_loss_history},
-                        title="Training Curves")
-            plot_curves({"Accuracy": self.val_accuracy_history,
-                         "Loss": self.val_loss_history},
-                        title="Validation Curves")
-        if verbose:
-            print(f"\n[train] Training complete. "
-                  f"({time.time() - t0:.1f}s)\n")
-
     def evaluate(self, val_dl=None, cm: bool = False, report: bool = False,
                  plot_metrics: bool = False):
         """Weighted val loss + accuracy; optional confusion matrix /
@@ -512,14 +549,15 @@ class Trainer:
             resident = (np.asarray(dl.X).nbytes
                         <= self._EVAL_RESIDENT_BYTES)
             if resident:
-                c = self._val_data
-                if not (c and c[0] is dl and c[1] is dl.X
-                        and c[2] is dl.y):
-                    self._val_data = (
-                        dl, dl.X, dl.y,
-                        self._put(jnp.asarray(dl.X, jnp.float32)),
-                        self._put(jnp.asarray(dl.y)))
-                X_dev, Y_dev = self._val_data[3], self._val_data[4]
+                if not self._in_train:
+                    # the identity-keyed cache cannot see IN-PLACE
+                    # mutation of dl.X/dl.y (the hazard _dev_cached
+                    # documents); inside train() the per-call reset
+                    # makes reuse safe across that call's epochs, but a
+                    # direct public evaluate() must never report
+                    # metrics for a stale upload — re-upload instead
+                    self._val_data = None
+                X_dev, Y_dev = self._dev_cached("_val_data", dl)
             for i in range(0, n, chunk):
                 if resident:
                     xc, yc = X_dev[i:i + chunk], Y_dev[i:i + chunk]
@@ -614,9 +652,22 @@ class Trainer:
             "class_names": self.class_names,
         }
         if self.scaler is not None:
-            ckpt["scaler"] = (self.scaler.to_dict()
-                              if hasattr(self.scaler, "to_dict")
-                              else self.scaler)
+            if hasattr(self.scaler, "to_dict"):
+                ckpt["scaler"] = self.scaler.to_dict()
+            elif hasattr(self.scaler, "mean_"):
+                # sklearn-style scaler: coerce to the checkpoint schema
+                # NOW — writing the object itself would pickle it into
+                # the npz, and load_checkpoint (allow_pickle=False)
+                # could never read the file back; the save would
+                # succeed and the failure surface at load time
+                from ..utils.scaler import FeatureScaler
+                ckpt["scaler"] = FeatureScaler.from_sklearn(
+                    self.scaler).to_dict()
+            else:
+                raise TypeError(
+                    "[save] scaler must be a FeatureScaler (or expose "
+                    "sklearn's mean_/scale_): a foreign object would be "
+                    f"pickled unreadably. Got {type(self.scaler)!r}.")
         if include_opt:
             ckpt["opt_state"] = _opt_state_to_tree(self.opt_state)
             ckpt["opt_state_fingerprint"] = _opt_state_fingerprint(

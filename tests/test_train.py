@@ -492,17 +492,25 @@ def test_evaluate_explicit_empty_loader_not_swapped(rng):
 
 def test_val_device_cache_reused_across_epochs(rng):
     """evaluate()'s whole-val-set fast path uploads dl.X once per
-    train() call, not once per epoch (identity-keyed like _dev_data)."""
+    train() call, not once per epoch (identity-keyed like _dev_data) —
+    but a DIRECT public evaluate() always re-uploads, so an in-place
+    mutation between calls is never evaluated stale (round-5 review)."""
     X = rng.normal(size=(40, 6)).astype(np.float32)
     y = rng.integers(0, 2, 40)
     dl = ArrayDataLoader(X, y, 10, seed=0)
     val = ArrayDataLoader(X, y, 10, shuffle=False)
     tr = Trainer(MLP(num_features=6, hidden_dim=16, num_classes=2),
                  dl, val, reverse_map={0: "x", 1: "y"}, seed=0)
+    tr._in_train = True  # as inside train()'s epoch loop
+    try:
+        tr.evaluate()
+        cached = tr._val_data[3]
+        tr.evaluate()
+        assert tr._val_data[3] is cached  # per-epoch reuse inside train
+    finally:
+        tr._in_train = False
     tr.evaluate()
-    cached = tr._val_data[3]
-    tr.evaluate()
-    assert tr._val_data[3] is cached  # same upload reused
+    assert tr._val_data[3] is not cached  # direct call re-uploads
     tr.train(epochs=1, verbose=False)  # train() resets, then re-uploads
     assert tr._val_data is not None and tr._val_data[3] is not cached
 
@@ -637,3 +645,114 @@ def test_evaluate_chunks_large_sets(rng, monkeypatch):
         loss_sum += float(loss) * len(yb)
     assert acc_fast == correct / total
     np.testing.assert_allclose(loss_fast, loss_sum / total, rtol=1e-6)
+
+
+def test_stereo_loader_resamples_time_axis(tmp_path):
+    """mono=False: read_wav yields (n, channels) but the device ops act
+    on the LAST axis (round-5 review — the old path "resampled" the
+    size-2 channel axis, destroying stereo audio). The loader now
+    returns channels-first (the reference's librosa mono=False
+    convention) with time resampled/length-fixed on the last axis."""
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.utils.wavio import write_wav
+
+    sr_in, sr_out = 44100, 11025
+    t = np.arange(int(0.4 * sr_in)) / sr_in
+    left = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    right = np.sin(2 * np.pi * 330.0 * t).astype(np.float32)
+    (tmp_path / "ds" / "A3").mkdir(parents=True)
+    write_wav(tmp_path / "ds" / "A3" / "x.wav",
+              np.stack([left, right], axis=1), sr_in)
+    loader = AudioDatasetLoader([tmp_path / "ds"], target_sr=sr_out,
+                                mono=False, duration=0.5)
+    wavs, srs, labels, _ = loader.load_audio_dataset()
+    w = wavs[0]
+    assert w.shape == (2, int(0.5 * sr_out)), w.shape
+    assert labels == ["A3"] and srs == [sr_out]
+    # each channel carries ITS tone at the resampled rate
+    n = int(0.4 * sr_out)
+    freqs = np.fft.rfftfreq(n, 1 / sr_out)
+    for ch, f in ((0, 220.0), (1, 330.0)):
+        peak = freqs[np.abs(np.fft.rfft(w[ch][:n])).argmax()]
+        assert abs(peak - f) < 5.0, (ch, f, peak)
+
+
+def test_evaluate_direct_call_honors_inplace_mutation(rng):
+    """A PUBLIC evaluate() call after in-place mutation of the val
+    arrays must not report metrics for a stale device upload (round-5
+    review): the identity-keyed _val_data cache is reused only inside a
+    train() call, where the per-call reset makes it safe."""
+    n, d, k = 64, 6, 2
+    X = rng.normal(size=(n, d)).astype(np.float32)
+    y = rng.integers(0, k, n)
+    dl = ArrayDataLoader(X, y, 32, seed=0)
+    val = ArrayDataLoader(X.copy(), y.copy(), 32)
+    tr = Trainer(MLP(num_features=d, hidden_dim=8, num_hidden_layers=1,
+                     num_classes=k), dl, val_dl=val, seed=0)
+    tr.train(epochs=1, verbose=False)
+    _, loss1 = tr.evaluate()
+    val.X[:] = val.X + 100.0  # same object identity, new content
+    _, loss2 = tr.evaluate()
+    assert loss2 != loss1, "evaluate() reused a stale device upload"
+
+
+def test_save_coerces_sklearn_scaler_and_rejects_foreign(tmp_path, rng):
+    """save() must never pickle a scaler object into the npz: a
+    sklearn-style scaler (mean_/scale_) is coerced to the checkpoint
+    schema, anything else raises AT SAVE TIME — a pickled object array
+    would save fine and fail only at load_checkpoint
+    (allow_pickle=False), breaking the round trip silently."""
+    from gat_tpu.train.checkpoint import load_checkpoint
+
+    X = rng.normal(size=(12, 4)).astype(np.float32)
+    y = rng.integers(0, 2, 12)
+    dl = ArrayDataLoader(X, y, 6)
+
+    class SkLike:  # duck-typed sklearn StandardScaler
+        mean_ = np.arange(4, dtype=np.float64)
+        scale_ = np.full(4, 2.0)
+
+    tr = Trainer(MLP(num_features=4, hidden_dim=8, num_classes=2), dl,
+                 reverse_map={0: "a", 1: "b"}, scaler=SkLike(), seed=0)
+    tr.save(filename="s.gtckpt.npz", root=tmp_path)
+    ck = load_checkpoint(tmp_path / "s.gtckpt.npz")
+    assert np.allclose(ck["scaler"]["mean"], SkLike.mean_)
+    assert np.allclose(ck["scaler"]["scale"], SkLike.scale_)
+
+    tr2 = Trainer(MLP(num_features=4, hidden_dim=8, num_classes=2), dl,
+                  reverse_map={0: "a", 1: "b"}, scaler=object(), seed=0)
+    with pytest.raises(TypeError, match="scaler"):
+        tr2.save(filename="s2.gtckpt.npz", root=tmp_path)
+
+
+def test_choose_dataset_registry_wins_over_cwd(tmp_path, monkeypatch):
+    """A same-named directory in the process CWD must not shadow a
+    registered dataset (round-5 review), and an out-of-range numeric
+    index gets the FileNotFoundError message, not a bare IndexError."""
+    ds = synthesize_note_dataset(
+        tmp_path / "data" / "synth" / "guitar_mini",
+        class_names=["A3"], variants_per_class=1, verbose=False)
+    mgr = TrainingManager(datasets_root=tmp_path / "data",
+                          target_sr=11025)
+    shadow = tmp_path / "cwd" / "guitar_mini"
+    shadow.mkdir(parents=True)
+    monkeypatch.chdir(tmp_path / "cwd")
+    from pathlib import Path
+    assert Path(mgr._choose_dataset("guitar_mini")).resolve() \
+        == Path(ds).resolve()
+    with pytest.raises(FileNotFoundError, match="out of range"):
+        mgr._choose_dataset("99")
+
+
+def test_modal_render_validates_channel_upfront(tmp_path):
+    """A typo'd channel name must fail BEFORE anything is written: a
+    mid-generation failure would leave a marker-bearing, partially
+    materialized eval dataset on disk (round-5 review; mirrors
+    synth.py's upfront validation)."""
+    from gat_tpu.data.modal import render_modal_dataset
+
+    out = tmp_path / "modal_bad"
+    with pytest.raises(ValueError, match="unknown channel"):
+        render_modal_dataset(out, class_names=["A3"],
+                             variants_per_class=1, channel="room")
+    assert not out.exists()
