@@ -112,8 +112,6 @@ def resample(y: jax.Array, orig_sr: int, target_sr: int,
         return jnp.zeros(batch_shape + (0,), jnp.float32)
     hp, delta, pos, lpad, rpad, m = _polyphase_plan(n, up, down, zeros, beta)
 
-    x = y.reshape((-1, 1, n)).astype(jnp.float32)
-
     if up == 1:
         # y[j] = sum_k x[j·down - half + k]·h[k]. A C=1 conv runs on the
         # VPU (profiled ~1 ms for 1024 clips on v5e); instead, group
@@ -146,6 +144,7 @@ def resample(y: jax.Array, orig_sr: int, target_sr: int,
     need_z = max(int(pos[s]) for s in range(phases)) + \
         (t_len - 1) * down + 1
     need = need_z + hp.shape[1] - 1  # VALID conv: L = len(x) - taps + 1
+    x = y.reshape((-1, 1, n)).astype(jnp.float32)  # up>1 conv path only
     x = jnp.pad(x, ((0, 0), (0, 0), (lpad, max(rpad, need - n - lpad))))
     # z: (N, up, L) — all phase correlations in one conv (VALID padding)
     z = jax.lax.conv_general_dilated(

@@ -166,12 +166,11 @@ def _pad_center(y: jax.Array, pad: int, pad_mode: str) -> jax.Array:
 @functools.lru_cache(maxsize=8)
 def _block_dft_np(hop: int, n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     """Block real-DFT matrices (hop, 1 + n_fft//2): blocks @ C + i·blocks
-    @ S == rfft of each zero-padded block (n=n_fft)."""
-    n = np.arange(hop)[:, None]
-    f = np.arange(1 + n_fft // 2)[None, :]
-    ang = 2.0 * np.pi * n * f / n_fft
-    return (np.cos(ang).astype(np.float32),
-            (-np.sin(ang)).astype(np.float32))
+    @ S == rfft of each zero-padded block (n=n_fft). Exactly the first
+    `hop` rows of the framed-DFT matrices — sliced from _rdft_np so the
+    two spectral paths share ONE trig-matrix definition and can never
+    drift."""
+    return tuple(m[:hop].copy() for m in _rdft_np(n_fft))
 
 
 @functools.lru_cache(maxsize=8)
@@ -442,7 +441,13 @@ def melspectrogram_torchaudio(y: jax.Array, sr: int, n_fft: int = 2048,
     out = jnp.einsum("...tf,mf->...tm", S, jnp.asarray(fb_np[:, :f_keep]),
                      preferred_element_type=jnp.float32)
     if to_db:
-        out = amplitude_to_db_torchaudio(out, stype="power")
+        # torchaudio pairs MelSpectrogram(power=p) with
+        # AmplitudeToDB(stype='power' if p==2 else 'magnitude'):
+        # magnitude spectra scale by 20·log10, power spectra by
+        # 10·log10 — keying on `power` keeps non-default callers from
+        # silently getting half the dB scale
+        out = amplitude_to_db_torchaudio(
+            out, stype="power" if power == 2.0 else "magnitude")
     return out
 
 

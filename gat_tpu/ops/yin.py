@@ -278,10 +278,9 @@ def yin_pitch(clips: jax.Array, sr: int, fmin: float = 50.0,
 def estimate_note(pitch_hz: float, unicode: bool = True):
     """Host-side wrapper: Hz → (midi, note_name, midi_float), mirroring the
     reference's round_to_nearest_pitch (ref yin.py:21-37)."""
-    import numpy as np
     from .pitch import midi_to_note
-    if pitch_hz is None or not np.isfinite(pitch_hz) or pitch_hz <= 0:
+    if pitch_hz is None or not _np.isfinite(pitch_hz) or pitch_hz <= 0:
         return None, None, None
-    midi_float = 12.0 * (np.log2(pitch_hz) - np.log2(440.0)) + 69.0
-    midi = int(np.round(midi_float))
+    midi_float = 12.0 * (_np.log2(pitch_hz) - _np.log2(440.0)) + 69.0
+    midi = int(_np.round(midi_float))
     return midi, midi_to_note(midi, unicode=unicode), float(midi_float)

@@ -46,9 +46,13 @@ def rms_db_envelope(y: jax.Array, frame_length: int = 2048,
     (ref passes pad_mode='reflect'), so the true signal's mirror is
     written into the padding before framing; (b) the median smoother
     reflects at the envelope end, so the last valid frames' windows get
-    the mirrored envelope values, not the padded tail's. Requires
-    n_valid_samples ≥ frame_length (every serving bucket satisfies this;
-    shorter valid regions would need multiple reflections)."""
+    the mirrored envelope values, not the padded tail's. Bit-identical
+    for n_valid_samples ≥ frame_length (every serving bucket satisfies
+    this); a shorter valid region has NO exact counterpart (numpy
+    reflect errors when the pad exceeds the signal), so its mirror
+    degrades to zeros past the signal start — the slices below read
+    from zero-left-padded copies precisely so a tiny nv can never
+    clamp a start index and import unrelated audio into the pad."""
     if n_valid_samples is None:
         rms = rms_frames(y, frame_length, hop_length, pad_mode="reflect")
         rms_db = 20.0 * jnp.log10(rms + _EPS)
@@ -64,7 +68,13 @@ def rms_db_envelope(y: jax.Array, frame_length: int = 2048,
     # `half` zeros guarantee the dynamic write never clamps (numpy
     # 'reflect' mirrors without repeating the edge: pad[j] = y[nv-2-j])
     ye = jnp.concatenate([y, jnp.zeros((half,), y.dtype)])
-    seg = jax.lax.dynamic_slice(y, (nv - 1 - half,), (half,))
+    # slice the mirror source from a zero-LEFT-padded copy: the start
+    # index (nv-1) is then nonnegative for every nv, so a valid region
+    # shorter than the frame reads zeros instead of a clamped slice of
+    # the signal's head (yz[nv-1 : nv-1+half] == y[nv-1-half : nv-1],
+    # with out-of-range low positions zero)
+    yz = jnp.concatenate([jnp.zeros((half,), y.dtype), y])
+    seg = jax.lax.dynamic_slice(yz, (nv - 1,), (half,))
     ye = jax.lax.dynamic_update_slice(ye, jnp.flip(seg), (nv,))
     t_out = 1 + n // hop_length  # frame count of the unextended call
     rms = rms_frames(ye, frame_length, hop_length,
@@ -74,7 +84,11 @@ def rms_db_envelope(y: jax.Array, frame_length: int = 2048,
         # (b) scipy 'reflect' (numpy symmetric) at the valid envelope
         # end: positions nvf, nvf+1 take env[nvf-1], env[nvf-2]
         nvf = 1 + nv // hop_length
-        seg2 = jax.lax.dynamic_slice(rms_db, (nvf - 2,), (2,))
+        # same zero-left-pad trick as (a): start nvf is nonnegative for
+        # every nv, so a 1-frame envelope mirrors (zero, env[0]) rather
+        # than a clamped slice
+        ez = jnp.concatenate([jnp.zeros((2,), rms_db.dtype), rms_db])
+        seg2 = jax.lax.dynamic_slice(ez, (nvf,), (2,))
         ee = jnp.concatenate([rms_db, jnp.zeros((2,), rms_db.dtype)])
         ee = jax.lax.dynamic_update_slice(ee, jnp.flip(seg2), (nvf,))
         rms_db = median_filter1d(ee, 5)[..., :t_out]

@@ -599,3 +599,52 @@ def test_padded_vs_exact_detection_property(rng):
         assert bool(f1) == bool(f2)
         assert bool(c1) == bool(c2)
         assert int(n1) == int(n2)
+
+
+def test_rms_envelope_tiny_valid_region_mirror_stays_in_place():
+    """nv < frame_length has no exact reflect counterpart (numpy errors
+    when the pad exceeds the signal); the mirror must degrade to zeros
+    past the signal start (round-5 review) — the old clamped slice
+    copied the signal's HEAD into the pad at a displaced offset,
+    synthesizing energy ~700 samples after the valid end."""
+    import jax.numpy as jnp
+    from gat_tpu.segment.gating import rms_db_envelope
+
+    frame, hop, n, nv = 2048, 512, 8192, 300
+    y = np.zeros(n, np.float32)
+    y[:nv] = 1.0  # loud valid region, silence after
+    env = np.asarray(rms_db_envelope(jnp.asarray(y), frame, hop,
+                                     smooth=False, n_valid_samples=nv))
+    assert np.all(np.isfinite(env))
+    # frame 0 covers the valid ones -> loud
+    assert env[0] > -40.0, env[0]
+    # frame 4 covers samples [1024, 3072): the proper mirror of a
+    # 300-sample signal about nv-1 ends by sample ~600, so this window
+    # is pure silence; the clamped-slice bug wrote ones into
+    # [nv+724, nv+1024) = [1024, 1324) and lit this frame up
+    assert env[4] < -150.0, env[4]
+
+
+def test_melspectrogram_torchaudio_magnitude_db_scale():
+    """power=1.0 + to_db must use the magnitude dB scale (20*log10):
+    torchaudio pairs MelSpectrogram(power=1) with
+    AmplitudeToDB(stype='magnitude') — the old hardcoded stype='power'
+    halved every dB value for magnitude spectrograms (round-5 review)."""
+    import jax.numpy as jnp
+    from gat_tpu.ops.spectral import (melspectrogram_torchaudio,
+                                      amplitude_to_db_torchaudio)
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    raw = melspectrogram_torchaudio(y, 22050, power=1.0, to_db=False)
+    db = melspectrogram_torchaudio(y, 22050, power=1.0, to_db=True)
+    expect = amplitude_to_db_torchaudio(raw, stype="magnitude")
+    np.testing.assert_allclose(np.asarray(db), np.asarray(expect),
+                               atol=1e-5)
+    # and the default power=2.0 keeps the power scale
+    raw2 = melspectrogram_torchaudio(y, 22050, power=2.0, to_db=False)
+    db2 = melspectrogram_torchaudio(y, 22050, power=2.0, to_db=True)
+    np.testing.assert_allclose(
+        np.asarray(db2),
+        np.asarray(amplitude_to_db_torchaudio(raw2, stype="power")),
+        atol=1e-5)
