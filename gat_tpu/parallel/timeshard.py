@@ -41,19 +41,13 @@ def _local_log_mel(chunk: jax.Array, sr: int, hop: int, n_fft: int,
     bins instead of a ragged 1025."""
     fb_np = np.asarray(spectral.mel_filterbank_librosa(sr, n_fft, n_mels))
     f_keep = spectral._last_nonzero_bin(fb_np) + 1
-    frames = spectral.frame(chunk, n_fft, hop)
-    win = spectral.hann_window(n_fft)
-    if spectral.stft_backend() == "matmul":
-        c_m, s_m = spectral._rdft_np(n_fft)
-        c_m, s_m = c_m[:, :f_keep], s_m[:, :f_keep]
-        re = jnp.einsum("tn,nf->tf", frames * win, jnp.asarray(c_m),
-                        preferred_element_type=jnp.float32)
-        im = jnp.einsum("tn,nf->tf", frames * win, jnp.asarray(s_m),
-                        preferred_element_type=jnp.float32)
-        power = re * re + im * im
-    else:
-        power = jnp.abs(jnp.fft.rfft(frames * win, n_fft,
-                                     axis=-1))[..., :f_keep] ** 2
+    # ONE spectrogram definition: power_spectrogram owns the backend
+    # dispatch (matmul vs fft), the window fold into the DFT operands,
+    # and the _MATMUL_DTYPE knob — a local re-implementation here had
+    # already drifted (it ignored set_matmul_dtype and didn't fold the
+    # window), silently diverging from the single-device envelope
+    power = spectral.power_spectrogram(chunk, n_fft, hop, center=False,
+                                       n_freqs=f_keep)
     mel = jnp.einsum("tf,mf->tm", power, jnp.asarray(fb_np[:, :f_keep]),
                      preferred_element_type=jnp.float32)
     return mel
@@ -97,7 +91,14 @@ def onset_envelope_timesharded(y: jax.Array, mesh: Mesh, sr: int,
 
     mel = local_mel(body.reshape(d, owned), tail)  # (d, Tl, M) sharded
     mel = mel.reshape(d * t_local, n_mels)
-    s_db = spectral.power_to_db_librosa(mel, spec_axes=2)
+    # top_db peak over the REAL frames only: the ≤ d-1 budget frames
+    # past t_global window the signal's tail at weights no exact frame
+    # uses, and an unmasked peak would shift every frame's clamp floor
+    # away from the single-device onset_strength envelope (the parity
+    # class peak_mask exists for)
+    s_db = spectral.power_to_db_librosa(
+        mel, spec_axes=2,
+        peak_mask=(jnp.arange(d * t_local) < t_global)[:, None])
 
     diff = jnp.maximum(0.0, s_db[1:] - s_db[:-1])
     env = jnp.mean(diff, axis=-1)

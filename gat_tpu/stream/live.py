@@ -83,6 +83,13 @@ class LiveTranscriber:
         self.buffer = RingBuffer(int(buffer_duration * sample_rate))
         self.note_q: queue.Queue = queue.Queue(maxsize=2)
         self.min_slice_len = int(min_slice_t * sample_rate)
+        # clip length follows the CHECKPOINT (the stated source of
+        # truth: ckpt clip_length beats config — same rule as
+        # ScanStreamer and transcribe_note's fix_length): trimming to
+        # the config value would discard the second half of every note
+        # for a checkpoint trained on longer clips
+        self.clip_duration = float(getattr(transcriber, "clip_length",
+                                           CLIP_DURATION))
         # pre-onset audio kept in the ring when a pair-slice clears up to
         # the next onset: the onset detector (hop 1024, n_fft 2048) zeroes
         # its first lag + n_fft//(2·hop) = 2 envelope frames and averages
@@ -149,11 +156,18 @@ class LiveTranscriber:
         counted in `queue_drops` (explicit casualty, never silent).
 
         `drain_first`: run inference on everything already queued before
-        enqueueing when the queue is full — used by the end-of-stream
-        flush, where the caller is the consumer thread itself and there
-        is no producer to backpressure: evicting a note there would be
-        pure loss (a flush slicing 3 notes into the maxsize-2 queue used
-        to drop the first one), not load-shedding."""
+        enqueueing when the queue is full. ALWAYS on in both drivers:
+        process_buffer and drain_queue run on the same (consumer)
+        thread — only the mic callback is a separate producer, and it
+        feeds the RING, not this queue — so nothing else ever drains
+        the queue mid-poll and an eviction here is pure note loss, not
+        load-shedding (a poll slicing 3 notes into the maxsize-2 queue
+        used to drop the first one even in the deterministic offline
+        driver). Real-time overload sheds in the ring instead (oldest
+        un-sliced audio is overwritten), which loses less: un-detected
+        audio rather than an already-sliced note. The drop-oldest
+        fallback below remains as a safety net for external callers
+        that enqueue off-thread."""
         if drain_first and self.note_q.full():
             self.drain_queue()
         try:
@@ -221,7 +235,8 @@ class LiveTranscriber:
             s = buf[onsets[0]:onsets[1]]
             if len(s) > self.min_slice_len:
                 self._enqueue(self.pad_or_trim_audio(
-                    s, CLIP_DURATION, self.sample_rate), drain_first=force)
+                    s, self.clip_duration, self.sample_rate),
+                    drain_first=True)
                 queued += 1
                 # keep detector context BEFORE the next onset, but always
                 # clear past the consumed note's attack (re-slice guard);
@@ -243,7 +258,8 @@ class LiveTranscriber:
             s = buf[onsets[0]:]
             if len(s) > self.min_slice_len:
                 self._enqueue(self.pad_or_trim_audio(
-                    s, CLIP_DURATION, self.sample_rate), drain_first=force)
+                    s, self.clip_duration, self.sample_rate),
+                    drain_first=True)
                 queued += 1
                 # consume the SLICED region (capped at the clip length
                 # actually transcribed): clearing only onset+1 — the
@@ -256,7 +272,7 @@ class LiveTranscriber:
                 # any pairs-loop clear: min_sep keeps pair clears below
                 # the last onset, and this one reaches at least
                 # min_slice_len beyond it.)
-                clip_n = int(CLIP_DURATION * self.sample_rate)
+                clip_n = int(self.clip_duration * self.sample_rate)
                 clear_to = min(onsets[0] + max(clip_n, self.min_slice_len),
                                len(buf))
                 if not force:
@@ -285,7 +301,7 @@ class LiveTranscriber:
         if audio is None or len(audio) == 0:
             print("[inference] No audio provided.")
             return None
-        if audio.size < int(CLIP_DURATION * sr_in):
+        if audio.size < int(self.clip_duration * sr_in):
             return None
         result = self.transcriber.transcribe_note(audio, sr_in=sr_in)
         self.results.append(result)

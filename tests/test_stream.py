@@ -287,6 +287,7 @@ def _bare_live(sr=22050, ring=22050, min_slice_t=0.3, qsize=4):
     live.buffer = RingBuffer(ring)
     live.note_q = queue.Queue(maxsize=qsize)
     live.min_slice_len = int(min_slice_t * sr)
+    live.clip_duration = 0.5  # ctor derives this from the checkpoint
     live._onset_ctx = 4 * 1024
     live._attack_guard = 2 * 1024 + 1
     live._edge_latency = 6 * 1024
@@ -505,3 +506,39 @@ def test_live_soak_double_rate_counted_losses():
     never silently lost."""
     live = _run_soak(rate=2.0, inference_delay=0.05)
     _soak_asserts(live)
+
+
+def test_multi_pair_poll_drains_instead_of_evicting():
+    """A NON-force poll that slices 3 notes must not evict from the
+    maxsize-2 queue (round-5 review): process_buffer and drain_queue
+    always run on the same thread, so an in-poll eviction is pure note
+    loss — _enqueue drains first, exactly as the flush path always did."""
+    live = _bare_live(ring=33075, qsize=2)
+    drained: list = []
+
+    def fake_drain():
+        while not live.note_q.empty():
+            drained.append(live.note_q.get_nowait())
+
+    live.drain_queue = fake_drain
+    live.detect_onsets = lambda y: [1000, 10000, 19000, 28000]
+    live.buffer.push(np.ones(33075, np.float32))
+    assert live.process_buffer() == 3  # three pairs; last onset pends
+    assert live.queue_drops == 0, \
+        "non-force poll evicted a note the same thread would have drained"
+    assert len(drained) + live.note_q.qsize() == 3
+
+
+def test_live_clip_length_follows_checkpoint():
+    """The sliced-clip duration follows the CHECKPOINT's clip_length
+    (the stated source of truth — same rule as ScanStreamer), not the
+    global config: trimming to the config value would discard the
+    second half of every note for longer-clip checkpoints."""
+    class StubT:
+        clip_length = 1.0
+
+    live = LiveTranscriber(transcriber=StubT(), verbose=False)
+    assert live.clip_duration == 1.0
+    clip = live.pad_or_trim_audio(np.ones(30000, np.float32),
+                                  live.clip_duration, live.sample_rate)
+    assert len(clip) == 22050

@@ -66,3 +66,20 @@ def test_envelope_even_shard_tail(rng):
     env_ref = np.asarray(onset_strength(jnp.asarray(y), SR))
     m = min(len(env_sp), len(env_ref))
     np.testing.assert_allclose(env_sp[:m], env_ref[:m], atol=1e-3)
+
+
+def test_envelope_parity_with_loud_final_tail():
+    """The top_db clamp peak must be taken over the REAL frames only
+    (round-5 review): a recording whose loudest content sits in its
+    final samples can otherwise raise the peak via the ≤ d-1 budget
+    frames past t_global — which window the tail at weights no exact
+    frame uses — shifting every frame's clamp floor away from the
+    single-device envelope."""
+    mesh = make_mesh(8)
+    y = _long_song(n_notes=6, spacing=0.7) * 0.05  # quiet body
+    y[-400:] = 0.9  # loudest content inside the last <512 samples
+    env_sp = np.asarray(onset_envelope_timesharded(jnp.asarray(y), mesh,
+                                                   SR))
+    env_ref = np.asarray(onset_strength(jnp.asarray(y), SR))
+    n = min(len(env_sp), len(env_ref))
+    np.testing.assert_allclose(env_sp[:n], env_ref[:n], atol=1e-3)
