@@ -52,7 +52,10 @@ def main(argv=None):
     parser.add_argument("--mlp_ckpt", type=str, default=None)
     parser.add_argument("--cnn_ckpt", type=str, default=None)
     parser.add_argument("--cnn_weight", type=float, default=0.80,
-                        help="Ensemble weight on the CNN (0 → MLP only)")
+                        help="Ensemble weight on the CNN softmax in the "
+                             "blend (the CNN is still loaded and run; "
+                             "for true MLP-only operation without the "
+                             "CNN checkpoint use --model mlp)")
     parser.add_argument("--model", choices=["ensemble", "mlp"],
                         default="ensemble",
                         help="Run the full ensemble or the MLP alone "
@@ -76,6 +79,19 @@ def main(argv=None):
         parser.error("--live (microphone) and --stream (offline file "
                      "streaming) are mutually exclusive")
 
+    if not args.live and args.audio is not None:
+        # cheap input validation BEFORE the checkpoint loads + backend
+        # init below (seconds to minutes on a cold compile cache): a
+        # typo'd path must error instantly, not after paying them —
+        # and explicit --audio paths must error directly instead of
+        # silently falling through to the file dialog
+        audio_paths = [Path(a) for a in args.audio]
+        for p in audio_paths:
+            if not p.is_file():
+                raise FileNotFoundError(f"Audio file not found: {p}")
+            if p.suffix.lower() != ".wav":
+                raise ValueError(f"Input file must be a .wav file: {p}")
+
     # persistent XLA cache: on real TPU backends first-compile is minutes
     # per jit signature; cached reruns are seconds
     from .utils.jaxenv import enable_compilation_cache
@@ -97,16 +113,7 @@ def main(argv=None):
         LiveTranscriber(transcriber).live()
         return 0
 
-    if args.audio is not None:
-        # explicit --audio paths must be valid — error directly instead
-        # of silently falling through to the file dialog
-        audio_paths = [Path(a) for a in args.audio]
-        for p in audio_paths:
-            if not p.is_file():
-                raise FileNotFoundError(f"Audio file not found: {p}")
-            if p.suffix.lower() != ".wav":
-                raise ValueError(f"Input file must be a .wav file: {p}")
-    else:
+    if args.audio is None:
         picked = _pick_file_dialog()
         if picked is None:
             parser.error("no --audio given and no file dialog available")

@@ -55,6 +55,10 @@ class AudioDatasetLoader:
         self.fixed_len = (int(self.target_sr * duration)
                           if duration is not None else None)
         self._load_cache: dict[bool, tuple] = {}
+        # per-file SOURCE sample rates, recorded by load_audio_dataset:
+        # the returned srs are uniformly target_sr (everything is
+        # resampled), so rate-inconsistency reports need the originals
+        self.source_srs: list[int] | None = None
 
     def iter_paths(self):
         for root in self.dataset_roots:
@@ -104,6 +108,7 @@ class AudioDatasetLoader:
                                      for p, _ in pairs)]
         raw = [x for x, _ in decoded]
         srs_in = [sr for _, sr in decoded]
+        self.source_srs = list(srs_in)
 
         # group by (source_sr, shape) so each resample is one traced
         # batch (shape, not just length: mono=False files can differ in

@@ -183,10 +183,21 @@ class FeatureBuilder:
         self.scaler: FeatureScaler | None = None
 
     # ----- dataset paths -------------------------------------------------
-    def extract_mfcc_features(self, audio_loader, n_mfcc: int = 64,
-                              normalize_audio_volume: bool = False,
-                              add_pitch_features: bool = True):
-        """Returns (X (N, D) np, y_encoded, num_classes, reverse_map)."""
+    def extract_mfcc_features(self, audio_loader, n_mfcc: int | None = None,
+                              normalize_audio_volume: bool | None = None,
+                              add_pitch_features: bool | None = None):
+        """Returns (X (N, D) np, y_encoded, num_classes, reverse_map).
+
+        None defaults resolve to MFCC_CONFIG — the same source of truth
+        the inference path uses, so a default-trusting caller gets the
+        pipeline the shipped checkpoints embed (the old literal
+        defaults disagreed with the config on volume normalization)."""
+        if n_mfcc is None:
+            n_mfcc = MFCC_CONFIG.N_MFCC
+        if normalize_audio_volume is None:
+            normalize_audio_volume = MFCC_CONFIG.NORMALIZE_AUDIO_VOLUME
+        if add_pitch_features is None:
+            add_pitch_features = MFCC_CONFIG.ADD_PITCH_FEATURES
         wavs, _, labels, _ = audio_loader.load_audio_dataset(pad_to_max=True)
         clips = jnp.asarray(np.stack(wavs))
         X = np.asarray(mfcc_feature_vectors(
@@ -197,12 +208,24 @@ class FeatureBuilder:
         print(f"Extracted MFCC features for {len(X)} samples.")
         return X, y_encoded, num_classes, reverse_map
 
-    def extract_melspec_features(self, audio_loader, n_mels: int = 64,
-                                 n_fft: int = 2048, hop_length: int = 256,
-                                 normalize_audio_volume: bool = False,
-                                 to_db: bool = True):
+    def extract_melspec_features(self, audio_loader, n_mels: int | None = None,
+                                 n_fft: int | None = None,
+                                 hop_length: int | None = None,
+                                 normalize_audio_volume: bool | None = None,
+                                 to_db: bool | None = None):
         """Returns (X (N, M, T, 1) np NHWC, y_encoded, num_classes,
-        reverse_map)."""
+        reverse_map). None defaults resolve to MELSPEC_CONFIG (see
+        extract_mfcc_features)."""
+        if n_mels is None:
+            n_mels = MELSPEC_CONFIG.N_MELS
+        if n_fft is None:
+            n_fft = MELSPEC_CONFIG.N_FFT
+        if hop_length is None:
+            hop_length = MELSPEC_CONFIG.HOP_LENGTH
+        if normalize_audio_volume is None:
+            normalize_audio_volume = MELSPEC_CONFIG.NORMALIZE_AUDIO_VOLUME
+        if to_db is None:
+            to_db = MELSPEC_CONFIG.TO_DB
         wavs, _, labels, _ = audio_loader.load_audio_dataset(pad_to_max=True)
         clips = jnp.asarray(np.stack(wavs))
         X = np.asarray(melspec_features(
@@ -249,7 +272,12 @@ class FeatureBuilder:
             clips, sr, n_mels=melspec_params["N_MELS"],
             n_fft=melspec_params["N_FFT"],
             hop_length=melspec_params["HOP_LENGTH"],
-            normalize_audio_volume=melspec_params["NORMALIZE_AUDIO_VOLUME"])
+            normalize_audio_volume=melspec_params["NORMALIZE_AUDIO_VOLUME"],
+            # checkpoint params are the source of truth at inference
+            # (config.py): a CNN trained on linear-power mels
+            # (TO_DB=False embedded in its checkpoint) must not be fed
+            # dB-scaled inputs; absent key = legacy checkpoint, dB on
+            to_db=bool(melspec_params.get("TO_DB", True)))
         return mf, ms
 
     def extract_inference_features_from_audio(self, audio, target_sr,
@@ -279,5 +307,8 @@ class FeatureBuilder:
             n_fft=melspec_params["N_FFT"],
             hop_length=melspec_params["HOP_LENGTH"],
             normalize_audio_volume=melspec_params["NORMALIZE_AUDIO_VOLUME"],
-            to_db=melspec_to_db)
+            # the checkpoint-embedded TO_DB wins when present (source of
+            # truth at inference); melspec_to_db remains the explicit
+            # override for param dicts that predate the key
+            to_db=bool(melspec_params.get("TO_DB", melspec_to_db)))
         return mf, ms

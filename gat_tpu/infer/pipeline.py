@@ -67,7 +67,10 @@ def build_clip_ensemble_fn(predictor, scaler, ckpt_sr: int,
                 n_fft=melspec_params["N_FFT"],
                 hop_length=melspec_params["HOP_LENGTH"],
                 normalize_audio_volume=melspec_params[
-                    "NORMALIZE_AUDIO_VOLUME"])
+                    "NORMALIZE_AUDIO_VOLUME"],
+                # checkpoint-embedded TO_DB wins (source of truth at
+                # inference; absent key = legacy checkpoint, dB on)
+                to_db=bool(melspec_params.get("TO_DB", True)))
             cp = jax.nn.softmax(predictor.cnn.apply(cnn_vars, ms), axis=-1)
             probs = (1.0 - w) * mlp_probs + w * cp
         else:

@@ -114,15 +114,19 @@ def cnn_params_from_state_dict(state_dict: Mapping[str, Any],
             idx += 1
     # classifier indices: Flatten(0), Dense(1), LeakyReLU(2), Dropout(3),
     # Dense(4) — or Dense at 1 only when hidden_dim is falsy
-    if "classifier.1.weight" in state_dict:
-        params["fc"] = {
-            "kernel": _np(state_dict["classifier.1.weight"]).T,
-            "bias": _np(state_dict["classifier.1.bias"]),
-        }
     out_idx = 4 if dropout > 0 else 3
     key = f"classifier.{out_idx}.weight"
     if key not in state_dict:  # no hidden layer variant
         key = "classifier.1.weight"
+    elif "classifier.1.weight" in state_dict:
+        # the hidden Dense exists ONLY when an output Dense sits after
+        # it — in the no-hidden variant classifier.1 IS the output
+        # layer, and emitting it as 'fc' too would pollute the param
+        # tree with a layer the target CNN(hidden_dim=None) doesn't have
+        params["fc"] = {
+            "kernel": _np(state_dict["classifier.1.weight"]).T,
+            "bias": _np(state_dict["classifier.1.bias"]),
+        }
     params["out"] = {
         "kernel": _np(state_dict[key]).T,
         "bias": _np(state_dict[key.replace("weight", "bias")]),
@@ -145,7 +149,13 @@ def reference_ckpt_to_native(path) -> dict:
     else:
         params, batch_stats = cnn_params_from_state_dict(
             ck["model"], init_args.get("num_blocks", 3),
-            init_args.get("dropout", 0.1))
+            init_args.get("dropout", 0.1),
+            # layout flags come from the checkpoint's own init args: a
+            # no-batchnorm/no-maxpool reference model shifts every
+            # features.N index, and assuming the default layout would
+            # mis-map (or KeyError on) the conv/bn weights
+            use_batchnorm=bool(init_args.get("use_batchnorm", True)),
+            use_maxpool=bool(init_args.get("use_maxpool", True)))
         variables = {"params": params, "batch_stats": batch_stats}
 
     cfg = ck.get("config", {})

@@ -24,12 +24,24 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, block_on=None):
+        """Time a block. `block_on` syncs async device work before the
+        timer stops — WITHOUT it, a jit dispatch records dispatch time
+        only (the CLAUDE.md timing trap). It is evaluated AT EXIT, and
+        arrays created inside the block don't exist at entry, so pass a
+        ZERO-ARG CALLABLE returning them:
+
+            with timer.stage("fwd", block_on=lambda: outs):
+                outs = model(x)
+
+        A plain array also works, but only syncs work dispatched
+        before the block."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if block_on is not None:
-                jax.block_until_ready(block_on)
+                jax.block_until_ready(block_on() if callable(block_on)
+                                      else block_on)
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -30,7 +30,11 @@ def audio_report(audio_loader, y_encoded=None, reverse_map=None,
         report["duration_min"] = float(np.min(lengths))
         report["duration_mean"] = float(np.mean(lengths))
         report["duration_max"] = float(np.max(lengths))
-        report["unique_srs"] = sorted(set(srs))
+        # SOURCE rates (recorded by the loader): the returned srs are
+        # uniformly target_sr after resampling, which would mask
+        # exactly the rate inconsistencies this report exists to show
+        src = getattr(audio_loader, "source_srs", None) or srs
+        report["unique_srs"] = sorted({int(s) for s in src})
     else:
         report.update(target_sr=audio_loader.target_sr, duration_min=None,
                       duration_mean=None, duration_max=None, unique_srs=[])

@@ -142,7 +142,11 @@ def test_reports_on_loader(tmp_path):
                                  variants_per_class=3, verbose=False)
     loader = AudioDatasetLoader([ds], target_sr=11025, duration=0.5)
     rep = audio_report(loader, print_report=False)
-    assert rep["unique_srs"] == [11025]
+    # SOURCE rates, not the post-resample target (round-5 review: the
+    # loader resamples everything, so reporting the returned srs could
+    # never surface a rate inconsistency — the report's whole job)
+    assert rep["unique_srs"] == [22050]
+    assert rep["target_sr"] == 11025
     assert abs(rep["duration_mean"] - 0.5) < 0.01
     X = np.random.default_rng(0).normal(size=(6, 4))
     rep2 = feature_report(X, [0, 0, 0, 1, 1, 1], {0: "D3", 1: "E3"},

@@ -709,3 +709,39 @@ def test_transcribe_two_stage_quantizes_program_shapes(tmp_path,
     nvs = [nv for _, nv in seen]
     assert all(nv is not None for nv in nvs), seen
     assert nvs[0] != nvs[1]  # true lengths differ; the program shape not
+
+
+def test_inference_honors_checkpoint_to_db():
+    """The checkpoint-embedded TO_DB melspec param is honored at
+    inference (round-5 review): a CNN trained on linear-power mels
+    (TO_DB=False in its checkpoint) must not be fed dB-scaled inputs.
+    A params dict without the key (legacy checkpoint) keeps dB on."""
+    import jax.numpy as jnp
+    from gat_tpu.features import FeatureBuilder
+    from gat_tpu.ops.spectral import amplitude_to_db_torchaudio
+
+    fb = FeatureBuilder()
+    rng = np.random.default_rng(3)
+    clips = jnp.asarray(rng.normal(size=(2, 5512)).astype(np.float32))
+    mfccp = {"N_MFCC": 64, "NORMALIZE_AUDIO_VOLUME": True,
+             "ADD_PITCH_FEATURES": True}
+    msp = {"N_MELS": 64, "N_FFT": 2048, "HOP_LENGTH": 256,
+           "NORMALIZE_AUDIO_VOLUME": True}
+
+    _, ms_legacy = fb.extract_inference_features_from_clips(
+        clips, 11025, mfccp, dict(msp))
+    _, ms_db = fb.extract_inference_features_from_clips(
+        clips, 11025, mfccp, {**msp, "TO_DB": True})
+    _, ms_lin = fb.extract_inference_features_from_clips(
+        clips, 11025, mfccp, {**msp, "TO_DB": False})
+    np.testing.assert_allclose(np.asarray(ms_legacy), np.asarray(ms_db))
+    # linear-power mels relate to the dB ones by exactly the dB map
+    np.testing.assert_allclose(
+        np.asarray(amplitude_to_db_torchaudio(ms_lin[..., 0],
+                                              stype="power")),
+        np.asarray(ms_db[..., 0]), atol=1e-4)
+    # the single-clip path honors the same key
+    _, ms1 = fb.extract_inference_features_from_audio(
+        np.asarray(clips[0]), 11025, mfccp, {**msp, "TO_DB": False})
+    np.testing.assert_allclose(np.asarray(ms1[0]), np.asarray(ms_lin[0]),
+                               atol=1e-5)
