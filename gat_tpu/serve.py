@@ -122,10 +122,20 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 bsec = bucket_seconds(dur)
                 yb = np.zeros(bsec * sr, np.float32)
                 yb[: len(y)] = y
+                # mesh serving: real dispatches floor B at the data-axis
+                # size (_dispatch_pow2_wave b_floor=_data_par) and round
+                # max_batch up to it — the direct compiles below must
+                # use the same shapes, both to match what production
+                # dispatches AND because the mesh-sharded jit rejects a
+                # B the data axis cannot divide
+                dp = max(1, int(getattr(t, "_data_par", 1)))
                 mb = 1 << (DEFAULT_MAX_BATCH - 1).bit_length()
+                if dp > 1 and mb % dp:
+                    mb = -(-mb // dp) * dp
                 exact_run, exact_scan = t._fused_files_fn(
                     sr, t.clip_length, DEFAULT_MAX_ONSETS, None, 0)
-                for b in warmed_bs:
+                # same rounding as _dispatch_pow2_wave(b_floor=dp)
+                for b in sorted({-(-b // dp) * dp for b in warmed_bs}):
                     if b > mb:
                         # unreachable: transcribe_files caps every wave
                         # at max_batch, so a B>max_batch exact program
@@ -142,12 +152,14 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 # via the public b=8,16,… calls; compile the exact twin
                 # of each reachable K or a dense burst stalls on it
                 k = 2
-                while k * DEFAULT_MAX_BATCH <= max(int(batch), 1):
+                while k * mb <= max(int(batch), 1):
+                    # mb, not DEFAULT_MAX_BATCH: under a mesh the scan's
+                    # per-wave B is max_batch rounded up to the data
+                    # axis (transcribe_files does the same rounding)
                     jax.block_until_ready(exact_scan(
-                        jnp.asarray(np.stack([yb] * (k * DEFAULT_MAX_BATCH))
-                                    .reshape(k, DEFAULT_MAX_BATCH, -1)),
-                        jnp.full((k, DEFAULT_MAX_BATCH), len(y),
-                                 jnp.int32)))
+                        jnp.asarray(np.stack([yb] * (k * mb))
+                                    .reshape(k, mb, -1)),
+                        jnp.full((k, mb), len(y), jnp.int32)))
                     k *= 2
                 # opt-in: the cap auto-scaling exact programs (pow2
                 # max_onsets 128, 256, … ≤ warm_onset_caps). OFF by
@@ -161,9 +173,10 @@ def warmup(t, durations_s, batch: int = 1, cand_budget: int | None = None,
                 while warm_onset_caps and m <= int(warm_onset_caps):
                     cap_run, _ = t._fused_files_fn(
                         sr, t.clip_length, m, None, 0)
+                    bw = max(2, dp)  # wave floor, mesh-divisible
                     jax.block_until_ready(cap_run(
-                        jnp.asarray(np.stack([yb] * 2)),
-                        jnp.full((2,), len(y), jnp.int32)))
+                        jnp.asarray(np.stack([yb] * bw)),
+                        jnp.full((bw,), len(y), jnp.int32)))
                     m *= 2
             try:
                 t.transcribe(paths[0])
@@ -253,6 +266,13 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
 
     def _one_file(p: Path) -> dict:
         try:
+            # same cand_budget as the batched waves: the serving-speed
+            # lever must not silently apply only to batched dispatches
+            # (lone arrivals and failed-wave retries took the default).
+            # Forwarded only when set — None is transcribe()'s default,
+            # and duck-typed transcribers may have narrower signatures.
+            if cand_budget is not None:
+                return t.transcribe(p, cand_budget=cand_budget)
             return t.transcribe(p)
         except ValueError as e:  # e.g. silence: no clips survived
             return {"labels": [], "error": str(e)}
@@ -263,7 +283,16 @@ def serve(in_dir: Path, out_dir: Path, once: bool = False,
         if archive_dir is not None:
             try:
                 import shutil
-                shutil.move(str(p), str(archive_dir / p.name))
+                dst = archive_dir / p.name
+                # never clobber an already-archived input: re-dropping a
+                # processed filename is a SUPPORTED way to reprocess it,
+                # and shutil.move would os.rename over the original
+                # recording — deduplicate with a numeric suffix instead
+                i = 1
+                while dst.exists():
+                    dst = archive_dir / f"{p.stem}.{i}{p.suffix}"
+                    i += 1
+                shutil.move(str(p), str(dst))
                 return  # gone from in_dir — nothing to remember
             except OSError:
                 pass  # fall back to the done set

@@ -1463,3 +1463,71 @@ def test_serve_http_concurrent_dispatchers_overlap():
     finally:
         holder[0].shutdown()
         th.join(timeout=30)
+
+
+def test_serve_warmup_mesh_divisible_exact_shapes():
+    """Under --mesh N the exact-program warm compiles must use B
+    divisible by the data axis (round-5 review): a mesh-sharded jit
+    rejects an indivisible B outright — warmup crashed at startup for
+    N >= 3 — and the warmed shapes must match what production
+    dispatches (_dispatch_pow2_wave b_floor=data_par, max_batch rounded
+    up to data_par)."""
+    import serve as serve_mod
+
+    exact_sizes: list[int] = []
+    scan_shapes: list[tuple] = []
+
+    class Stub:
+        clip_length = 0.5
+        _data_par = 4  # as Transcriber(mesh=make_mesh(4))
+
+        def transcribe_files(self, paths, **kw):
+            return [{"labels": ["A2"], "confidences": [1.0]}
+                    for _ in paths]
+
+        def transcribe(self, path, **kw):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+        def _fused_files_fn(self, sr, clip_dur, max_onsets, budget, cand):
+            def run(ys, nv):
+                exact_sizes.append(int(ys.shape[0]))
+                return np.zeros(1)
+
+            def run_scan(ys, nv):
+                scan_shapes.append(tuple(int(v) for v in ys.shape[:2]))
+                return np.zeros(1)
+            return run, run_scan
+
+    serve_mod.warmup(Stub(), [1.0], batch=8, verbose=False)
+    # warmed_bs {2,4,8} round up to data-par multiples {4,8}; 8 exceeds
+    # the (rounded) max_batch cap of 4, so exactly one B=4 compile
+    assert exact_sizes == [4], exact_sizes
+    # the exact scan twin warms at (K, max_batch_rounded)
+    assert scan_shapes == [(2, 4)], scan_shapes
+
+
+def test_serve_archive_dedupes_redropped_filenames(tmp_path):
+    """Re-dropping a processed filename is the documented way to
+    reprocess it — the archive move must not os.rename over the
+    previously archived input (round-5 review): both recordings
+    survive under deduplicated names."""
+    import serve as serve_mod
+
+    in_dir, out_dir, arch = tmp_path / "in", tmp_path / "out", \
+        tmp_path / "arch"
+    in_dir.mkdir()
+
+    class Stub:
+        def transcribe(self, path):
+            return {"labels": ["A2"], "confidences": [1.0]}
+
+    _riff_wav(in_dir / "a.wav")
+    serve_mod.serve(in_dir, out_dir, once=True, verbose=False,
+                    transcriber=Stub(), archive_dir=arch)
+    (arch / "a.wav").write_bytes(b"FIRST" + (arch / "a.wav").read_bytes())
+    first = (arch / "a.wav").read_bytes()
+    _riff_wav(in_dir / "a.wav")  # the same filename, dropped again
+    serve_mod.serve(in_dir, out_dir, once=True, verbose=False,
+                    transcriber=Stub(), archive_dir=arch)
+    assert (arch / "a.wav").read_bytes() == first  # original preserved
+    assert (arch / "a.1.wav").exists()  # re-drop archived alongside

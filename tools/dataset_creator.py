@@ -55,12 +55,22 @@ def create_pitch_dataset(clips_root: Path, out_root: Path) -> int:
     (ref dataset_creator_tool.py:253-341)."""
     from gat_tpu.ops.pitch import string_fret_to_note
     n = 0
+    skipped = 0
     for clip in sorted(clips_root.glob("String_*/Fret_*/*.wav")):
         # parse the two LABEL path components, never the full path: an
         # ancestor dir named e.g. String_12_sessions above clips_root
-        # would otherwise poison every clip's (s, f)
-        s = int(re.match(r"String_(\d+)", clip.parts[-3]).group(1))
-        f = int(re.match(r"Fret_(\d+)", clip.parts[-2]).group(1))
+        # would otherwise poison every clip's (s, f). fullmatch, not
+        # match: the glob also admits String_old/ (crash on int()) and
+        # String_12_backup/ (silently mislabeled as string 12) — skip
+        # such folders loudly instead
+        ms = re.fullmatch(r"String_(\d+)", clip.parts[-3])
+        mf = re.fullmatch(r"Fret_(\d+)", clip.parts[-2])
+        if ms is None or mf is None:
+            print(f"[create_pitch_dataset] skipping {clip}: "
+                  f"non-numeric String_/Fret_ folder name")
+            skipped += 1
+            continue
+        s, f = int(ms.group(1)), int(mf.group(1))
         pitch = string_fret_to_note(s, f)
         dest = out_root / pitch
         dest.mkdir(parents=True, exist_ok=True)

@@ -277,6 +277,11 @@ def main():
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # CLAUDE.md: every TPU run sets the persistent compilation
+        # cache - first compiles are minutes through the tunnel
+        from gat_tpu.utils.jaxenv import enable_compilation_cache
+        enable_compilation_cache()
 
     import numpy as np
     import tempfile

@@ -114,6 +114,13 @@ def main():
     run, _ = t._fused_files_fn(TARGET_SR, CLIP_DURATION, args.onsets,
                                args.budget, args.cand)
     n = int(args.seconds * TARGET_SR)
+    # ceil-to-whole-seconds: the SAME shape rule as bench.measure_files,
+    # whose dispatch_ms is what --measured_wave_ms feeds — the two must
+    # cost the identical program. NOTE this is the bench program family,
+    # not production's: transcribe_files pads files into POW2 duration
+    # buckets (bucket_seconds: 60 s → 64 s), so a production wave at the
+    # same nominal duration carries bucket/duration more padded samples
+    # through the segmentation front-end than costed here.
     bucket = -(-n // TARGET_SR) * TARGET_SR
     ys = jnp.zeros((args.files, bucket), jnp.float32)
     nv = jnp.full((args.files,), n, jnp.int32)

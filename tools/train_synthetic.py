@@ -63,6 +63,11 @@ def main():
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # CLAUDE.md: every TPU run sets the persistent compilation
+        # cache — first compiles are minutes through the tunnel
+        from gat_tpu.utils.jaxenv import enable_compilation_cache
+        enable_compilation_cache()
     print("devices:", jax.devices())
 
     from gat_tpu.config import DATASETS_ROOT
@@ -75,7 +80,11 @@ def main():
            + (f"_{args.family}" if args.family != "mixed" else "")
            + ((f"_ch{args.channel_prob:g}" if args.channel_draw == "mix"
                else f"_chc{args.channel_prob:g}")
-              if args.channel_prob > 0 else ""))
+              if args.channel_prob > 0 else "")
+           # seed is part of the dataset's identity: without it a
+           # non-default-seed run would silently reuse (or poison) the
+           # canonical seed-42 cache dir via the exists() check below
+           + (f"_s{args.seed}" if args.seed != 42 else ""))
     ds = DATASETS_ROOT / "synthetic" / tag
     if not ds.exists():
         t0 = time.time()
