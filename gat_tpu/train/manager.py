@@ -107,7 +107,9 @@ class TrainingManager:
         """Programmatic or interactive dataset selection
         (ref training_manager.py:38-46)."""
         if dataset is not None:
-            p = Path(dataset)
+            # Path(int) raises TypeError — stringify so a real int index
+            # reaches the numeric branch below instead of crashing here
+            p = Path(str(dataset))
             # explicit path forms (Path objects, absolute strings) keep
             # path semantics; bare names and sub/name strings resolve
             # via the REGISTRY first, so an unrelated same-named

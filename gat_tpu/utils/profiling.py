@@ -38,10 +38,14 @@ class StageTimer:
         t0 = time.perf_counter()
         try:
             yield
-        finally:
+            # sync on the NON-exception path only: when the block raised
+            # before producing its arrays, the recommended
+            # `lambda: outs` would NameError inside the cleanup and
+            # replace the caller's real exception
             if block_on is not None:
                 jax.block_until_ready(block_on() if callable(block_on)
                                       else block_on)
+        finally:
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1

@@ -25,7 +25,9 @@ def audio_report(audio_loader, y_encoded=None, reverse_map=None,
     wavs, srs, labels, paths = audio_loader.load_audio_dataset(
         pad_to_max=False)
     if wavs:
-        lengths = [len(w) / sr for w, sr in zip(wavs, srs)]
+        # time is the LAST axis (mono arrays are 1-D; mono=False arrays
+        # are channels-first (C, n) — len() there counts channels)
+        lengths = [int(w.shape[-1]) / sr for w, sr in zip(wavs, srs)]
         report["target_sr"] = audio_loader.target_sr
         report["duration_min"] = float(np.min(lengths))
         report["duration_mean"] = float(np.mean(lengths))

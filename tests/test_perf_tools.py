@@ -123,3 +123,22 @@ def test_roofline_report_schema_and_verdict_cpu(tmp_path):
     # stage table exists (estimated_cycles is TPU-only metadata; on CPU
     # the keys must still be present, all-zero)
     assert "stage_estimated_ms" in report and "stage_share" in report
+
+
+def test_stage_timer_block_on_callable_and_exception_safe():
+    """block_on may be a zero-arg callable producing the block's own
+    outputs, and a block that RAISES must propagate its real exception
+    (not a NameError from the cleanup lambda) — round-5 follow-up."""
+    import jax.numpy as jnp
+    import pytest
+    from gat_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    with timer.stage("ok", block_on=lambda: outs):
+        outs = jnp.ones(4) * 2
+    assert timer.counts["ok"] == 1
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with timer.stage("bad", block_on=lambda: missing):  # noqa: F821
+            raise RuntimeError("boom")
+    assert timer.counts["bad"] == 1  # still recorded

@@ -756,3 +756,38 @@ def test_modal_render_validates_channel_upfront(tmp_path):
         render_modal_dataset(out, class_names=["A3"],
                              variants_per_class=1, channel="room")
     assert not out.exists()
+
+
+def test_choose_dataset_accepts_int_index(tmp_path):
+    """A real int index must work (the documented programmatic API) —
+    Path(int) raises TypeError, so the int must be stringified before
+    path handling (round-5 follow-up review)."""
+    ds = synthesize_note_dataset(
+        tmp_path / "data" / "synth" / "only_one",
+        class_names=["A3"], variants_per_class=1, verbose=False)
+    mgr = TrainingManager(datasets_root=tmp_path / "data",
+                          target_sr=11025)
+    from pathlib import Path
+    assert Path(mgr._choose_dataset(0)).resolve() == Path(ds).resolve()
+    with pytest.raises(FileNotFoundError, match="out of range"):
+        mgr._choose_dataset(5)
+
+
+def test_audio_report_stereo_durations(tmp_path):
+    """Durations must come from the TIME axis: mono=False wavs are
+    channels-first (C, n), where len() counts channels (round-5
+    follow-up review)."""
+    from gat_tpu.data.loader import AudioDatasetLoader
+    from gat_tpu.utils.reports import audio_report
+    from gat_tpu.utils.wavio import write_wav
+
+    sr = 22050
+    t = np.arange(int(0.4 * sr)) / sr
+    x = np.sin(2 * np.pi * 220.0 * t).astype(np.float32)
+    (tmp_path / "ds" / "A3").mkdir(parents=True)
+    write_wav(tmp_path / "ds" / "A3" / "s.wav",
+              np.stack([x, x], axis=1), sr)
+    loader = AudioDatasetLoader([tmp_path / "ds"], target_sr=sr,
+                                mono=False)
+    rep = audio_report(loader, print_report=False)
+    assert abs(rep["duration_mean"] - 0.4) < 0.01, rep["duration_mean"]

@@ -78,7 +78,9 @@ def create_pitch_dataset(clips_root: Path, out_root: Path) -> int:
         shutil.copy2(clip, dest / f"s{s}_f{f}__{clip.name}")
         n += 1
     print(f"[create_pitch_dataset] copied {n} clips into "
-          f"{len(list(out_root.iterdir()))} pitch folders")
+          f"{len(list(out_root.iterdir()))} pitch folders"
+          + (f" ({skipped} skipped: unparseable folder names)"
+             if skipped else ""))
     return n
 
 
